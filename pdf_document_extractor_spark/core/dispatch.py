@@ -1,0 +1,76 @@
+"""Batched byte-stream dispatch: magic-byte sniff + extractor registry.
+
+Upgrades the reference's extension-based MIME detection
+(lib/models/mime_type_utils.py:36-77) to magic-byte sniffing per the north
+rule (Common-Crawl payloads are raw bytes, not trusted extensions):
+``%PDF-`` prefix => pdf, else html. The strategy-registry shape mirrors the
+reference's ``DocumentProcessingStrategy`` protocol + orchestrator routing
+(src/interfaces/document_processor.py:10-83;
+src/services/processing_orchestrator.py:68-122) without the service wrapper.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from .html_extract import extract_html
+from .model import (
+    DOC_TYPE_HTML,
+    DOC_TYPE_PDF,
+    STATUS_SUCCESS,
+    ExtractionResult,
+    PageResult,
+)
+from .pdf_extract import extract_pdf
+from .taxonomy import classify_error
+
+PDF_MAGIC = b"%PDF-"
+
+
+def url_hash(url: str) -> str:
+    """Deterministic 16-hex-char document id prefix. Replaces the
+    reference's uuid4-based asset ids (docling_strategy_processor.py:1550,
+    1665) per the determinism policy (FIXTURES.md)."""
+    return hashlib.md5(url.encode("utf-8")).hexdigest()[:16]
+
+
+def sniff_doc_type(data: bytes) -> str:
+    """Magic-byte dispatch (north rule): %PDF- prefix => pdf, else html."""
+    return DOC_TYPE_PDF if data[:5] == PDF_MAGIC else DOC_TYPE_HTML
+
+
+# Extractor registry: doc_type -> callable(bytes, url_hash) -> ExtractionResult.
+# Open/closed like the reference's add_strategy
+# (processing_orchestrator.py:270-272) — register new formats here.
+EXTRACTORS = {
+    DOC_TYPE_PDF: extract_pdf,
+    DOC_TYPE_HTML: extract_html,
+}
+
+
+def extract_document(url: str, data: bytes) -> ExtractionResult:
+    """Sniff + extract one document; never raises for HARD failures —
+    returns a failure-taxonomy result instead (poison-pill discipline,
+    reference kafka_message_handler.py:126-161). SOFT (transient) failures
+    re-raise so the task layer retries (reference: raise => no Kafka commit
+    => redelivery)."""
+    uh = url_hash(url)
+    data = data or b""
+    doc_type = sniff_doc_type(data)
+    try:
+        return EXTRACTORS[doc_type](data, uh)
+    except BaseException as exc:  # noqa: BLE001 — taxonomy decides
+        status, error_type, message = classify_error(exc)
+        if status == "soft_failure":
+            raise
+        return ExtractionResult(
+            doc_type=doc_type,
+            status=status,
+            error_type=error_type,
+            error_message=message,
+            pages=[],
+        )
+
+
+def success_result(doc_type: str, pages: list[PageResult]) -> ExtractionResult:
+    return ExtractionResult(doc_type=doc_type, status=STATUS_SUCCESS, pages=pages)

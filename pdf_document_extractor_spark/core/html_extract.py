@@ -1,0 +1,320 @@
+"""HTML main-content extraction: boilerplate stripping by DOM block scoring.
+
+From-scratch implementation of the boilerpipe/jusText family of shallow-text
+heuristics (Kohlschuetter et al., WSDM 2010; Pomikalek's jusText) on top of a
+stdlib ``html.parser`` DOM — no lxml dependency. The reference repo contains
+no HTML input path (its only HTML touchpoints are an *output* format enum,
+docling_models.py:22-28); this module satisfies the north-rule's HTML half
+while honoring the reference's *output contract*: per-page ``content`` plus
+elements with char spans (reference element charspan:
+docling_strategy_processor.py:1504).
+
+PINNED SEMANTICS (the byte-identical invariant surface — change these and
+every golden fixture changes):
+
+1. Bytes are decoded as UTF-8 with ``errors="replace"``.
+2. Subtrees under structural-boilerplate / non-content tags are dropped
+   outright: head, nav, header, footer, aside, script, style, noscript,
+   template, form, iframe, svg, button, select, option, object, embed,
+   canvas.
+3. A *block* is a maximal run of inline content directly under one
+   block-level element (p, div, h1-h6, li, ...). Entering or leaving a
+   block-level element flushes the current block.
+4. Block text is whitespace-normalized with Python ``str.split()`` semantics
+   (``" ".join(t.split())``).
+5. A block is KEPT iff its normalized text is non-empty AND its link density
+   (normalized chars under <a> descendants / normalized chars total)
+   is <= 0.5. This is the linkfarm-rejection rule.
+6. ``content`` = kept block texts joined with "\n". HTML documents are a
+   single page (page_number=1), mirroring the reference's API extraction
+   path which returns one text body (api_extraction_processor.py:314-344).
+7. Empty ``content`` raises ``EmptyContentError`` -> hard-failure row
+   (reference raises on empty content, api_extraction_processor.py:333-344).
+   Non-HTML binary junk (dispatch fallback for unknown magic bytes) is
+   detected by content whose control-char/U+FFFD ratio exceeds 10% ->
+   ``UnsupportedFormatError`` hard-failure row.
+8. <table> subtrees are excluded from ``content``; they are emitted into the
+   ``tables`` array (headers = first row, CSV export) instead.
+9. <img alt=...> produce figure refs with deterministic ids
+   ``{url_hash}_figure_{idx}`` (no uuid4 — determinism policy, FIXTURES.md).
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from html.parser import HTMLParser
+
+from .model import (
+    DOC_TYPE_HTML,
+    LABEL_BLOCK,
+    Element,
+    ExtractionResult,
+    FigureRef,
+    PageResult,
+    TableRef,
+    normalize_ws,
+    word_count,
+)
+from .taxonomy import EmptyContentError, UnsupportedFormatError
+
+# Tags whose entire subtree is boilerplate or non-content (pinned rule 2).
+DROP_TAGS = frozenset(
+    {
+        "head",
+        "nav",
+        "header",
+        "footer",
+        "aside",
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "form",
+        "iframe",
+        "svg",
+        "button",
+        "select",
+        "option",
+        "object",
+        "embed",
+        "canvas",
+    }
+)
+
+# Block-level elements: entering/leaving one flushes the current text block.
+BLOCK_TAGS = frozenset(
+    {
+        "html",
+        "body",
+        "main",
+        "article",
+        "section",
+        "div",
+        "p",
+        "h1",
+        "h2",
+        "h3",
+        "h4",
+        "h5",
+        "h6",
+        "ul",
+        "ol",
+        "li",
+        "dl",
+        "dt",
+        "dd",
+        "blockquote",
+        "pre",
+        "figure",
+        "figcaption",
+        "address",
+        "hr",
+        "br",
+    }
+)
+
+# Void elements (never pushed on the open-tag stack).
+VOID_TAGS = frozenset(
+    {"br", "hr", "img", "input", "meta", "link", "area", "base", "col",
+     "source", "track", "wbr"}
+)
+
+LINK_DENSITY_MAX = 0.5  # pinned rule 5
+
+
+class _BlockCollector(HTMLParser):
+    """Streaming block segmentation: no materialized DOM needed.
+
+    Maintains a drop-depth (inside DROP_TAGS), a table-depth (inside
+    <table>), and an anchor-depth; text fragments accumulate into the
+    current block and flush at block-tag boundaries.
+    """
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[tuple[str, float]] = []  # (normalized_text, link_density)
+        self.figures_raw: list[str | None] = []  # img alt texts in doc order
+        self.tables_raw: list[list[list[str]]] = []  # table -> rows -> cells
+        self._frags: list[tuple[str, bool]] = []  # (raw_text, in_anchor)
+        self._drop_depth = 0
+        self._anchor_depth = 0
+        self._table_depth = 0
+        # current table assembly state
+        self._cur_table: list[list[str]] | None = None
+        self._cur_row: list[str] | None = None
+        self._cur_cell: list[str] | None = None
+
+    # -- block flushing -------------------------------------------------
+    def _flush(self) -> None:
+        if not self._frags:
+            return
+        frags, self._frags = self._frags, []
+        text = normalize_ws("".join(t for t, _ in frags))
+        if not text:
+            return
+        link_chars = sum(len(normalize_ws(t)) for t, in_a in frags if in_a)
+        total = len(text)
+        link_density = link_chars / total if total else 0.0
+        self.blocks.append((text, link_density))
+
+    # -- parser callbacks ------------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        if tag in DROP_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "img":
+            attr_map = dict(attrs)
+            alt = attr_map.get("alt")
+            self.figures_raw.append(normalize_ws(alt) if alt else None)
+            return
+        if tag == "table":
+            self._flush()
+            self._table_depth += 1
+            if self._table_depth == 1:
+                self._cur_table = []
+            return
+        if self._table_depth:
+            if tag == "tr":
+                self._cur_row = []
+            elif tag in ("td", "th"):
+                self._cur_cell = []
+            return
+        if tag == "a":
+            self._anchor_depth += 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in DROP_TAGS:
+            if self._drop_depth:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth:
+            return
+        if tag == "table":
+            if self._table_depth == 1 and self._cur_table is not None:
+                self.tables_raw.append(self._cur_table)
+                self._cur_table = None
+            if self._table_depth:
+                self._table_depth -= 1
+            return
+        if self._table_depth:
+            if tag in ("td", "th") and self._cur_cell is not None:
+                if self._cur_row is not None:
+                    self._cur_row.append(normalize_ws("".join(self._cur_cell)))
+                self._cur_cell = None
+            elif tag == "tr" and self._cur_row is not None:
+                if self._cur_table is not None and self._cur_row:
+                    self._cur_table.append(self._cur_row)
+                self._cur_row = None
+            return
+        if tag == "a" and self._anchor_depth:
+            self._anchor_depth -= 1
+        if tag in BLOCK_TAGS:
+            self._flush()
+
+    def handle_data(self, data: str) -> None:
+        if self._drop_depth:
+            return
+        if self._table_depth:
+            if self._cur_cell is not None:
+                self._cur_cell.append(data)
+            return
+        if data:
+            self._frags.append((data, self._anchor_depth > 0))
+
+    def close(self) -> None:  # final flush
+        super().close()
+        self._flush()
+
+
+def _table_csv(rows: list[list[str]]) -> str | None:
+    """CSV export matching pandas ``to_csv(index=False)`` framing: first row
+    as header line, QUOTE_MINIMAL, "\\n" line terminator (reference CSV
+    export: asset_storage_service.py:241-285)."""
+    if not rows:
+        return None
+    ncols = max(len(r) for r in rows)
+    buf = io.StringIO()
+    writer = csv.writer(buf, lineterminator="\n")
+    for row in rows:
+        writer.writerow(row + [""] * (ncols - len(row)))
+    return buf.getvalue()
+
+
+def extract_html(data: bytes, url_hash: str) -> ExtractionResult:
+    """Extract main content from HTML bytes. Raises typed hard failures."""
+    text = data.decode("utf-8", errors="replace")
+    parser = _BlockCollector()
+    parser.feed(text)
+    parser.close()
+
+    kept = [(t, ld) for t, ld in parser.blocks if ld <= LINK_DENSITY_MAX]
+    content = "\n".join(t for t, _ in kept)
+    if not content:
+        raise EmptyContentError("empty extracted content")
+    # Binary-junk guard (pinned): only fires when raw CONTROL chars survive
+    # into content (legit pages never contain them; a few stray U+FFFD from
+    # bad encodings alone never trigger it).
+    ctrl = sum(1 for ch in content if ord(ch) < 0x20 and ch not in "\t\n\r")
+    repl = content.count("�")
+    if ctrl > 0 and (ctrl + repl) / len(content) > 0.10:
+        raise UnsupportedFormatError("binary payload without recognized magic bytes")
+
+    elements: list[Element] = []
+    offset = 0
+    for i, (t, _ld) in enumerate(kept):
+        start = offset
+        end = start + len(t)
+        elements.append(
+            Element(
+                text=t,
+                label=LABEL_BLOCK,
+                page_no=1,
+                bbox=None,
+                char_start=start,
+                char_end=end,
+            )
+        )
+        offset = end + 1  # the "\n" separator
+
+    tables: list[TableRef] = []
+    for ti, rows in enumerate(parser.tables_raw):
+        if not rows:
+            continue
+        ncols = max(len(r) for r in rows)
+        headers = tuple(rows[0])
+        tables.append(
+            TableRef(
+                table_id=f"{url_hash}_table_{ti}",
+                page_number=1,
+                num_rows=len(rows),
+                num_cols=ncols,
+                headers=headers,
+                cell_count=sum(len(r) for r in rows),
+                csv=_table_csv(rows),
+            )
+        )
+
+    figures = [
+        FigureRef(
+            figure_id=f"{url_hash}_figure_{fi}",
+            page_number=1,
+            caption=alt,
+            label="picture",
+        )
+        for fi, alt in enumerate(parser.figures_raw)
+    ]
+
+    page = PageResult(
+        page_number=1,
+        content=content,
+        word_count=word_count(content),
+        elements=elements,
+        tables=tables,
+        figures=figures,
+    )
+    return ExtractionResult(doc_type=DOC_TYPE_HTML, pages=[page])

@@ -1,0 +1,129 @@
+"""Typed extraction output model.
+
+Reimplements the output contract of the reference's per-page result model
+(reference: lib/models/extraction_models.py:93-118 ``PageExtractionResult``,
+:23-33 ``BoundingBox``, :67-78 ``TableReference``, :54-64 ``FigureReference``)
+as plain dataclasses. One ``PageResult`` row per (url, page_number);
+``content`` is the byte-identical invariant surface.
+
+Determinism policy (FIXTURES.md): no ``uuid4`` and no wall-clock anywhere in
+the invariant surface — the reference's nondeterministic figure/table ids
+(reference: docling_strategy_processor.py:1550, 1665) are replaced by
+``{url_hash}_figure_{idx}`` / ``{url_hash}_table_{idx}``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+# Labels for extracted elements.
+LABEL_HEADER = "header"
+LABEL_BODY = "body"
+LABEL_TABLE_CELL = "table_cell"
+LABEL_CAPTION = "caption"
+LABEL_BLOCK = "block"  # HTML main-content blocks
+
+# Status values (reference call-site enum QUEUED/PROCESSING/SUCCESS/FAILURE,
+# kafka_message_handler.py:61; we keep the two terminal document states plus
+# the retryable marker).
+STATUS_SUCCESS = "success"
+STATUS_HARD_FAILURE = "hard_failure"
+STATUS_SOFT_FAILURE = "soft_failure"
+
+DOC_TYPE_PDF = "pdf"
+DOC_TYPE_HTML = "html"
+
+
+@dataclass(frozen=True)
+class BBox:
+    """Reference: lib/models/extraction_models.py:23-33."""
+
+    left: float
+    top: float
+    right: float
+    bottom: float
+    coord_origin: str = "TOP_LEFT"
+
+
+@dataclass(frozen=True)
+class Element:
+    """One extracted text element (reference element dict:
+    docling_strategy_processor.py:1482-1510)."""
+
+    text: str
+    label: str
+    page_no: int
+    bbox: BBox | None
+    char_start: int
+    char_end: int
+
+
+@dataclass(frozen=True)
+class TableRef:
+    """Reference: TableMetadata headers-rule at
+    docling_strategy_processor.py:1699-1726; CSV export at
+    asset_storage_service.py:241-285."""
+
+    table_id: str
+    page_number: int
+    num_rows: int
+    num_cols: int
+    headers: tuple[str, ...]
+    cell_count: int
+    csv: str | None
+
+
+@dataclass(frozen=True)
+class FigureRef:
+    """Reference: lib/models/extraction_models.py:54-64."""
+
+    figure_id: str
+    page_number: int
+    caption: str | None
+    label: str
+
+
+@dataclass
+class PageResult:
+    page_number: int
+    content: str
+    word_count: int
+    elements: list[Element] = field(default_factory=list)
+    tables: list[TableRef] = field(default_factory=list)
+    figures: list[FigureRef] = field(default_factory=list)
+
+
+@dataclass
+class ExtractionResult:
+    """Whole-document result; one per input row.
+
+    ``status``/``error_type`` carry the hard/soft failure taxonomy
+    (reference: docling_strategy_processor.py:527-544).
+    """
+
+    doc_type: str
+    status: str = STATUS_SUCCESS
+    error_type: str | None = None
+    error_message: str | None = None
+    pages: list[PageResult] = field(default_factory=list)
+
+    @property
+    def page_count(self) -> int:
+        return len(self.pages)
+
+
+def word_count(content: str) -> int:
+    """Python whitespace-split word count — EXACT reference semantics
+    (``len(content.split())``, docling_strategy_processor.py:1176)."""
+    return len(content.split())
+
+
+def normalize_ws(text: str) -> str:
+    """Collapse whitespace runs to single spaces, strip ends.
+
+    Python ``str.split()`` semantics (handles all Unicode whitespace the way
+    the reference's word count does), so the normalized text and the word
+    count always agree.
+    """
+    return " ".join(text.split())

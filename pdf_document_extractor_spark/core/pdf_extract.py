@@ -1,0 +1,616 @@
+"""From-scratch PDF text extraction for the declared fixture dialect.
+
+Reimplements the *semantics* of the reference's per-document conversion
+(docling_strategy_processor.py:622-712 document convert; :1482-1510 element
+flattening; :1264-1300 page assembly; :1699-1726 table headers rule) with a
+hand-written parser instead of Docling's ML models — pure functions over
+``bytes``, no I/O, no Spark imports (the UDF body IS the pytest oracle).
+
+Supported dialect (FIXTURES.md): classic non-compressed-xref PDF 1.4,
+``/Type /Page`` tree, content streams raw or FlateDecode, text via
+``BT/Tf/Td/TD/Tm/TL/T*/Tj/TJ/ET``, simple fonts. Everything outside the
+dialect raises ``CorruptedFileError``/``UnsupportedFormatError`` -> a
+hard-failure row, mirroring the reference's poison-pill taxonomy
+(docling_strategy_processor.py:527-544, 1024-1027).
+
+PINNED SEMANTICS (byte-identical invariant surface):
+
+1. Show events group into lines by exact y; lines order top-down
+   (descending y, PDF origin is bottom-left), events within a line by x.
+2. A line is a *table row* iff it has >= 2 show events; maximal runs of
+   consecutive table rows with identical x-grids (>= 2 rows) form one table.
+   headers = first-row cells sorted by column x offset — the reference rule
+   verbatim (docling_strategy_processor.py:1719-1726).
+3. Non-table lines: label = "header" if font size >= 14 else "body"
+   (fixture signal: 18pt header vs 10pt body).
+4. Reading order = line order; a table row renders into content as its cells
+   joined with single spaces.
+5. Page content (reference M5 template, docling_strategy_processor.py:
+   1264-1300): ``"Page {n}\\n\\n"`` + ``line_text + "\\n"`` for each line,
+   joined "". word_count = ``len(content.split())`` over that content.
+6. Pages are 1-indexed (reference: docling_strategy_processor.py:1149-1150).
+7. Table/figure ids are deterministic ``{url_hash}_table_{idx}`` (reference
+   uuid4 ids at docling 1550, 1665 are excluded from the invariant surface).
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from dataclasses import dataclass
+
+from .model import (
+    DOC_TYPE_PDF,
+    LABEL_BODY,
+    LABEL_HEADER,
+    LABEL_TABLE_CELL,
+    BBox,
+    Element,
+    ExtractionResult,
+    PageResult,
+    TableRef,
+    word_count,
+)
+from .taxonomy import CorruptedFileError, EmptyContentError, UnsupportedFormatError
+
+HEADER_SIZE_MIN = 14.0  # pinned rule 3
+PAGE_HEIGHT_DEFAULT = 792.0
+
+_WS = b"\x00\t\n\x0c\r "
+_DELIM = b"()<>[]{}/%"
+
+
+# --------------------------------------------------------------------------
+# Object-level lexer/parser
+# --------------------------------------------------------------------------
+
+
+class _Ref(tuple):
+    """Indirect reference (num, gen)."""
+
+
+class _Objects:
+    """Lazy object store over the raw buffer + xref offsets."""
+
+    def __init__(self, buf: bytes, offsets: dict[int, int]):
+        self.buf = buf
+        self.offsets = offsets
+        self._cache: dict[int, object] = {}
+
+    def get(self, num: int):
+        if num in self._cache:
+            return self._cache[num]
+        off = self.offsets.get(num)
+        if off is None or off >= len(self.buf):
+            raise CorruptedFileError(f"missing object {num}")
+        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.buf[off : off + 64])
+        if not m or int(m.group(1)) != num:
+            raise CorruptedFileError(f"bad object header for {num}")
+        pos = off + m.end()
+        obj, pos = _parse_object(self.buf, pos)
+        # stream?
+        m2 = re.match(rb"\s*stream(\r\n|\n|\r)", self.buf[pos : pos + 16])
+        if m2 is not None and isinstance(obj, dict):
+            data_start = pos + m2.end()
+            length = self.resolve(obj.get("Length"))
+            if not isinstance(length, int):
+                raise CorruptedFileError(f"stream /Length missing in obj {num}")
+            data = self.buf[data_start : data_start + length]
+            if len(data) != length:
+                raise CorruptedFileError(f"truncated stream in obj {num}")
+            obj = _Stream(obj, data)
+        self._cache[num] = obj
+        return obj
+
+    def resolve(self, obj):
+        seen = 0
+        while isinstance(obj, _Ref):
+            obj = self.get(obj[0])
+            seen += 1
+            if seen > 32:
+                raise CorruptedFileError("reference cycle")
+        return obj
+
+
+@dataclass
+class _Stream:
+    dict: dict
+    data: bytes
+
+    def decoded(self) -> bytes:
+        filt = self.dict.get("Filter")
+        if filt is None:
+            return self.data
+        filters = filt if isinstance(filt, list) else [filt]
+        data = self.data
+        for f in filters:
+            if f == "FlateDecode":
+                try:
+                    data = zlib.decompress(data)
+                except zlib.error as exc:
+                    raise CorruptedFileError(f"flate decode failed: {exc}") from exc
+            else:
+                raise UnsupportedFormatError(f"unsupported stream filter /{f}")
+        return data
+
+
+def _skip_ws(buf: bytes, pos: int) -> int:
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c in _WS:
+            pos += 1
+        elif c == 0x25:  # '%' comment to EOL
+            while pos < n and buf[pos] not in b"\r\n":
+                pos += 1
+        else:
+            break
+    return pos
+
+
+_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
+_NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
+_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+
+
+def _parse_object(buf: bytes, pos: int):
+    """Parse one PDF object at pos; return (obj, new_pos)."""
+    pos = _skip_ws(buf, pos)
+    if pos >= len(buf):
+        raise CorruptedFileError("unexpected EOF in object")
+    c = buf[pos]
+    if buf.startswith(b"<<", pos):
+        pos += 2
+        d: dict = {}
+        while True:
+            pos = _skip_ws(buf, pos)
+            if buf.startswith(b">>", pos):
+                return d, pos + 2
+            m = _NAME_RE.match(buf, pos)
+            if not m:
+                raise CorruptedFileError("dict key is not a name")
+            key = m.group(1).decode("latin-1")
+            val, pos = _parse_object(buf, m.end())
+            d[key] = val
+    if c == 0x5B:  # '['
+        pos += 1
+        arr: list = []
+        while True:
+            pos = _skip_ws(buf, pos)
+            if pos < len(buf) and buf[pos] == 0x5D:  # ']'
+                return arr, pos + 1
+            val, pos = _parse_object(buf, pos)
+            arr.append(val)
+    if c == 0x2F:  # '/'
+        m = _NAME_RE.match(buf, pos)
+        return m.group(1).decode("latin-1"), m.end()
+    if c == 0x28:  # '('
+        return _parse_string(buf, pos)
+    if buf.startswith(b"true", pos):
+        return True, pos + 4
+    if buf.startswith(b"false", pos):
+        return False, pos + 5
+    if buf.startswith(b"null", pos):
+        return None, pos + 4
+    m = _REF_RE.match(buf, pos)
+    if m:
+        return _Ref((int(m.group(1)), int(m.group(2)))), m.end()
+    m = _NUM_RE.match(buf, pos)
+    if m:
+        tok = m.group(0)
+        val = float(tok) if b"." in tok else int(tok)
+        return val, m.end()
+    raise CorruptedFileError(f"unparseable object at offset {pos}")
+
+
+_OCTAL = frozenset(b"01234567")
+
+
+def _parse_string(buf: bytes, pos: int) -> tuple[str, int]:
+    """Parse a (...) literal string with standard escapes; latin-1 decode
+    (simple-font fixture dialect)."""
+    assert buf[pos] == 0x28
+    pos += 1
+    out = bytearray()
+    depth = 1
+    n = len(buf)
+    while pos < n:
+        c = buf[pos]
+        if c == 0x5C:  # backslash
+            pos += 1
+            if pos >= n:
+                break
+            e = buf[pos]
+            if e in _OCTAL:
+                oct_digits = bytearray([e])
+                pos += 1
+                while pos < n and len(oct_digits) < 3 and buf[pos] in _OCTAL:
+                    oct_digits.append(buf[pos])
+                    pos += 1
+                out.append(int(oct_digits.decode(), 8) & 0xFF)
+                continue
+            mapped = {0x6E: 10, 0x72: 13, 0x74: 9, 0x62: 8, 0x66: 12}.get(e)
+            if mapped is not None:
+                out.append(mapped)
+            elif e in b"\r\n":
+                pass  # line continuation
+            else:
+                out.append(e)
+            pos += 1
+        elif c == 0x28:
+            depth += 1
+            out.append(c)
+            pos += 1
+        elif c == 0x29:
+            depth -= 1
+            if depth == 0:
+                return out.decode("latin-1"), pos + 1
+            out.append(c)
+            pos += 1
+        else:
+            out.append(c)
+            pos += 1
+    raise CorruptedFileError("unterminated string literal")
+
+
+# --------------------------------------------------------------------------
+# xref / document structure
+# --------------------------------------------------------------------------
+
+
+def _parse_xref(buf: bytes) -> tuple[dict[int, int], dict]:
+    tail = buf[-2048:]
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass  # keep last occurrence
+    if m is None:
+        raise CorruptedFileError("startxref not found")
+    xref_pos = int(m.group(1))
+    if xref_pos >= len(buf):
+        raise CorruptedFileError("startxref beyond EOF")
+    offsets: dict[int, int] = {}
+    trailer: dict = {}
+    pos = _skip_ws(buf, xref_pos)
+    if not buf.startswith(b"xref", pos):
+        raise CorruptedFileError("xref table not found (compressed xref unsupported)")
+    pos += 4
+    while True:
+        pos = _skip_ws(buf, pos)
+        if buf.startswith(b"trailer", pos):
+            pos += 7
+            trailer_obj, pos = _parse_object(buf, pos)
+            if not isinstance(trailer_obj, dict):
+                raise CorruptedFileError("trailer is not a dict")
+            trailer = trailer_obj
+            break
+        m2 = re.match(rb"(\d+)\s+(\d+)", buf[pos : pos + 64])
+        if not m2:
+            raise CorruptedFileError("malformed xref subsection header")
+        start, count = int(m2.group(1)), int(m2.group(2))
+        pos = pos + m2.end()
+        pos = _skip_ws(buf, pos)
+        for i in range(count):
+            entry = buf[pos : pos + 20]
+            m3 = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
+            if not m3:
+                raise CorruptedFileError("malformed xref entry")
+            if m3.group(3) == b"n":
+                offsets[start + i] = int(m3.group(1))
+            pos += 20
+    return offsets, trailer
+
+
+def _page_objects(objs: _Objects, trailer: dict) -> list[dict]:
+    root = objs.resolve(trailer.get("Root"))
+    if not isinstance(root, dict):
+        raise CorruptedFileError("missing /Root catalog")
+    pages_node = objs.resolve(root.get("Pages"))
+    if not isinstance(pages_node, dict):
+        raise CorruptedFileError("missing /Pages tree")
+    out: list[dict] = []
+
+    def walk(node: dict, depth: int = 0) -> None:
+        if depth > 32:
+            raise CorruptedFileError("page tree too deep")
+        ntype = node.get("Type")
+        if ntype == "Page":
+            out.append(node)
+            return
+        kids = objs.resolve(node.get("Kids")) or []
+        for kid in kids:
+            kid_node = objs.resolve(kid)
+            if isinstance(kid_node, dict):
+                walk(kid_node, depth + 1)
+
+    walk(pages_node)
+    if not out:
+        raise CorruptedFileError("no pages in document")
+    return out
+
+
+# --------------------------------------------------------------------------
+# Content-stream tokenizer -> show events
+# --------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class _Show:
+    x: float
+    y: float
+    size: float
+    text: str
+
+
+_CS_TOKEN = re.compile(
+    rb"""
+      (?P<str>\()                     # string start (handled by _parse_string)
+    | (?P<arr>\[)                     # array start
+    | /(?P<name>[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)
+    | (?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))
+    | (?P<op>[A-Za-z'"*]+)
+    """,
+    re.VERBOSE,
+)
+
+
+def _tokenize_content(data: bytes):
+    pos = 0
+    n = len(data)
+    while pos < n:
+        pos = _skip_ws(data, pos)
+        if pos >= n:
+            break
+        if data[pos] == 0x28:
+            s, pos = _parse_string(data, pos)
+            yield ("str", s)
+        elif data[pos] == 0x5B:
+            pos += 1
+            yield ("arr_open", None)
+        elif data[pos] == 0x5D:
+            pos += 1
+            yield ("arr_close", None)
+        else:
+            m = _CS_TOKEN.match(data, pos)
+            if not m:
+                raise CorruptedFileError(
+                    f"unparseable content token at offset {pos}"
+                )
+            pos = m.end()
+            if m.group("name") is not None:
+                yield ("name", m.group("name").decode("latin-1"))
+            elif m.group("num") is not None:
+                tok = m.group("num")
+                yield ("num", float(tok) if b"." in tok else int(tok))
+            elif m.group("op") is not None:
+                yield ("op", m.group("op").decode("latin-1"))
+
+
+def _shows_from_content(data: bytes) -> list[_Show]:
+    """Interpret the text operators of one page's content stream(s)."""
+    shows: list[_Show] = []
+    stack: list = []  # operand stack (numbers, strings, names, arrays)
+    in_array: list | None = None
+    size = 0.0
+    x = y = 0.0
+    leading = 0.0
+    for kind, val in _tokenize_content(data):
+        if kind == "arr_open":
+            in_array = []
+            continue
+        if kind == "arr_close":
+            stack.append(in_array if in_array is not None else [])
+            in_array = None
+            continue
+        if kind in ("num", "str", "name"):
+            (in_array if in_array is not None else stack).append(val)
+            continue
+        # operator
+        op = val
+        if op == "BT":
+            x = y = 0.0
+        elif op == "Tf":
+            if stack:
+                size = float(stack[-1])
+        elif op == "Td":
+            if len(stack) >= 2:
+                x += float(stack[-2])
+                y += float(stack[-1])
+        elif op == "TD":
+            if len(stack) >= 2:
+                leading = -float(stack[-1])
+                x += float(stack[-2])
+                y += float(stack[-1])
+        elif op == "Tm":
+            if len(stack) >= 6:
+                x = float(stack[-2])
+                y = float(stack[-1])
+        elif op == "TL":
+            if stack:
+                leading = float(stack[-1])
+        elif op == "T*":
+            y -= leading
+        elif op == "Tj":
+            if stack and isinstance(stack[-1], str):
+                shows.append(_Show(x, y, size, stack[-1]))
+        elif op == "TJ":
+            if stack and isinstance(stack[-1], list):
+                text = "".join(t for t in stack[-1] if isinstance(t, str))
+                shows.append(_Show(x, y, size, text))
+        # ET and any other operator: no state change needed
+        stack.clear()
+    return shows
+
+
+# --------------------------------------------------------------------------
+# Lines -> tables -> elements -> page assembly
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class _Line:
+    y: float
+    shows: list[_Show]
+
+    @property
+    def xs(self) -> tuple[float, ...]:
+        return tuple(s.x for s in self.shows)
+
+    @property
+    def max_size(self) -> float:
+        return max(s.size for s in self.shows)
+
+
+def _group_lines(shows: list[_Show]) -> list[_Line]:
+    by_y: dict[float, list[_Show]] = {}
+    for s in shows:
+        by_y.setdefault(s.y, []).append(s)
+    lines = []
+    for yv in sorted(by_y, reverse=True):  # top-down (pinned rule 1)
+        row = sorted(by_y[yv], key=lambda s: s.x)
+        lines.append(_Line(yv, row))
+    return lines
+
+
+def _find_tables(lines: list[_Line]) -> list[tuple[int, int]]:
+    """Maximal runs [i, j) of consecutive lines that are table rows with the
+    same x-grid; require >= 2 rows (pinned rule 2)."""
+    spans: list[tuple[int, int]] = []
+    i = 0
+    n = len(lines)
+    while i < n:
+        if len(lines[i].shows) >= 2:
+            j = i + 1
+            grid = lines[i].xs
+            while j < n and len(lines[j].shows) >= 2 and lines[j].xs == grid:
+                j += 1
+            if j - i >= 2:
+                spans.append((i, j))
+                i = j
+                continue
+        i += 1
+    return spans
+
+
+def _bbox_for(show: _Show, page_height: float, text: str) -> BBox:
+    """Deterministic approximate box: Helvetica-ish 0.5em advance width."""
+    top = page_height - show.y - show.size
+    return BBox(
+        left=show.x,
+        top=top,
+        right=show.x + 0.5 * show.size * len(text),
+        bottom=top + show.size,
+        coord_origin="TOP_LEFT",
+    )
+
+
+def extract_pdf(data: bytes, url_hash: str) -> ExtractionResult:
+    """Extract text/elements/tables from PDF bytes. Raises typed failures."""
+    if not data.startswith(b"%PDF-"):
+        raise UnsupportedFormatError("missing %PDF- magic")
+    offsets, trailer = _parse_xref(data)
+    objs = _Objects(data, offsets)
+    page_nodes = _page_objects(objs, trailer)
+
+    pages: list[PageResult] = []
+    table_counter = 0
+    for page_no, node in enumerate(page_nodes, start=1):
+        media = objs.resolve(node.get("MediaBox")) or [0, 0, 612, PAGE_HEIGHT_DEFAULT]
+        page_height = float(objs.resolve(media[3])) if len(media) >= 4 else PAGE_HEIGHT_DEFAULT
+        contents = objs.resolve(node.get("Contents"))
+        streams = contents if isinstance(contents, list) else [contents]
+        blob = bytearray()
+        for s in streams:
+            s = objs.resolve(s)
+            if isinstance(s, _Stream):
+                blob += s.decoded()
+                blob += b"\n"
+        shows = _shows_from_content(bytes(blob))
+        lines = _group_lines(shows)
+        table_spans = _find_tables(lines)
+        in_table_rows: dict[int, int] = {}  # line idx -> table idx (local)
+        for t_local, (i, j) in enumerate(table_spans):
+            for li in range(i, j):
+                in_table_rows[li] = t_local
+
+        # Assemble content + elements in reading order (pinned rules 4-5).
+        parts: list[str] = [f"Page {page_no}\n\n"]
+        offset = len(parts[0])
+        elements: list[Element] = []
+        for li, line in enumerate(lines):
+            if li in in_table_rows:
+                # table row: cells joined by single spaces
+                cell_texts = [s.text for s in line.shows]
+                line_text = " ".join(cell_texts)
+                cursor = offset
+                for s, ct in zip(line.shows, cell_texts):
+                    elements.append(
+                        Element(
+                            text=ct,
+                            label=LABEL_TABLE_CELL,
+                            page_no=page_no,
+                            bbox=_bbox_for(s, page_height, ct),
+                            char_start=cursor,
+                            char_end=cursor + len(ct),
+                        )
+                    )
+                    cursor += len(ct) + 1
+            else:
+                show = line.shows[0]
+                line_text = " ".join(s.text for s in line.shows)
+                label = LABEL_HEADER if line.max_size >= HEADER_SIZE_MIN else LABEL_BODY
+                elements.append(
+                    Element(
+                        text=line_text,
+                        label=label,
+                        page_no=page_no,
+                        bbox=_bbox_for(show, page_height, line_text),
+                        char_start=offset,
+                        char_end=offset + len(line_text),
+                    )
+                )
+            parts.append(line_text + "\n")
+            offset += len(line_text) + 1
+        content = "".join(parts)
+
+        tables: list[TableRef] = []
+        for (i, j) in table_spans:
+            rows = [[s.text for s in lines[li].shows] for li in range(i, j)]
+            # headers = first-row cells sorted by start column offset —
+            # reference rule verbatim (docling_strategy_processor.py:1719-1726);
+            # shows are already x-sorted within the line.
+            headers = tuple(rows[0])
+            ncols = max(len(r) for r in rows)
+            import csv as _csv
+            import io as _io
+
+            buf = _io.StringIO()
+            w = _csv.writer(buf, lineterminator="\n")
+            for r in rows:
+                w.writerow(r + [""] * (ncols - len(r)))
+            tables.append(
+                TableRef(
+                    table_id=f"{url_hash}_table_{table_counter}",
+                    page_number=page_no,
+                    num_rows=len(rows),
+                    num_cols=ncols,
+                    headers=headers,
+                    cell_count=sum(len(r) for r in rows),
+                    csv=buf.getvalue(),
+                )
+            )
+            table_counter += 1
+
+        pages.append(
+            PageResult(
+                page_number=page_no,
+                content=content,
+                word_count=word_count(content),
+                elements=elements,
+                tables=tables,
+                figures=[],
+            )
+        )
+
+    if not any(p.elements for p in pages):
+        raise EmptyContentError("no text content in document")
+    return ExtractionResult(doc_type=DOC_TYPE_PDF, pages=pages)

@@ -1,0 +1,198 @@
+"""The extraction operator: one Arrow-batched ``mapInPandas`` pass.
+
+Fuses the reference's dispatch -> convert -> assemble chain
+(processing_orchestrator.py:68-122 routing;
+docling_strategy_processor.py:622-712 convert, :1264-1300 page assembly)
+into a single vectorized stage: magic-byte sniff per row inside the batch
+(zero extra Python crossings), then tokenize/classify/extract via the pure
+core (core/dispatch.py). The UDF body and the pytest oracle are the SAME
+functions — byte-identity by construction.
+
+Scale design notes (100 TB target):
+- Input projection is ``url, html`` only — Catalyst prunes the remaining
+  columns at the Parquet/Iceberg scan (verify via .explain ReadSchema).
+- One fused stage: no shuffle is introduced by extraction itself; the only
+  shuffle in the full job is the explicit salted repartition (operators/
+  skew.py), which exists for placement, not semantics.
+- Arrow batch size must be tuned down for multi-MB binary cells
+  (spark.sql.execution.arrow.maxRecordsPerBatch; see plans/run.py) so a
+  batch of heavy documents cannot blow executor memory.
+- Per-partition lineage is captured in-band: every output row carries
+  ``partition_id`` (TaskContext) and ``byte_count``; lineage aggregates them
+  without a second pass over the bytes (operators/lineage.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from ..core.dispatch import extract_document
+from ..core.model import STATUS_SUCCESS
+
+if TYPE_CHECKING:  # Spark imported lazily so the core stays Spark-free
+    from pyspark.sql import DataFrame
+
+# One row per (url, page). Hard failures emit one row with page_number=0 and
+# empty content/arrays (pinned policy; goldens in tests/golden assert it).
+EXTRACTED_SCHEMA = (
+    "url string, page_number int, doc_type string, content string, "
+    "word_count int, page_count int, "
+    "elements array<struct<text:string,label:string,page_no:int,"
+    "bbox:struct<left:double,top:double,right:double,bottom:double,"
+    "coord_origin:string>,char_start:int,char_end:int>>, "
+    "tables array<struct<table_id:string,page_number:int,num_rows:int,"
+    "num_cols:int,headers:array<string>,cell_count:int,csv:string>>, "
+    "figures array<struct<figure_id:string,page_number:int,caption:string,"
+    "label:string>>, "
+    "status string, error_type string, error_message string, "
+    "partition_id int, byte_count bigint"
+)
+
+_COLUMNS = [
+    "url",
+    "page_number",
+    "doc_type",
+    "content",
+    "word_count",
+    "page_count",
+    "elements",
+    "tables",
+    "figures",
+    "status",
+    "error_type",
+    "error_message",
+    "partition_id",
+    "byte_count",
+]
+
+
+def _element_rows(elements) -> list[dict]:
+    return [
+        {
+            "text": e.text,
+            "label": e.label,
+            "page_no": e.page_no,
+            "bbox": (
+                {
+                    "left": e.bbox.left,
+                    "top": e.bbox.top,
+                    "right": e.bbox.right,
+                    "bottom": e.bbox.bottom,
+                    "coord_origin": e.bbox.coord_origin,
+                }
+                if e.bbox is not None
+                else None
+            ),
+            "char_start": e.char_start,
+            "char_end": e.char_end,
+        }
+        for e in elements
+    ]
+
+
+def _table_rows(tables) -> list[dict]:
+    return [
+        {
+            "table_id": t.table_id,
+            "page_number": t.page_number,
+            "num_rows": t.num_rows,
+            "num_cols": t.num_cols,
+            "headers": list(t.headers),
+            "cell_count": t.cell_count,
+            "csv": t.csv,
+        }
+        for t in tables
+    ]
+
+
+def _figure_rows(figures) -> list[dict]:
+    return [
+        {
+            "figure_id": f.figure_id,
+            "page_number": f.page_number,
+            "caption": f.caption,
+            "label": f.label,
+        }
+        for f in figures
+    ]
+
+
+def extract_rows_py(url: str, payload: bytes, partition_id: int = -1) -> list[dict]:
+    """Pure-Python row production for one document — ALSO the pytest oracle.
+
+    Returns the exact dict rows the Spark UDF emits (minus Arrow transport).
+    """
+    payload = payload or b""
+    result = extract_document(url, payload)  # soft failures re-raise
+    nbytes = len(payload)
+    rows: list[dict] = []
+    if result.status != STATUS_SUCCESS:
+        rows.append(
+            {
+                "url": url,
+                "page_number": 0,
+                "doc_type": result.doc_type,
+                "content": "",
+                "word_count": 0,
+                "page_count": 0,
+                "elements": [],
+                "tables": [],
+                "figures": [],
+                "status": result.status,
+                "error_type": result.error_type,
+                "error_message": result.error_message,
+                "partition_id": partition_id,
+                "byte_count": nbytes,
+            }
+        )
+        return rows
+    page_count = result.page_count
+    for page in result.pages:
+        rows.append(
+            {
+                "url": url,
+                "page_number": page.page_number,
+                "doc_type": result.doc_type,
+                "content": page.content,
+                "word_count": page.word_count,
+                "page_count": page_count,
+                "elements": _element_rows(page.elements),
+                "tables": _table_rows(page.tables),
+                "figures": _figure_rows(page.figures),
+                "status": STATUS_SUCCESS,
+                "error_type": None,
+                "error_message": None,
+                "partition_id": partition_id,
+                "byte_count": nbytes,
+            }
+        )
+    return rows
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas body. Lazy TaskContext import keeps core Spark-free."""
+    from pyspark import TaskContext
+
+    ctx = TaskContext.get()
+    pid = ctx.partitionId() if ctx is not None else -1
+    for batch in batches:
+        out: list[dict] = []
+        urls = batch["url"].to_numpy()
+        payloads = batch["html"].to_numpy()
+        for url, payload in zip(urls, payloads):
+            out.extend(extract_rows_py(url, payload, pid))
+        yield pd.DataFrame(out, columns=_COLUMNS)
+
+
+def extract_pages(pages_df: "DataFrame") -> "DataFrame":
+    """pages(url, warc_ts, html, text, lang) -> extracted rows.
+
+    Projects to (url, html) FIRST so column pruning reaches the scan, then
+    runs the single fused mapInPandas extraction stage.
+    """
+    return pages_df.select("url", "html").mapInPandas(
+        _extract_batches, schema=EXTRACTED_SCHEMA
+    )

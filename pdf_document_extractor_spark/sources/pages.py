@@ -1,0 +1,122 @@
+"""The `pages` input table (BASELINE.json input_hint schema) — readers and
+deterministic synthesis.
+
+``synthesize_pages_from_documents`` builds a pages table FROM the driver's
+``documents.parquet`` with invertible templates: the extractor's output on a
+synthesized payload is an exact SQL-expressible function of the source
+``text`` column. That is what lets the DuckDB oracle check the whole
+extraction pipeline end-to-end (see __spark_entry__.py):
+
+  html payload  -> extracted content == text
+  pdf payload   -> extracted content == 'Page 1' || chr(10) || chr(10)
+                                        || text || chr(10)
+  corrupt (doc_id % 17 == 0 in mode='mixed_fail') -> hard_failure row
+
+Templates are PINNED — changing them breaks the oracle SQL in
+__spark_entry__.py and the goldens.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from ..core.pdf_write import PdfPageSpec, TextShow, write_pdf
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+_EPOCH_ISO = "2025-01-01T00:00:00+00:00"
+
+# Pinned synthesis templates ------------------------------------------------
+
+_HTML_TEMPLATE = (
+    "<html><head><title>doc {doc_id}</title></head><body>"
+    "<nav><a href='/'>home</a> <a href='/about'>about</a></nav>"
+    "<article><p>{text}</p></article>"
+    "<footer><a href='/tos'>terms</a> all rights reserved</footer>"
+    "</body></html>"
+)
+
+_CORRUPT_PAYLOAD = b"%PDF-1.4\nthis is not a real pdf body"
+
+
+def synth_html_payload(doc_id: int, text: str) -> bytes:
+    return _HTML_TEMPLATE.format(doc_id=doc_id, text=text).encode("utf-8")
+
+
+def synth_pdf_payload(text: str) -> bytes:
+    """One page, whole text as a single 10pt body show -> extracted content
+    is exactly 'Page 1\\n\\n' + text + '\\n'."""
+    return write_pdf([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
+
+
+def synth_payload(doc_id: int, text: str, mode: str) -> bytes:
+    """mode: 'html' | 'pdf' | 'mixed' (alternate by doc_id parity) |
+    'mixed_fail' (mixed + corrupt every 17th doc)."""
+    if mode == "mixed_fail" and doc_id % 17 == 0:
+        return _CORRUPT_PAYLOAD
+    if mode == "html":
+        return synth_html_payload(doc_id, text)
+    if mode == "pdf":
+        return synth_pdf_payload(text)
+    if mode in ("mixed", "mixed_fail"):
+        if doc_id % 2 == 0:
+            return synth_pdf_payload(text)
+        return synth_html_payload(doc_id, text)
+    raise ValueError(f"unknown synthesis mode {mode!r}")
+
+
+def synth_url(doc_id: int, mode: str) -> str:
+    return f"https://synth.example/{mode}/{doc_id}"
+
+
+def synthesize_pages_from_documents(
+    spark: "SparkSession", sf_dir: str, mode: str = "mixed"
+) -> "DataFrame":
+    """documents.parquet -> pages(url, warc_ts, html, text, lang).
+
+    Payload construction runs in one Arrow-batched mapInPandas stage
+    (no per-row Python UDFs — input_hint mandate); the scan is pruned to
+    (doc_id, text, lang).
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            ids = batch["doc_id"].to_numpy()
+            texts = batch["text"].to_numpy()
+            langs = batch["lang"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "url": [synth_url(int(i), mode) for i in ids],
+                    "warc_ts": pd.to_datetime(
+                        pd.Series([_EPOCH_ISO] * len(ids), dtype="object")
+                    )
+                    + pd.to_timedelta(ids.astype("int64"), unit="s"),
+                    "html": [
+                        synth_payload(int(i), t if t is not None else "", mode)
+                        for i, t in zip(ids, texts)
+                    ],
+                    "text": ["" for _ in ids],
+                    "lang": langs,
+                }
+            )
+
+    return docs.mapInPandas(build, schema=PAGES_SCHEMA).withColumn(
+        "warc_ts", F.to_utc_timestamp("warc_ts", "UTC")
+    )
+
+
+def pages_df_from_fixtures(spark: "SparkSession", docs) -> "DataFrame":
+    """FixtureDoc list (fixtures/gen.py) -> pages DataFrame."""
+    rows = [(d.url, d.warc_ts, d.html, d.text, d.lang) for d in docs]
+    return spark.createDataFrame(rows, schema=PAGES_SCHEMA)

@@ -1,0 +1,143 @@
+"""Unit tests of the pinned HTML extraction semantics (hand-computed
+expectations — mirrors the reference's element-semantics unit tests,
+tests/services/test_docling_service_comprehensive.py:720-786, but against
+real bytes instead of mocks)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_document_extractor_spark.core.dispatch import extract_document, url_hash
+from pdf_document_extractor_spark.core.html_extract import extract_html
+from pdf_document_extractor_spark.core.taxonomy import (
+    EmptyContentError,
+    UnsupportedFormatError,
+)
+
+
+def test_boilerplate_stripped_article_kept():
+    html = (
+        b"<html><head><title>T</title><style>x{}</style></head><body>"
+        b"<nav><a href='/'>home</a> <a href='/a'>about</a></nav>"
+        b"<header><h1>banner</h1></header>"
+        b"<article><p>alpha beta gamma</p><p>delta epsilon</p></article>"
+        b"<footer>copyright</footer></body></html>"
+    )
+    r = extract_document("u", html)
+    page = r.pages[0]
+    assert page.content == "alpha beta gamma\ndelta epsilon"
+    assert page.word_count == 5
+    assert [e.label for e in page.elements] == ["block", "block"]
+    # exact char spans into content
+    assert (page.elements[0].char_start, page.elements[0].char_end) == (0, 16)
+    assert (page.elements[1].char_start, page.elements[1].char_end) == (17, 30)
+    assert page.content[17:30] == "delta epsilon"
+
+
+def test_linkfarm_block_rejected_by_link_density():
+    html = (
+        b"<html><body>"
+        b"<div><a href='/1'>one two three four</a> x</div>"  # ~90% anchor
+        b"<p>real content stays here</p>"
+        b"</body></html>"
+    )
+    r = extract_document("u", html)
+    assert r.pages[0].content == "real content stays here"
+
+
+def test_half_link_block_kept_at_boundary():
+    # link density exactly <= 0.5 is kept (pinned rule 5)
+    html = b"<html><body><p><a href='/x'>abcde</a> abcde</p></body></html>"
+    r = extract_document("u", html)
+    # text "abcde abcde" = 11 chars, link chars = 5 -> density 5/11 < 0.5
+    assert r.pages[0].content == "abcde abcde"
+
+
+def test_whitespace_normalization():
+    html = b"<html><body><p>  a \t b\n\nc  </p></body></html>"
+    r = extract_document("u", html)
+    assert r.pages[0].content == "a b c"
+    assert r.pages[0].word_count == 3
+
+
+def test_empty_body_is_hard_failure():
+    with pytest.raises(EmptyContentError):
+        extract_html(b"<html><body></body></html>", "h")
+    r = extract_document("u", b"<html><body></body></html>")
+    assert r.status == "hard_failure"
+    assert r.error_type == "EmptyContentError"
+
+
+def test_zero_length_payload_is_hard_failure():
+    r = extract_document("u", b"")
+    assert r.status == "hard_failure"
+
+
+def test_bad_bytes_decode_replace_is_deterministic():
+    html = b"<html><body><p>ok \xff\xfe tail</p></body></html>"
+    r1 = extract_document("u", html)
+    r2 = extract_document("u", html)
+    assert r1.pages[0].content == r2.pages[0].content
+    assert "ok" in r1.pages[0].content and "tail" in r1.pages[0].content
+
+
+def test_binary_junk_is_hard_failure():
+    r = extract_document("u", bytes(range(256)) * 4)
+    assert r.status == "hard_failure"
+    assert r.error_type == "UnsupportedFormatError"
+
+
+def test_nested_blocks_flush_correctly():
+    html = (
+        b"<html><body><div>outer before"
+        b"<p>inner paragraph</p>outer after</div></body></html>"
+    )
+    r = extract_document("u", html)
+    assert r.pages[0].content == "outer before\ninner paragraph\nouter after"
+
+
+def test_html_table_extracted_not_in_content():
+    html = (
+        b"<html><body><p>before table</p>"
+        b"<table><tr><th>h1</th><th>h2</th></tr>"
+        b"<tr><td>a</td><td>b</td></tr></table>"
+        b"<p>after table</p></body></html>"
+    )
+    r = extract_document("https://x/t", html)
+    page = r.pages[0]
+    assert page.content == "before table\nafter table"
+    assert len(page.tables) == 1
+    t = page.tables[0]
+    assert t.headers == ("h1", "h2")
+    assert t.num_rows == 2 and t.num_cols == 2 and t.cell_count == 4
+    assert t.csv == "h1,h2\na,b\n"
+    assert t.table_id == f"{url_hash('https://x/t')}_table_0"
+
+
+def test_figures_from_img_alt():
+    html = (
+        b"<html><body><p>text body here</p>"
+        b"<img src='x.png' alt='a chart'><img src='y.png'></body></html>"
+    )
+    r = extract_document("https://x/f", html)
+    figs = r.pages[0].figures
+    assert len(figs) == 2
+    assert figs[0].caption == "a chart" and figs[1].caption is None
+    assert figs[0].figure_id == f"{url_hash('https://x/f')}_figure_0"
+    assert figs[0].label == "picture"
+
+
+def test_entity_decoding():
+    html = b"<html><body><p>a &amp; b &lt;c&gt;</p></body></html>"
+    r = extract_document("u", html)
+    assert r.pages[0].content == "a & b <c>"
+
+
+def test_anchor_inside_kept_block_counts_link_chars_only():
+    # mostly-text block with a small link is kept
+    html = (
+        b"<html><body><p>plenty of regular words here with "
+        b"<a href='/l'>one link</a> embedded</p></body></html>"
+    )
+    r = extract_document("u", html)
+    assert "one link" in r.pages[0].content

@@ -1,0 +1,138 @@
+"""Unit tests of the pinned PDF extraction semantics: page assembly template
+(reference M5, docling_strategy_processor.py:1264-1300), header/body font
+heuristic, table headers rule (docling_strategy_processor.py:1719-1726),
+word count (``len(content.split())``, docling 1176), 1-indexed pages
+(docling 1149-1150), failure taxonomy (docling 527-544)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_document_extractor_spark.core.dispatch import extract_document, url_hash
+from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+from pdf_document_extractor_spark.core.pdf_write import (
+    PdfPageSpec,
+    TextShow,
+    simple_doc,
+    table_grid,
+    write_pdf,
+)
+from pdf_document_extractor_spark.core.taxonomy import (
+    CorruptedFileError,
+    UnsupportedFormatError,
+)
+
+
+def test_page_assembly_template_exact():
+    pdf = simple_doc([("Title Here", ["line one", "line two"])])
+    r = extract_document("u", pdf)
+    assert r.pages[0].content == "Page 1\n\nTitle Here\nline one\nline two\n"
+    # word_count = len(content.split()) INCLUDING the page heading
+    assert r.pages[0].word_count == 8
+
+
+def test_header_vs_body_font_heuristic():
+    pdf = simple_doc([("Big Header", ["small body"])])
+    r = extract_document("u", pdf)
+    labels = [(e.label, e.text) for e in r.pages[0].elements]
+    assert labels == [("header", "Big Header"), ("body", "small body")]
+
+
+def test_multipage_one_indexed_ordered():
+    pdf = simple_doc([("h1", ["a"]), ("h2", ["b"]), (None, ["c"])])
+    r = extract_document("u", pdf)
+    assert [p.page_number for p in r.pages] == [1, 2, 3]
+    assert r.pages[1].content == "Page 2\n\nh2\nb\n"
+    assert all(p.page_number == e.page_no for p in r.pages for e in p.elements)
+    assert r.page_count == 3
+
+
+def test_flate_compressed_stream():
+    raw = simple_doc([("h", ["x y z"])], compress=False)
+    comp = simple_doc([("h", ["x y z"])], compress=True)
+    r1 = extract_document("u", raw)
+    r2 = extract_document("u", comp)
+    assert r1.pages[0].content == r2.pages[0].content
+
+
+def test_table_headers_first_row_sorted_by_col_offset():
+    rows = [["bravo", "alpha", "zulu"], ["1", "2", "3"], ["4", "5", "6"]]
+    shows = table_grid(rows)
+    pdf = write_pdf([PdfPageSpec(shows=shows)])
+    r = extract_document("https://x/p", pdf)
+    t = r.pages[0].tables[0]
+    # headers = first-row cells in column-x order (NOT alphabetical)
+    assert t.headers == ("bravo", "alpha", "zulu")
+    assert (t.num_rows, t.num_cols, t.cell_count) == (3, 3, 9)
+    assert t.csv == "bravo,alpha,zulu\n1,2,3\n4,5,6\n"
+    assert t.table_id == f"{url_hash('https://x/p')}_table_0"
+
+
+def test_table_cells_render_into_content_as_rows():
+    rows = [["a", "b"], ["c", "d"]]
+    pdf = write_pdf([PdfPageSpec(shows=table_grid(rows))])
+    r = extract_document("u", pdf)
+    assert r.pages[0].content == "Page 1\n\na b\nc d\n"
+    cells = [e for e in r.pages[0].elements if e.label == "table_cell"]
+    assert [c.text for c in cells] == ["a", "b", "c", "d"]
+    # char spans index into content
+    content = r.pages[0].content
+    for c in cells:
+        assert content[c.char_start : c.char_end] == c.text
+
+
+def test_single_multicell_line_is_not_a_table():
+    # one isolated 2-cell line: not a table (needs >= 2 matching rows)
+    shows = [TextShow(72, 700, 10.0, "a"), TextShow(200, 700, 10.0, "b")]
+    pdf = write_pdf([PdfPageSpec(shows=shows)])
+    r = extract_document("u", pdf)
+    assert r.pages[0].tables == []
+    assert r.pages[0].content == "Page 1\n\na b\n"
+
+
+def test_reading_order_top_down_left_right():
+    shows = [
+        TextShow(300, 700, 10.0, "right-top"),
+        TextShow(72, 700, 10.0, "left-top"),
+        TextShow(72, 600, 10.0, "lower"),
+    ]
+    pdf = write_pdf([PdfPageSpec(shows=shows)])
+    r = extract_document("u", pdf)
+    assert r.pages[0].content == "Page 1\n\nleft-top right-top\nlower\n"
+
+
+def test_truncated_pdf_is_corrupted_hard_failure():
+    pdf = simple_doc([("h", ["body"])])
+    r = extract_document("u", pdf[: len(pdf) // 2])
+    assert r.status == "hard_failure"
+    assert r.error_type == "CorruptedFileError"
+
+
+def test_garbage_after_magic_is_corrupted():
+    r = extract_document("u", b"%PDF-1.4\n\x00\x01\x02 garbage")
+    assert r.status == "hard_failure"
+    assert r.error_type == "CorruptedFileError"
+
+
+def test_escaped_strings_and_tj_arrays():
+    shows = [TextShow(72, 700, 10.0, "paren (x) and \\ slash")]
+    pdf = write_pdf([PdfPageSpec(shows=shows)])
+    r = extract_document("u", pdf)
+    assert r.pages[0].content == "Page 1\n\nparen (x) and \\ slash\n"
+
+
+def test_bbox_deterministic_top_left_origin():
+    pdf = simple_doc([(None, ["abc"])])
+    r = extract_document("u", pdf)
+    e = r.pages[0].elements[0]
+    assert e.bbox.coord_origin == "TOP_LEFT"
+    assert e.bbox.left == 72.0
+    assert e.bbox.top == 792.0 - 720.0 - 10.0  # page_h - y - size
+    assert e.bbox.bottom == e.bbox.top + 10.0
+
+
+def test_determinism_same_bytes_same_output():
+    pdf = simple_doc([("h", ["a", "b"])], compress=True)
+    a = extract_pdf(pdf, "h1")
+    b = extract_pdf(pdf, "h1")
+    assert a == b

@@ -1,0 +1,57 @@
+"""Failure-taxonomy tests (reference semantics:
+docling_strategy_processor.py:527-544 soft markers; hard = poison pill,
+kafka_message_handler.py:126-161)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_document_extractor_spark.core.dispatch import extract_document
+from pdf_document_extractor_spark.core.taxonomy import (
+    CorruptedFileError,
+    classify_error,
+    is_soft_failure,
+)
+
+
+@pytest.mark.parametrize(
+    "msg",
+    ["Read timeout", "operation TIMED OUT", "Connection reset by peer"],
+)
+def test_soft_markers(msg):
+    assert is_soft_failure(RuntimeError(msg))
+    status, etype, _ = classify_error(RuntimeError(msg))
+    assert status == "soft_failure"
+    assert etype == "TransientError"
+
+
+def test_hard_default():
+    status, etype, msg = classify_error(ValueError("bad value"))
+    assert status == "hard_failure"
+    assert etype == "ValueError"
+    assert msg == "bad value"
+
+
+def test_typed_extraction_errors_keep_error_type():
+    status, etype, _ = classify_error(CorruptedFileError("broken"))
+    assert (status, etype) == ("hard_failure", "CorruptedFileError")
+
+
+def test_soft_failure_propagates_out_of_extract_document(monkeypatch):
+    """Soft failures must RAISE (Spark task retry path; reference: raise =>
+    no Kafka commit => redelivery), never become rows."""
+    from pdf_document_extractor_spark.core import dispatch
+
+    def boom(data, uh):
+        raise RuntimeError("connection refused by upstream")
+
+    monkeypatch.setitem(dispatch.EXTRACTORS, "html", boom)
+    with pytest.raises(RuntimeError, match="connection"):
+        extract_document("u", b"<html><body><p>x</p></body></html>")
+
+
+def test_hard_failure_becomes_row_not_exception():
+    r = extract_document("u", b"%PDF-1.4 broken")
+    assert r.status == "hard_failure"
+    assert r.error_type == "CorruptedFileError"
+    assert r.pages == []
