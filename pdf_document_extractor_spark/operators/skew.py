@@ -1,0 +1,100 @@
+"""Skew handling: url-hash bucketing with explicit salting for hot hosts.
+
+North-rule requirement; replaces the reference's serial semaphore
+concurrency (kafka_background_service.py:112, settings.py:56) with explicit
+data-parallel placement. The Scarlett paper (EUROSYS'11, PAPERS.md)
+motivates popularity-skew handling: a Common-Crawl host distribution is
+Zipfian, so hashing urls alone leaves the hot host's documents concentrated.
+
+Design (placement-only — provably output-invariant, tested in
+tests/test_pipeline.py::test_salting_output_invariance):
+
+  bucket = pmod(xxhash64(url), B)
+  salt   = pmod(xxhash64(url, 1), S)   for rows whose host is "hot",
+           0                            otherwise
+  repartition(P, bucket, salt)
+
+Hot hosts come from a cheap pre-pass ``groupBy(host).count()`` — at 100 TB
+this aggregates to ~#distinct-hosts rows (tiny) and the hot set is collected
+to the driver and broadcast into the literal filter. All placement columns
+are dropped before extraction output, so the result is independent of B, S,
+P, and the hot-host set.
+"""
+
+from __future__ import annotations
+
+from typing import TYPE_CHECKING
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://([^/?#]*)"
+
+
+def with_host(df: "DataFrame", url_col: str = "url") -> "DataFrame":
+    from pyspark.sql import functions as F  # noqa: N812
+
+    return df.withColumn("host", F.regexp_extract(F.col(url_col), HOST_PATTERN, 1))
+
+
+def hot_hosts(
+    pages_df: "DataFrame",
+    hot_fraction: float = 0.05,
+    url_col: str = "url",
+) -> list[str]:
+    """Hosts holding more than ``hot_fraction`` of all rows.
+
+    One cheap aggregation pass; the count(*) subtotal is computed in the
+    same job via a window-free grouping + a scalar total.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    counts = with_host(pages_df, url_col).groupBy("host").count()
+    total = pages_df.count()
+    if total == 0:
+        return []
+    rows = counts.filter(F.col("count") > total * hot_fraction).collect()
+    return sorted(r["host"] for r in rows)
+
+
+def salted_repartition(
+    pages_df: "DataFrame",
+    num_partitions: int,
+    hot: list[str],
+    buckets: int = 1024,
+    salt_buckets: int = 16,
+    url_col: str = "url",
+) -> "DataFrame":
+    """Repartition by (url-hash bucket, hot-host salt). Placement only —
+    never changes output content. Internal columns are dropped."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    df = with_host(pages_df, url_col)
+    bucket = F.pmod(F.xxhash64(F.col(url_col)), F.lit(buckets))
+    salt = F.when(
+        F.col("host").isin(hot) if hot else F.lit(False),
+        F.pmod(F.xxhash64(F.col(url_col), F.lit(1)), F.lit(salt_buckets)),
+    ).otherwise(F.lit(0))
+    out = (
+        df.withColumn("_bucket", bucket)
+        .withColumn("_salt", salt)
+        .repartition(num_partitions, "_bucket", "_salt")
+        .drop("_bucket", "_salt", "host")
+    )
+    return out
+
+
+def split_heavy(
+    pages_df: "DataFrame",
+    heavy_bytes: int,
+    html_col: str = "html",
+) -> tuple["DataFrame", "DataFrame"]:
+    """(light, heavy) split on payload size — the heavy pass runs with its
+    own (smaller) Arrow batch size and stage (reference analog: the
+    oversize guards at src/utils/image_validator.py:36-150 and the north
+    rule's separate heavy-doc pass). Both branches produce identical output
+    schema; union happens at the sink."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    cond = F.length(F.col(html_col)) > heavy_bytes
+    return pages_df.filter(~cond), pages_df.filter(cond)

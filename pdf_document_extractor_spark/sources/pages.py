@@ -42,11 +42,29 @@ _HTML_TEMPLATE = (
     "</body></html>"
 )
 
+_HTML_TABLE_TEMPLATE = (
+    "<html><body><article><p>{text}</p></article>"
+    "<table><tr><th>k</th><th>v</th></tr>"
+    "<tr><td>lang</td><td>{lang}</td></tr>"
+    "<tr><td>source</td><td>{source}</td></tr></table>"
+    "</body></html>"
+)
+
 _CORRUPT_PAYLOAD = b"%PDF-1.4\nthis is not a real pdf body"
+
+# Fixed overhead of the html template (payload bytes = this + len(str(doc_id))
+# + len(text) for ASCII text) — used by the heavy-split oracle SQL.
+HTML_TEMPLATE_FIXED_LEN = len(_HTML_TEMPLATE.format(doc_id="", text=""))
 
 
 def synth_html_payload(doc_id: int, text: str) -> bytes:
     return _HTML_TEMPLATE.format(doc_id=doc_id, text=text).encode("utf-8")
+
+
+def synth_html_table_payload(text: str, lang: str, source: str) -> bytes:
+    return _HTML_TABLE_TEMPLATE.format(
+        text=text, lang=lang, source=source
+    ).encode("utf-8")
 
 
 def synth_pdf_payload(text: str) -> bytes:
@@ -55,13 +73,17 @@ def synth_pdf_payload(text: str) -> bytes:
     return write_pdf([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
 
 
-def synth_payload(doc_id: int, text: str, mode: str) -> bytes:
-    """mode: 'html' | 'pdf' | 'mixed' (alternate by doc_id parity) |
-    'mixed_fail' (mixed + corrupt every 17th doc)."""
+def synth_payload(
+    doc_id: int, text: str, mode: str, lang: str = "", source: str = ""
+) -> bytes:
+    """mode: 'html' | 'pdf' | 'html_table' | 'mixed' (alternate by doc_id
+    parity) | 'mixed_fail' (mixed + corrupt every 17th doc)."""
     if mode == "mixed_fail" and doc_id % 17 == 0:
         return _CORRUPT_PAYLOAD
     if mode == "html":
         return synth_html_payload(doc_id, text)
+    if mode == "html_table":
+        return synth_html_table_payload(text, lang, source)
     if mode == "pdf":
         return synth_pdf_payload(text)
     if mode in ("mixed", "mixed_fail"):
@@ -87,7 +109,7 @@ def synthesize_pages_from_documents(
     from pyspark.sql import functions as F  # noqa: N812
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text", "lang"
+        "doc_id", "text", "lang", "source"
     )
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -95,6 +117,7 @@ def synthesize_pages_from_documents(
             ids = batch["doc_id"].to_numpy()
             texts = batch["text"].to_numpy()
             langs = batch["lang"].to_numpy()
+            sources = batch["source"].to_numpy()
             yield pd.DataFrame(
                 {
                     "url": [synth_url(int(i), mode) for i in ids],
@@ -103,8 +126,14 @@ def synthesize_pages_from_documents(
                     )
                     + pd.to_timedelta(ids.astype("int64"), unit="s"),
                     "html": [
-                        synth_payload(int(i), t if t is not None else "", mode)
-                        for i, t in zip(ids, texts)
+                        synth_payload(
+                            int(i),
+                            t if t is not None else "",
+                            mode,
+                            lang=str(lg),
+                            source=str(src),
+                        )
+                        for i, t, lg, src in zip(ids, texts, langs, sources)
                     ],
                     "text": ["" for _ in ids],
                     "lang": langs,
