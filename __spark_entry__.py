@@ -188,6 +188,116 @@ def q_extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-data pipeline queries (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+
+def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + exact copies (doc_id%4==0 -> id+100000) — dedup corpus."""
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    return docs.unionByName(copies)
+
+
+def _docs_with_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + near-copies (doc_id%5==0 -> id+100000, first 3 words
+    dropped) — near-dup corpus with Jaccard ~0.9 true pairs."""
+    docs = _docs(spark, sf_dir)
+    copies = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^(\S+ ){3}", "").alias("text"),
+    )
+    return docs.unionByName(copies)
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs_with_exact_copies(spark, sf_dir))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs_with_near_copies(spark, sf_dir), tau_pct=80)
+
+
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir), tau_pct=80)
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.dedup import simhash64
+
+    return simhash64(_docs(spark, sf_dir))
+
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_force_topk(emb, query_ids_below=10, k=5)
+
+
+def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.similarity import (
+        embedding_near_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    scaled = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 2).alias("embedding"),
+    )
+    return embedding_near_pairs(emb.unionByName(scaled), tau_times_1000=950)
+
+
+def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (recall<1 by design) — rows-only check, no oracle."""
+    from pdf_document_extractor_spark.operators.similarity import lsh_bucketed_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_bucketed_topk(emb, dim=dim, query_ids_below=10, k=5)
+
+
+def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.textstats import language_id
+
+    return language_id(_docs(spark, sf_dir))
+
+
+def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.textstats import quality_scores
+
+    return quality_scores(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pdf_document_extractor_spark.operators.textstats import fingerprints
+
+    return fingerprints(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; views pre-registered: documents, embeddings, ...)
 # ---------------------------------------------------------------------------
 
@@ -280,6 +390,168 @@ _ORACLES: dict[str, str] = {
 }
 
 
+# -- generated oracles for the training-data pipeline queries --------------
+
+_TOKS = "regexp_split_to_array(trim(text), '\\s+')"
+
+_NEAR_BASE = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id,
+           regexp_replace(text, '^(\\S+ ){3}', '') AS text
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+_JACCARD_ORACLE = f"""
+    WITH base AS ({_NEAR_BASE}),
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM base),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(inter AS BIGINT) AS inter,
+           CAST(sa.sz AS BIGINT) AS size_a, CAST(sb.sz AS BIGINT) AS size_b
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+"""
+
+_ORACLES["dedup_ngram_jaccard"] = _JACCARD_ORACLE
+_ORACLES["dedup_minhash_lsh"] = _JACCARD_ORACLE  # verified LSH == exact
+
+_ORACLES["dedup_exact"] = """
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT md5(text) AS text_md5,
+           CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS dup_count
+    FROM base GROUP BY md5(text)
+"""
+
+_SIMHASH_TERMS = " + ".join(
+    f"(CASE WHEN sum(((hv >> {j}) & 1) * 2 - 1) > 0 "
+    f"THEN (CAST(1 AS BIGINT) << {j}) ELSE 0 END)"
+    for j in range(60)
+)
+_ORACLES["dedup_simhash"] = f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS}) AS w FROM documents
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok
+    )
+    SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+    FROM h GROUP BY doc_id
+"""
+
+_DOT = (
+    "list_sum(list_transform(range(1, len({a}.embedding) + 1), "
+    "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
+)
+_ORACLES["sim_topk_cosine"] = f"""
+    WITH nq AS (
+      SELECT vec_id, embedding,
+             sqrt({_DOT.format(a='embeddings', b='embeddings')}) AS nrm
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             {_DOT.format(a='q', b='c')} / (q.nrm * c.nrm) AS cos
+      FROM nq q JOIN nq c ON q.vec_id < 10 AND c.vec_id >= 10
+    )
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cos DESC, neighbor_id ASC) AS BIGINT) AS rank,
+           CAST(neighbor_id AS BIGINT) AS neighbor_id
+    FROM scored
+    QUALIFY rank <= 5
+"""
+
+# Scaled copies have cosine exactly 1.0 with their source; all raw pairs in
+# this corpus are < 0.52, so the near-dup set is exactly the copy pairs.
+_ORACLES["sim_embedding_neardup"] = """
+    SELECT CAST(vec_id AS BIGINT) AS id_a,
+           CAST(vec_id + 100000 AS BIGINT) AS id_b
+    FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+_ORACLES["text_token_stats"] = f"""
+    SELECT doc_id,
+           CAST(len({_TOKS}) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                AS BIGINT) AS bpe_tokens,
+           CAST(length(replace(text, ' ', '')) AS BIGINT) AS char_count
+    FROM documents
+"""
+
+_LANG_MARKERS_SQL = {
+    "de": "['der','die','und','das','ist','nicht','ein']",
+    "en": "['the','and','of','to','a','in','is']",
+    "es": "['el','la','de','que','los','una','es']",
+    "fr": "['le','la','et','les','des','une','est']",
+    "zh": "['de','shi','le','zai','wo','you','he']",
+}
+_LANG_IDS_SQL = {"de": 5, "en": 4, "es": 3, "fr": 2, "zh": 1}
+_KEYS = ", ".join(
+    f"len(list_intersect(list_distinct(toks), {_LANG_MARKERS_SQL[lang]})) * 8 "
+    f"+ {_LANG_IDS_SQL[lang]} AS k_{lang}"
+    for lang in sorted(_LANG_MARKERS_SQL)
+)
+_ORACLES["text_language_id"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id, {_KEYS} FROM t),
+    g AS (SELECT doc_id, greatest(k_de, k_en, k_es, k_fr, k_zh) AS best FROM s)
+    SELECT doc_id,
+           CASE best % 8 WHEN 5 THEN 'de' WHEN 4 THEN 'en' WHEN 3 THEN 'es'
+                WHEN 2 THEN 'fr' ELSE 'zh' END AS pred_lang,
+           CAST(best // 8 AS BIGINT) AS best_score
+    FROM g
+"""
+
+_STOPS_SQL = "['the','and','of','to','a','in','is','it','for','on','with']"
+_ORACLES["text_quality_scores"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks,
+             length(replace(text, ' ', '')) AS chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS word_count,
+           CAST(chars AS BIGINT) AS char_count,
+           CAST((chars * 1000) // len(toks) AS BIGINT) AS mean_word_len_millis,
+           CAST((len(list_filter(toks, w -> list_contains({_STOPS_SQL}, w)))
+                 * 1000) // len(toks) AS BIGINT) AS stopword_ratio_millis,
+           CAST(CASE WHEN len(toks) >= 5 AND len(toks) <= 100000
+                     AND (chars * 1000) // len(toks) BETWEEN 1500 AND 12000
+                THEN 1 ELSE 0 END AS BIGINT) AS is_quality
+    FROM t
+"""
+
+_ORACLES["text_fingerprint"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(list_sum(list_transform(range(1, len(toks) + 1),
+                i -> ((('0x' || substr(md5(toks[i]), 1, 15))::BIGINT % 1000003)
+                      * i))) % 1000000007 AS BIGINT) AS fingerprint
+    FROM t
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full mixed-corpus extraction pipeline on sf0.001."""
     return q_extract_dispatch_mixed(spark, SF001)
@@ -297,6 +569,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_element_spans": q_extract_element_spans,
         "extract_salted_invariance": q_extract_salted_invariance,
         "extract_html_tables": q_extract_html_tables,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "sim_embedding_neardup": q_sim_embedding_neardup,
+        "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
+        "text_token_stats": q_text_token_stats,
+        "text_language_id": q_text_language_id,
+        "text_quality_scores": q_text_quality_scores,
+        "text_fingerprint": q_text_fingerprint,
     }
 
 

@@ -1,0 +1,258 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point of each variant):
+
+- exact_dedup: one hash-groupBy shuffle on md5(text) — the cheapest possible
+  full-corpus dedup; AQE coalesces post-shuffle partitions.
+- ngram_jaccard_pairs: exact all-pairs similarity via a shingle-inverted
+  index (explode -> self-join on shingle -> per-pair intersection counts).
+  Quadratic in the worst case — correct baseline, used as the verifier.
+- minhash_lsh_pairs: the scale path. K=32 minhash signatures, banded 16x2;
+  candidate pairs only where a band bucket collides, then EXACT Jaccard
+  verification of candidates. Output = verified pairs, so results equal the
+  brute-force oracle while touching ~O(n) + collisions instead of O(n^2)
+  (miss probability at s>=0.8 is (1-s^2)^16 <= 8.3e-8).
+- simhash64: 60-bit sign-sum fingerprint; near-dup candidates = small
+  Hamming distance (bucketable by 4x15-bit chunks at scale).
+
+All thresholds compare with integer arithmetic (100*inter >= tau*union) —
+float-free, byte-stable against the DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import random
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+from pyspark.sql import functions as F  # noqa: N812
+
+from ..functions.text import h64, tokens
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+# MinHash parameters (fixed seed — Spark-side only; the oracle checks the
+# VERIFIED output, which is exact Jaccard and parameter-free).
+MINHASH_K = 32
+LSH_BANDS = 16
+LSH_ROWS = 2
+_MH_PRIME = 2_147_483_647  # 2^31 - 1
+_mh_rng = random.Random(7)
+MH_A = [_mh_rng.randrange(1, _MH_PRIME) for _ in range(MINHASH_K)]
+MH_B = [_mh_rng.randrange(0, _MH_PRIME) for _ in range(MINHASH_K)]
+
+
+def exact_dedup(docs: "DataFrame", key_col: str = "text") -> "DataFrame":
+    """Keep min(doc_id) per identical text: (text_md5, keeper_id, dup_count)."""
+    return (
+        docs.groupBy(F.md5(F.col(key_col)).alias("text_md5"))
+        .agg(
+            F.min("doc_id").cast("long").alias("keeper_id"),
+            F.count("*").cast("long").alias("dup_count"),
+        )
+    )
+
+
+def shingles(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, shingle) distinct word n-grams. Guarded against short docs
+    (sequence() is descending for stop<start, so clamp first)."""
+    toks = tokens(F.col("text"))
+    df = docs.select("doc_id", toks.alias("toks")).withColumn(
+        "n_sh", F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0))
+    )
+    sh = F.transform(
+        F.sequence(F.lit(1), F.col("n_sh")),
+        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+    )
+    return (
+        df.filter(F.col("n_sh") > 0)
+        .select("doc_id", F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def _pair_jaccard(sh: "DataFrame", candidates: "DataFrame" = None) -> "DataFrame":
+    """Exact per-pair intersection/union counts from a (doc_id, shingle)
+    set; optionally restricted to candidate (id_a, id_b) pairs."""
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_size"))
+    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"])
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
+                   .withColumnRenamed("sh_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b")
+              .withColumnRenamed("sh_size", "size_b"), "id_b")
+    )
+    return out.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("inter").cast("long"),
+        F.col("size_a").cast("long"),
+        F.col("size_b").cast("long"),
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: "DataFrame", tau_pct: int = 80, n: int = 3
+) -> "DataFrame":
+    """Exact n-gram Jaccard near-dup pairs: jaccard >= tau_pct/100, compared
+    as 100*inter >= tau_pct*(size_a+size_b-inter) (integer exact)."""
+    sh = shingles(docs, n)
+    pairs = _pair_jaccard(sh)
+    return pairs.filter(
+        100 * F.col("inter")
+        >= tau_pct * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    )
+
+
+def minhash_signatures(sh: "DataFrame") -> "DataFrame":
+    """(doc_id, mh_0..mh_{K-1}): min over shingles of (a*h64+b) mod P.
+    One shuffle (groupBy doc_id); all K mins computed map-side first."""
+    # reduce the 60-bit hash mod P first so a*h stays < 2^62 (ANSI-safe)
+    hcol = h64(F.col("shingle")) % F.lit(_MH_PRIME)
+    aggs = [
+        F.min((F.lit(MH_A[j]) * hcol + F.lit(MH_B[j])) % F.lit(_MH_PRIME)).alias(
+            f"mh_{j}"
+        )
+        for j in range(MINHASH_K)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    docs: "DataFrame", tau_pct: int = 80, n: int = 3
+) -> "DataFrame":
+    """MinHash+LSH candidate generation + exact verification (see module
+    docstring). Output schema/semantics identical to ngram_jaccard_pairs."""
+    sh = shingles(docs, n)
+    sig = minhash_signatures(sh)
+    band_rows = []
+    for band in range(LSH_BANDS):
+        cols = [f"mh_{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
+        band_rows.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
+                    "key"
+                ),
+            )
+        )
+    bands = sig.select(
+        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    left = bands.select(F.col("doc_id").alias("id_a"), "band", "key")
+    right = bands.select(F.col("doc_id").alias("id_b"), "band", "key")
+    candidates = (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    verified = _pair_jaccard(sh, candidates)
+    return verified.filter(
+        100 * F.col("inter")
+        >= tau_pct * (F.col("size_a") + F.col("size_b") - F.col("inter"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 60  # h64 is a 60-bit hash (15 hex chars)
+
+
+def simhash64(docs: "DataFrame") -> "DataFrame":
+    """(doc_id, simhash): bit j set iff sum over tokens of (2*bit_j(h)-1) > 0.
+
+    Token hashing uses the cross-engine md5-prefix h64, computed in an
+    Arrow-batched mapInPandas (the 60-way bit unpack is cheaper in numpy
+    than as 60 Catalyst aggregates; still no per-row Python UDFs).
+    """
+    import hashlib
+
+    import numpy as np
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        for batch in batches:
+            out_ids = []
+            out_hashes = []
+            for doc_id, text in zip(
+                batch["doc_id"].to_numpy(), batch["text"].to_numpy()
+            ):
+                toks = str(text).split()
+                if not toks:
+                    out_ids.append(doc_id)
+                    out_hashes.append(0)
+                    continue
+                hs = np.fromiter(
+                    (
+                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                        for t in toks
+                    ),
+                    dtype=np.uint64,
+                    count=len(toks),
+                )
+                bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
+                votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)
+                sim = int(((votes > 0).astype(np.uint64) << shifts).sum())
+                out_ids.append(doc_id)
+                out_hashes.append(sim)
+            yield pd.DataFrame({"doc_id": out_ids, "simhash": out_hashes})
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batch_fn, schema="doc_id long, simhash long"
+    )
+
+
+def simhash_near_pairs(docs: "DataFrame", max_hamming: int = 3) -> "DataFrame":
+    """Near-dup pairs by simhash Hamming distance. Scale path: band the 60
+    bits into 4 x 15-bit chunks (pigeonhole: distance<=3 pairs share at
+    least one exact chunk), join per chunk, verify distance."""
+    sim = simhash64(docs)
+    chunks = []
+    for c in range(4):
+        chunks.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                ((F.col("simhash") >> (c * 15)) % (1 << 15)).alias("key"),
+            )
+        )
+    banded = sim.select(
+        "doc_id", "simhash", F.explode(F.array(*chunks)).alias("ck")
+    ).select(
+        "doc_id", "simhash",
+        F.col("ck.chunk").alias("chunk"), F.col("ck.key").alias("key"),
+    )
+    a = banded.select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sim_a"),
+        "chunk", "key",
+    )
+    b = banded.select(
+        F.col("doc_id").alias("id_b"), F.col("simhash").alias("sim_b"),
+        "chunk", "key",
+    )
+    cand = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sim_a", "sim_b")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.filter(ham <= max_hamming).select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        ham.cast("long").alias("hamming"),
+    )

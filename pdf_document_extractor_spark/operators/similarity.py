@@ -1,0 +1,217 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: the exact baseline — broadcast the (small) query set
+  against the corpus, JVM-side zip_with/aggregate dot products in DOUBLE,
+  window top-k. No Python in the loop; at 100 TB the corpus side streams
+  through a single scan with the query side broadcast.
+- lsh_bucketed_topk: the scale path — random-hyperplane signs bucket both
+  sides; only same-bucket pairs are scored (multi-probe via sign-flip
+  neighbors). Approximate: recall < 1 by design, so it has no equality
+  oracle (driver records the weaker rows-only check).
+- embedding_near_pairs: near-duplicate pairs (cosine >= tau) — brute
+  all-pairs here; the LSH bucketing above is the documented scale path.
+
+Cosine is computed in float64 with sequential fold order (F.aggregate), the
+same order DuckDB's list_sum uses — keeps the oracle byte-stable; outputs
+carry ids (ints), never floats.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import TYPE_CHECKING
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F  # noqa: N812
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def with_norm(df: "DataFrame", emb: str = "embedding") -> "DataFrame":
+    dot_self = F.aggregate(
+        F.zip_with(_as_double(F.col(emb)), _as_double(F.col(emb)), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return df.withColumn("_norm", F.sqrt(dot_self))
+
+
+def cosine_col(emb_a: str, emb_b: str, norm_a: str, norm_b: str):
+    dot = F.aggregate(
+        F.zip_with(
+            _as_double(F.col(emb_a)), _as_double(F.col(emb_b)), lambda a, b: a * b
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return dot / (F.col(norm_a) * F.col(norm_b))
+
+
+def brute_force_topk(
+    embeddings: "DataFrame",
+    query_ids_below: int = 10,
+    k: int = 5,
+) -> "DataFrame":
+    """Exact top-k cosine neighbors for queries (vec_id < query_ids_below)
+    against the rest of the corpus. Output: (query_id, rank, neighbor_id).
+
+    The query side is tiny by construction -> broadcast join, corpus side
+    is a single scan. Ties broken by neighbor_id (deterministic)."""
+    base = with_norm(embeddings)
+    queries = base.filter(F.col("vec_id") < query_ids_below).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+    )
+    corpus = base.filter(F.col("vec_id") >= query_ids_below).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
+        "cos", cosine_col("q_emb", "c_emb", "q_norm", "c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("rank").cast("long"),
+            F.col("neighbor_id").cast("long"),
+        )
+    )
+
+
+def embedding_near_pairs(
+    embeddings: "DataFrame", tau_times_1000: int = 950
+) -> "DataFrame":
+    """All (id_a < id_b) pairs with cosine >= tau. Output ids only."""
+    base = with_norm(embeddings)
+    a = base.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("_norm").alias("norm_a"),
+    )
+    b = base.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("_norm").alias("norm_b"),
+    )
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    cos = cosine_col("emb_a", "emb_b", "norm_a", "norm_b")
+    return pairs.filter(cos >= F.lit(tau_times_1000) / 1000.0).select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path; approximate by design)
+# --------------------------------------------------------------------------
+
+# Default 6 planes (64 buckets) + 1-bit multiprobe: each query scans ~11% of
+# the corpus. Recall depends on how strong the true neighbors are: on
+# clustered data (real embeddings) recall is high; on near-orthogonal random
+# vectors (this sandbox's synthetic embeddings, top-1 cosine ~0.5) measured
+# recall is ~0.3 — the documented accuracy/cost dial is n_planes (fewer =
+# higher recall, bigger buckets) and multiprobe radius.
+N_PLANES = 6
+
+
+def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
+    """Deterministic pseudo-random +-1 hyperplanes from md5 bits (seedless
+    wall-clock-free construction per the determinism policy)."""
+    planes = []
+    for p in range(n_planes):
+        row: list[float] = []
+        need = dim
+        counter = 0
+        while need > 0:
+            digest = hashlib.md5(f"plane:{p}:{counter}".encode()).digest()
+            for byte in digest:
+                for bit in range(8):
+                    if need == 0:
+                        break
+                    row.append(1.0 if (byte >> bit) & 1 else -1.0)
+                    need -= 1
+            counter += 1
+        planes.append(row)
+    return planes
+
+
+def _sign_bucket(emb_col, planes: list[list[float]]):
+    bucket = F.lit(0)
+    for j, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                _as_double(emb_col),
+                F.array(*[F.lit(v) for v in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket
+
+
+def lsh_bucketed_topk(
+    embeddings: "DataFrame",
+    dim: int,
+    query_ids_below: int = 10,
+    k: int = 5,
+    multiprobe_flips: int = 1,
+) -> "DataFrame":
+    """Approximate top-k: score only corpus vectors whose sign-bucket matches
+    the query's bucket or any 1-bit flip of it (multi-probe). At 100 TB the
+    bucket column is a cheap partition/cluster key; the join is bucket-local
+    instead of all-pairs."""
+    planes = _hyperplanes(dim)
+    base = with_norm(embeddings).withColumn(
+        "bucket", _sign_bucket(F.col("embedding"), planes)
+    )
+    queries = base.filter(F.col("vec_id") < query_ids_below)
+    probe_buckets = F.array(
+        F.col("bucket"),
+        *[
+            F.col("bucket").bitwiseXOR(F.lit(1 << j))
+            for j in range(N_PLANES)
+            if multiprobe_flips >= 1
+        ],
+    )
+    queries = queries.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("_norm").alias("q_norm"),
+        F.explode(probe_buckets).alias("bucket"),
+    )
+    corpus = base.filter(F.col("vec_id") >= query_ids_below).select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("c_emb"),
+        F.col("_norm").alias("c_norm"),
+        "bucket",
+    )
+    scored = corpus.join(F.broadcast(queries), "bucket").withColumn(
+        "cos", cosine_col("q_emb", "c_emb", "q_norm", "c_norm")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cos")
+        .distinct()
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("rank").cast("long"),
+            F.col("neighbor_id").cast("long"),
+        )
+    )
