@@ -297,6 +297,50 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: typed metadata decode of binary media columns.
+
+    Media synthesized deterministically from doc_id (fake containers,
+    operators/multimodal.py) -> metadata is exact doc_id arithmetic."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from pdf_document_extractor_spark.operators.multimodal import (
+        encode_fake_audio,
+        encode_fake_image,
+        media_metadata,
+    )
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for i in batch["doc_id"].to_numpy():
+                i = int(i)
+                if i % 3 == 0:
+                    blob = encode_fake_image(100 + i % 64, 50 + i % 32,
+                                             1 + i % 3)
+                elif i % 3 == 1:
+                    blob = encode_fake_audio(8000 + i, 1000 + i)
+                else:
+                    blob = b"JUNK" + bytes([i % 251])
+                rows.append({"doc_id": i, "media": blob})
+            yield pd.DataFrame(rows)
+
+    docs = _docs(spark, sf_dir)
+    media = docs.mapInPandas(synth, schema="doc_id long, media binary")
+    meta = media_metadata(media)
+    return meta.select(
+        "doc_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("payload_bytes").cast("long").alias("payload_bytes"),
+        F.col("valid").cast("long").alias("valid"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL (DuckDB; views pre-registered: documents, embeddings, ...)
 # ---------------------------------------------------------------------------
@@ -552,6 +596,23 @@ _ORACLES["text_fingerprint"] = f"""
 """
 
 
+_ORACLES["mm_media_metadata"] = """
+    SELECT doc_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                ELSE 'unknown' END AS kind,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 100 + doc_id % 64
+                WHEN 1 THEN 8000 + doc_id ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 50 + doc_id % 32
+                WHEN 1 THEN 1000 + doc_id ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 1 + doc_id % 3
+                WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS channels,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 16 WHEN 1 THEN 8
+                ELSE 5 END AS BIGINT) AS payload_bytes,
+           CAST(CASE WHEN doc_id % 3 = 2 THEN 0 ELSE 1 END AS BIGINT) AS valid
+    FROM documents
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: full mixed-corpus extraction pipeline on sf0.001."""
     return q_extract_dispatch_mixed(spark, SF001)
@@ -580,6 +641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality_scores": q_text_quality_scores,
         "text_fingerprint": q_text_fingerprint,
+        "mm_media_metadata": q_mm_media_metadata,
     }
 
 

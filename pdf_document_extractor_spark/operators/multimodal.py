@@ -1,0 +1,138 @@
+"""Multimodal column plumbing: opaque binary media + typed metadata.
+
+Images/audio/video ride as ``binary`` columns with a typed header; all
+Spark-side plumbing (schema, Arrow batch shape, partitioning, UDF
+signatures) is real and tested. The actual codec work (JPEG decode, resample,
+frame extraction) is STUBBED behind import-tries because this container has
+no image/audio libraries — each stub raises ``NotImplementedError`` with the
+production dependency named, per the round-1 contract.
+
+Fake deterministic container (so tests/oracles can verify the plumbing):
+
+  FIMG1 | width:u16be | height:u16be | channels:u8 | payload bytes
+  FAUD1 | sample_rate:u32be | n_samples:u32be | payload bytes
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import pandas as pd
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame
+
+IMG_MAGIC = b"FIMG1"
+AUD_MAGIC = b"FAUD1"
+
+IMG_META_SCHEMA = (
+    "doc_id long, kind string, width long, height long, channels long, "
+    "payload_bytes long, valid boolean"
+)
+
+
+def encode_fake_image(width: int, height: int, channels: int = 3) -> bytes:
+    payload = bytes((width * height) % 251 for _ in range(16))
+    return IMG_MAGIC + struct.pack(">HHB", width, height, channels) + payload
+
+
+def encode_fake_audio(sample_rate: int, n_samples: int) -> bytes:
+    return AUD_MAGIC + struct.pack(">II", sample_rate, n_samples) + b"\x00" * 8
+
+
+def decode_media_meta(doc_id: int, blob: bytes) -> dict:
+    """Pure metadata decode of the fake container (the UDF body)."""
+    if blob[:5] == IMG_MAGIC and len(blob) >= 10:
+        w, h, c = struct.unpack(">HHB", blob[5:10])
+        return {
+            "doc_id": doc_id,
+            "kind": "image",
+            "width": w,
+            "height": h,
+            "channels": c,
+            "payload_bytes": len(blob) - 10,
+            "valid": True,
+        }
+    if blob[:5] == AUD_MAGIC and len(blob) >= 13:
+        sr, ns = struct.unpack(">II", blob[5:13])
+        return {
+            "doc_id": doc_id,
+            "kind": "audio",
+            "width": sr,  # sample_rate rides in width for a uniform schema
+            "height": ns,
+            "channels": 1,
+            "payload_bytes": len(blob) - 13,
+            "valid": True,
+        }
+    return {
+        "doc_id": doc_id,
+        "kind": "unknown",
+        "width": 0,
+        "height": 0,
+        "channels": 0,
+        "payload_bytes": len(blob),
+        "valid": False,
+    }
+
+
+def media_metadata(df: "DataFrame", id_col: str = "doc_id",
+                   blob_col: str = "media") -> "DataFrame":
+    """Arrow-batched metadata extraction over a binary media column."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = [
+                decode_media_meta(int(i), b or b"")
+                for i, b in zip(
+                    batch[id_col].to_numpy(), batch[blob_col].to_numpy()
+                )
+            ]
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, blob_col).mapInPandas(
+        batch_fn, schema=IMG_META_SCHEMA
+    )
+
+
+def decode_image_pixels(blob: bytes):
+    """Real image decode — production path requires Pillow; stubbed here."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real image decode requires Pillow (not in this container); "
+            "the fake-container metadata path above exercises the full "
+            "Spark plumbing"
+        ) from exc
+    raise NotImplementedError("wire PIL.Image.open here in production")
+
+
+def resize_images(df: "DataFrame", target: tuple[int, int]) -> "DataFrame":
+    """Resize plumbing: schema/batching real, codec stubbed.
+
+    Emits (doc_id, resized binary) where the stub 're-encodes' the fake
+    container with the target dims (deterministic), proving the binary
+    round-trip through Arrow; a production build swaps the body for a
+    Pillow/libvips call with identical signature."""
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        w, h = target
+        for batch in batches:
+            out = []
+            for i, b in zip(batch["doc_id"].to_numpy(),
+                            batch["media"].to_numpy()):
+                meta = decode_media_meta(int(i), b or b"")
+                if meta["kind"] == "image":
+                    out.append(
+                        {"doc_id": int(i), "resized": encode_fake_image(
+                            w, h, meta["channels"])}
+                    )
+                else:
+                    out.append({"doc_id": int(i), "resized": None})
+            yield pd.DataFrame(out)
+
+    return df.select("doc_id", "media").mapInPandas(
+        batch_fn, schema="doc_id long, resized binary"
+    )

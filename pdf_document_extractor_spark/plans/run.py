@@ -1,0 +1,165 @@
+"""The end-to-end extraction job (spark-submit entry point).
+
+Pipeline (SURVEY.md §3.1's Spark translation, north rule wiring):
+
+  read pages ->
+  RESUME anti-join against committed extracted urls (P1/A5) ->
+  hot-host pre-pass + salted url-hash-bucket repartition (P3/Scarlett) ->
+  light/heavy split on payload bytes (D6) ->
+  one fused mapInPandas extraction per branch (M1-M13, D1-D3, P2) ->
+  union -> atomic snapshot commit of `extracted` ->
+  per-partition lineage rows + run rollup committed to `lineage` (A1/S7/P4)
+
+Scale notes:
+- The ONLY shuffle on the 100 TB path is the explicit salted repartition;
+  everything else is scan -> narrow ops -> write.
+- The heavy branch gets many small partitions (repartition by url) so a task
+  never holds more than a few multi-MB payloads in one Arrow batch.
+- Lineage is aggregated from the committed snapshot's metadata columns
+  (partition_id/byte_count), not from a second pass over the bytes.
+- Soft failures raise inside the UDF => Spark task retry
+  (spark.task.maxFailures); a job that dies leaves NO manifest entry, so the
+  rerun resumes exactly (snapshot-commit discipline, sources/catalog.py).
+
+CLI:
+  spark-submit --py-files pdf_document_extractor_spark.zip \
+      -m pdf_document_extractor_spark.plans.run \
+      --pages /path/pages.parquet --warehouse /path/wh --run-id r1
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from dataclasses import dataclass
+from typing import TYPE_CHECKING
+
+from ..operators.extract import extract_pages
+from ..operators.lineage import lineage_rows, run_rollup
+from ..operators.skew import hot_hosts, salted_repartition, split_heavy
+from ..sources.catalog import SnapshotTable
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+HEAVY_BYTES_DEFAULT = 1 << 20  # 1 MiB
+
+
+@dataclass
+class RunResult:
+    run_id: str
+    docs_in: int
+    docs_done: int
+    wall_s: float
+    committed: bool
+    snapshot_id: int
+
+
+def run_extraction_job(
+    spark: "SparkSession",
+    pages: "DataFrame",
+    warehouse: str,
+    run_id: str,
+    num_partitions: int | None = None,
+    heavy_bytes: int = HEAVY_BYTES_DEFAULT,
+    hot_fraction: float = 0.05,
+    salt_buckets: int = 16,
+) -> RunResult:
+    t0 = time.time()
+    extracted_tbl = SnapshotTable(warehouse, "extracted")
+    lineage_tbl = SnapshotTable(warehouse, "lineage")
+
+    if run_id in extracted_tbl.committed_run_ids():
+        # rerun of an already-committed run: exactly-once visible effect
+        return RunResult(run_id, 0, 0, time.time() - t0, False,
+                         extracted_tbl.current_snapshot_id())
+
+    if num_partitions is None:
+        num_partitions = spark.sparkContext.defaultParallelism * 2
+
+    # -- resume: only un-extracted urls ------------------------------------
+    prior = extracted_tbl.read(spark)
+    todo = pages
+    if prior is not None:
+        done_urls = prior.select("url").distinct()
+        todo = pages.join(done_urls, "url", "left_anti")
+
+    docs_in = todo.count()
+    if docs_in == 0:
+        return RunResult(run_id, 0, 0, time.time() - t0, False,
+                         extracted_tbl.current_snapshot_id())
+
+    # -- placement: skew-salted buckets, then heavy split -------------------
+    hot = hot_hosts(todo, hot_fraction=hot_fraction)
+    placed = salted_repartition(
+        todo, num_partitions, hot=hot, salt_buckets=salt_buckets
+    )
+    light, heavy = split_heavy(placed, heavy_bytes)
+
+    ext_light = extract_pages(light)
+    # heavy pass: spread big payloads thin (more, smaller partitions)
+    ext_heavy = extract_pages(heavy.repartition(num_partitions, "url"))
+    extracted = ext_light.unionByName(ext_heavy)
+
+    snap = extracted_tbl.commit(extracted, run_id)
+
+    # -- lineage from THIS run's committed snapshot (no recompute) ----------
+    this_run = extracted_tbl.read_snapshot(spark, snap.snapshot_id)
+    lin = lineage_rows(this_run, run_id)
+    rollup = run_rollup(this_run).withColumnRenamed("total_docs", "doc_count")
+    from pyspark.sql import functions as F  # noqa: N812
+
+    lineage_out = lin.unionByName(
+        rollup.select(
+            F.lit(-1).alias("partition_id"),
+            F.col("doc_count"),
+            F.col("total_pages").alias("page_count"),
+            F.col("total_bytes").alias("byte_count"),
+            F.col("success_docs").alias("success_count"),
+            F.col("hard_fail_docs").alias("hard_fail_count"),
+            F.lit("[]").alias("failure_manifest"),
+            F.lit(run_id).alias("run_id"),
+            F.current_timestamp().alias("committed_at"),
+        ),
+        allowMissingColumns=False,
+    )
+    lineage_tbl.commit(lineage_out, run_id)
+
+    docs_done = docs_in
+    return RunResult(
+        run_id, docs_in, docs_done, time.time() - t0, True, snap.snapshot_id
+    )
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages", required=True, help="pages parquet path")
+    ap.add_argument("--warehouse", required=True)
+    ap.add_argument("--run-id", required=True)
+    ap.add_argument("--heavy-bytes", type=int, default=HEAVY_BYTES_DEFAULT)
+    ap.add_argument("--num-partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName(
+        f"extract-{args.run_id}"
+    ).getOrCreate()
+    pages = spark.read.parquet(args.pages)
+    res = run_extraction_job(
+        spark,
+        pages,
+        args.warehouse,
+        args.run_id,
+        num_partitions=args.num_partitions,
+        heavy_bytes=args.heavy_bytes,
+    )
+    print(
+        f"run_id={res.run_id} docs_in={res.docs_in} committed={res.committed} "
+        f"snapshot={res.snapshot_id} wall_s={res.wall_s:.1f}"
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

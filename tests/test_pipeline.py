@@ -1,0 +1,138 @@
+"""Pipeline tests on local Spark (SURVEY.md §5.2 items 3-4): resume
+idempotency, crash-resume, salting output-invariance, heavy-doc routing,
+lineage reconciliation."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from pdf_document_extractor_spark.fixtures.gen import (
+    HEAVY_BYTES_TEST,
+    gen_scale_corpus,
+    gen_unit_corpus,
+)
+from pdf_document_extractor_spark.plans.run import run_extraction_job
+from pdf_document_extractor_spark.sources.catalog import SnapshotTable
+from pdf_document_extractor_spark.sources.pages import pages_df_from_fixtures
+
+
+@pytest.fixture()
+def corpus_df(spark):
+    return pages_df_from_fixtures(spark, gen_scale_corpus(300))
+
+
+def _contents(df):
+    return {
+        (r.url, r.page_number): (r.content, r.status) for r in df.collect()
+    }
+
+
+def test_job_end_to_end_and_lineage_reconciles(spark, tmp_path, corpus_df):
+    wh = str(tmp_path / "wh")
+    res = run_extraction_job(spark, corpus_df, wh, "r1", num_partitions=8)
+    assert res.committed and res.docs_in == 300
+
+    extracted = SnapshotTable(wh, "extracted").read(spark)
+    lineage = SnapshotTable(wh, "lineage").read(spark)
+    per_doc = extracted.select("url", "status").groupBy("url").count()
+    assert per_doc.count() == 300  # every input doc has >=1 output row
+
+    lin = {r.partition_id: r for r in lineage.collect()}
+    rollup = lin.pop(-1)
+    # per-partition counts reconcile with the rollup row
+    assert sum(r.doc_count for r in lin.values()) == rollup.doc_count == 300
+    assert sum(r.success_count for r in lin.values()) == rollup.success_count
+    assert sum(r.hard_fail_count for r in lin.values()) == rollup.hard_fail_count
+    # manifest urls == hard-failure urls
+    manifest_urls = {
+        e["url"]
+        for r in lin.values()
+        for e in json.loads(r.failure_manifest or "[]")
+    }
+    hard_urls = {
+        r.url for r in extracted.filter("status='hard_failure'").collect()
+    }
+    assert manifest_urls == hard_urls
+    assert rollup.hard_fail_count == len(hard_urls)
+
+
+def test_resume_is_idempotent(spark, tmp_path, corpus_df):
+    wh = str(tmp_path / "wh")
+    res1 = run_extraction_job(spark, corpus_df, wh, "r1", num_partitions=8)
+    assert res1.committed
+    # same run_id again: no-op
+    res2 = run_extraction_job(spark, corpus_df, wh, "r1", num_partitions=8)
+    assert not res2.committed
+    # new run_id over same input: anti-join leaves nothing to do
+    res3 = run_extraction_job(spark, corpus_df, wh, "r2", num_partitions=8)
+    assert res3.docs_in == 0 and not res3.committed
+    extracted = SnapshotTable(wh, "extracted").read(spark)
+    assert extracted.groupBy("url").count().count() == 300  # no duplicates
+
+
+def test_partial_run_resumes_exactly(spark, tmp_path, corpus_df):
+    """Crash simulation: first run saw only half the input (as if the job
+    died after committing a partial snapshot); the rerun must process
+    exactly the remainder, and the union must equal a clean one-shot run."""
+    wh = str(tmp_path / "wh")
+    from pyspark.sql import functions as F  # noqa: N812
+
+    half = corpus_df.filter(F.crc32(F.col("url")) % 2 == 0)
+    run_extraction_job(spark, half, wh, "r1", num_partitions=8)
+    res2 = run_extraction_job(spark, corpus_df, wh, "r2", num_partitions=8)
+    assert 0 < res2.docs_in < 300
+
+    resumed = _contents(SnapshotTable(wh, "extracted").read(spark))
+
+    wh2 = str(tmp_path / "wh2")
+    run_extraction_job(spark, corpus_df, wh2, "r1", num_partitions=8)
+    oneshot = _contents(SnapshotTable(wh2, "extracted").read(spark))
+    assert resumed == oneshot  # byte-identical content, same statuses
+
+
+def test_salting_and_heavy_split_are_output_invariant(spark, tmp_path):
+    """Plan A (salted, heavy threshold 64 KiB) vs plan B (no salt, no heavy
+    split) produce byte-identical extracted content."""
+    docs = gen_unit_corpus()
+    pages = pages_df_from_fixtures(spark, docs)
+
+    wh_a = str(tmp_path / "a")
+    run_extraction_job(
+        spark, pages, wh_a, "r1",
+        num_partitions=16, heavy_bytes=HEAVY_BYTES_TEST, salt_buckets=8,
+    )
+    wh_b = str(tmp_path / "b")
+    run_extraction_job(
+        spark, pages, wh_b, "r1",
+        num_partitions=2, heavy_bytes=1 << 40, hot_fraction=1.1,
+    )
+    a = _contents(SnapshotTable(wh_a, "extracted").read(spark))
+    b = _contents(SnapshotTable(wh_b, "extracted").read(spark))
+    assert a == b
+
+
+def test_heavy_docs_actually_route(spark, tmp_path):
+    docs = gen_unit_corpus()
+    pages = pages_df_from_fixtures(spark, docs)
+    from pdf_document_extractor_spark.operators.skew import split_heavy
+
+    light, heavy = split_heavy(pages, HEAVY_BYTES_TEST)
+    n_heavy = heavy.count()
+    assert n_heavy >= 2  # the oversize fixture class
+    assert light.count() + n_heavy == 36
+
+
+def test_time_travel_reads_past_snapshot(spark, tmp_path, corpus_df):
+    from pyspark.sql import functions as F  # noqa: N812
+
+    wh = str(tmp_path / "wh")
+    half = corpus_df.filter(F.crc32(F.col("url")) % 2 == 0)
+    run_extraction_job(spark, half, wh, "r1", num_partitions=4)
+    tbl = SnapshotTable(wh, "extracted")
+    v1 = tbl.current_snapshot_id()
+    n1 = tbl.read(spark).count()
+    run_extraction_job(spark, corpus_df, wh, "r2", num_partitions=4)
+    assert tbl.read(spark, as_of=v1).count() == n1
+    assert tbl.read(spark).count() > n1
