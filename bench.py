@@ -1,0 +1,146 @@
+#!/usr/bin/env python
+"""Per-round benchmark (driver contract).
+
+Runs the headline queries from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line::
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+plus a throughput headline: the full extraction job plan (synthesize pages
+-> salted repartition -> heavy split -> fused mapInPandas extract) over a
+replicated corpus (documents x BENCH_REPLICAS), reported as docs/sec.
+
+Flags (for tools/bench_scaling.py):
+  --throughput-only   run only the throughput job, skip per-query timings
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPLICAS = int(os.environ.get("BENCH_REPLICAS", "20"))
+
+
+def build_spark(cpus: int):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "16g")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        .getOrCreate()
+    )
+
+
+def _noop_write(df) -> int:
+    """Execute the full plan, discard output; returns row count via a
+    count on the same plan only when cheap (we use noop sink for timing)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def replicated_docs(spark, sf_dir: str, replicas: int):
+    """documents x replicas with globally unique doc_id — the throughput
+    corpus. Replication is a narrow explode (no shuffle)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return (
+        docs.withColumn(
+            "rep", F.explode(F.sequence(F.lit(0), F.lit(replicas - 1)))
+        )
+        .withColumn(
+            "doc_id", F.col("doc_id") * replicas + F.col("rep")
+        )
+        .drop("rep")
+    )
+
+
+def throughput_job(spark, sf_dir: str, cpus: int, replicas: int) -> dict:
+    """The north-rule job shape: synthesize -> salt -> split -> extract."""
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.operators.skew import (
+        hot_hosts,
+        salted_repartition,
+        split_heavy,
+    )
+    from pdf_document_extractor_spark.sources.pages import synthesize_pages
+
+    docs = replicated_docs(spark, sf_dir, replicas)
+    n_docs = docs.count()
+    pages = synthesize_pages(docs, mode="mixed")
+    # materialize the synthesized corpus once so the timed section measures
+    # extraction, not synthesis
+    pages = pages.persist()
+    pages.count()
+
+    t0 = time.perf_counter()
+    hot = hot_hosts(pages, hot_fraction=0.5)  # synthetic: single host is hot
+    placed = salted_repartition(pages, cpus * 2, hot=hot, salt_buckets=cpus)
+    light, heavy = split_heavy(placed, 1 << 20)
+    out = extract_pages(light).unionByName(extract_pages(heavy))
+    _noop_write(out)
+    wall = time.perf_counter() - t0
+    pages.unpersist()
+    return {
+        "docs": n_docs,
+        "wall_s": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 1),
+        "docs_per_sec_per_core": round(n_docs / wall / cpus, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    throughput_only = "--throughput-only" in sys.argv
+
+    sf_label = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = sf_label
+
+    spark = build_spark(cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry
+
+    qtimes: dict[str, float] = {}
+    if not throughput_only:
+        for name, fn in entry.queries().items():
+            t0 = time.perf_counter()
+            _noop_write(fn(spark, sf_dir))
+            qtimes[name] = round(time.perf_counter() - t0, 3)
+
+    thr = throughput_job(spark, sf_dir, cpus, REPLICAS)
+    qtimes["extract_throughput_job"] = thr["wall_s"]
+
+    out = {
+        "metric": "extract_job_wall_sec",
+        "value": thr["wall_s"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf,
+        "cpus": cpus,
+        "throughput_docs": thr["docs"],
+        "extract_docs_per_sec": thr["docs_per_sec"],
+        "extract_docs_per_sec_per_core": thr["docs_per_sec_per_core"],
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -100,17 +100,21 @@ def synth_url(doc_id: int, mode: str) -> str:
 def synthesize_pages_from_documents(
     spark: "SparkSession", sf_dir: str, mode: str = "mixed"
 ) -> "DataFrame":
-    """documents.parquet -> pages(url, warc_ts, html, text, lang).
-
-    Payload construction runs in one Arrow-batched mapInPandas stage
-    (no per-row Python UDFs — input_hint mandate); the scan is pruned to
-    (doc_id, text, lang).
-    """
-    from pyspark.sql import functions as F  # noqa: N812
-
+    """documents.parquet -> pages(url, warc_ts, html, text, lang)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text", "lang", "source"
     )
+    return synthesize_pages(docs, mode)
+
+
+def synthesize_pages(docs: "DataFrame", mode: str = "mixed") -> "DataFrame":
+    """documents(doc_id, text, lang, source) DF -> pages table.
+
+    Payload construction runs in one Arrow-batched mapInPandas stage
+    (no per-row Python UDFs — input_hint mandate); the scan is pruned to
+    (doc_id, text, lang, source).
+    """
+    from pyspark.sql import functions as F  # noqa: N812
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:
