@@ -66,6 +66,30 @@ def replicated_docs(spark, sf_dir: str, replicas: int):
     )
 
 
+def warm_python_workers(spark, cpus: int) -> None:
+    """Force one Python worker per core to spawn and import the extraction
+    stack BEFORE the timed section. On a real cluster executors are
+    long-lived and the north-rule metric (docs/sec per executor) is
+    steady-state; locally, 32 concurrent cold pandas imports would otherwise
+    dominate a short run and corrupt the scaling measurement."""
+    import pandas as pd  # noqa: F401
+
+    def touch(batches):
+        from pdf_document_extractor_spark.core import dispatch  # noqa: F401
+
+        for b in batches:
+            yield b
+
+    (
+        spark.range(cpus * 4)
+        .repartition(cpus * 4)
+        .mapInPandas(touch, schema="id long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+
+
 def throughput_job(spark, sf_dir: str, cpus: int, replicas: int) -> dict:
     """The north-rule job shape: synthesize -> salt -> split -> extract."""
     from pdf_document_extractor_spark.operators.extract import extract_pages
@@ -83,6 +107,7 @@ def throughput_job(spark, sf_dir: str, cpus: int, replicas: int) -> dict:
     # extraction, not synthesis
     pages = pages.persist()
     pages.count()
+    warm_python_workers(spark, cpus)
 
     t0 = time.perf_counter()
     hot = hot_hosts(pages, hot_fraction=0.5)  # synthetic: single host is hot
