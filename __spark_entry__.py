@@ -187,6 +187,47 @@ def q_extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_multipage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-page PDF assembly (M5/M6/A3): 2 Flate pages split at token 5;
+    per-page 'Page {n}' template + per-page word counts."""
+    return _extracted(spark, sf_dir, "pdf2").select(
+        "doc_id",
+        F.col("page_number").cast("long").alias("page_number"),
+        F.col("page_count").cast("long").alias("page_count"),
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+def q_extract_pdf_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Font-size header/body labeling (M7/M9 heuristics): 18pt header line
+    (>= HEADER_SIZE_MIN) above a 10pt body line, with exact char spans."""
+    ext = _extracted(spark, sf_dir, "pdf_hdr")
+    el = ext.select("doc_id", F.explode("elements").alias("e"))
+    return el.select(
+        "doc_id",
+        F.col("e.text").alias("text"),
+        F.col("e.label").alias("label"),
+        F.col("e.char_start").cast("long").alias("char_start"),
+        F.col("e.char_end").cast("long").alias("char_end"),
+    )
+
+
+def q_extract_pdf_grid_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF grid-table detection (M9/M10): x-aligned 3x2 grid -> headers =
+    first row sorted by column offset (reference rule verbatim) + CSV."""
+    ext = _extracted(spark, sf_dir, "pdf_table")
+    t = ext.select("doc_id", F.explode("tables").alias("t"))
+    return t.select(
+        "doc_id",
+        F.col("t.num_rows").cast("long").alias("num_rows"),
+        F.col("t.num_cols").cast("long").alias("num_cols"),
+        F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
+        F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.csv").alias("csv"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -421,6 +462,53 @@ _ORACLES: dict[str, str] = {
                     ELSE text END AS content
         FROM documents
     """,
+    "extract_pdf_multipage": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id, CAST(1 AS BIGINT) AS page_number,
+               CAST(2 AS BIGINT) AS page_count,
+               'Page 1' || chr(10) || chr(10) ||
+                   array_to_string(toks[1:5], ' ') || chr(10) AS content,
+               CAST(7 AS BIGINT) AS word_count
+        FROM t
+        UNION ALL
+        SELECT doc_id, CAST(2 AS BIGINT), CAST(2 AS BIGINT),
+               'Page 2' || chr(10) || chr(10) ||
+                   array_to_string(toks[6:], ' ') || chr(10),
+               CAST(len(toks) - 5 + 2 AS BIGINT)
+        FROM t
+    """,
+    "extract_pdf_headers": """
+        WITH t AS (
+          SELECT doc_id,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3],
+                                 ' ') AS h,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:],
+                                 ' ') AS b
+          FROM documents
+        )
+        SELECT doc_id, h AS text, 'header' AS label,
+               CAST(8 AS BIGINT) AS char_start,
+               CAST(8 + length(h) AS BIGINT) AS char_end
+        FROM t
+        UNION ALL
+        SELECT doc_id, b, 'body',
+               CAST(8 + length(h) + 1 AS BIGINT),
+               CAST(8 + length(h) + 1 + length(b) AS BIGINT)
+        FROM t
+    """,
+    "extract_pdf_grid_tables": """
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS num_rows,
+               CAST(2 AS BIGINT) AS num_cols,
+               'k|v' AS headers_joined,
+               CAST(6 AS BIGINT) AS cell_count,
+               'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
+               'source,' || source || chr(10) AS csv
+        FROM documents
+    """,
     "extract_html_tables": """
         SELECT doc_id,
                CAST(3 AS BIGINT) AS num_rows,
@@ -630,6 +718,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_element_spans": q_extract_element_spans,
         "extract_salted_invariance": q_extract_salted_invariance,
         "extract_html_tables": q_extract_html_tables,
+        "extract_pdf_multipage": q_extract_pdf_multipage,
+        "extract_pdf_headers": q_extract_pdf_headers,
+        "extract_pdf_grid_tables": q_extract_pdf_grid_tables,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -23,7 +23,7 @@ from typing import TYPE_CHECKING
 
 import pandas as pd
 
-from ..core.pdf_write import PdfPageSpec, TextShow, write_pdf
+from ..core.pdf_write import PdfPageSpec, TextShow, table_grid, write_pdf
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
@@ -73,11 +73,51 @@ def synth_pdf_payload(text: str) -> bytes:
     return write_pdf([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
 
 
+def synth_pdf2_payload(text: str) -> bytes:
+    """Two pages split at token 5 (documents all have >= 10 tokens), both
+    FlateDecode-compressed -> per-page content is 'Page {n}\\n\\n' + part +
+    '\\n'. Exercises multi-page assembly + Flate in the oracle gate."""
+    toks = text.split()
+    p1, p2 = " ".join(toks[:5]), " ".join(toks[5:])
+    return write_pdf(
+        [
+            PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, p1)]),
+            PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, p2)]),
+        ],
+        compress=True,
+    )
+
+
+def synth_pdf_hdr_payload(text: str) -> bytes:
+    """18pt header line (first 3 tokens) above a 10pt body line (the rest):
+    the font-size header/body labeling signal (HEADER_SIZE_MIN=14)."""
+    toks = text.split()
+    return write_pdf(
+        [
+            PdfPageSpec(
+                shows=[
+                    TextShow(72.0, 720.0, 18.0, " ".join(toks[:3])),
+                    TextShow(72.0, 692.0, 10.0, " ".join(toks[3:])),
+                ]
+            )
+        ]
+    )
+
+
+def synth_pdf_table_payload(text: str, lang: str, source: str) -> bytes:
+    """Body line + a 3x2 x-aligned grid (k/v, lang, source) — the PDF grid
+    table detector's target, mirroring the html_table payload."""
+    shows = [TextShow(72.0, 720.0, 10.0, text)]
+    shows += table_grid([["k", "v"], ["lang", lang], ["source", source]])
+    return write_pdf([PdfPageSpec(shows=shows)])
+
+
 def synth_payload(
     doc_id: int, text: str, mode: str, lang: str = "", source: str = ""
 ) -> bytes:
-    """mode: 'html' | 'pdf' | 'html_table' | 'mixed' (alternate by doc_id
-    parity) | 'mixed_fail' (mixed + corrupt every 17th doc)."""
+    """mode: 'html' | 'pdf' | 'pdf2' | 'pdf_hdr' | 'pdf_table' |
+    'html_table' | 'mixed' (alternate by doc_id parity) | 'mixed_fail'
+    (mixed + corrupt every 17th doc)."""
     if mode == "mixed_fail" and doc_id % 17 == 0:
         return _CORRUPT_PAYLOAD
     if mode == "html":
@@ -86,6 +126,12 @@ def synth_payload(
         return synth_html_table_payload(text, lang, source)
     if mode == "pdf":
         return synth_pdf_payload(text)
+    if mode == "pdf2":
+        return synth_pdf2_payload(text)
+    if mode == "pdf_hdr":
+        return synth_pdf_hdr_payload(text)
+    if mode == "pdf_table":
+        return synth_pdf_table_payload(text, lang, source)
     if mode in ("mixed", "mixed_fail"):
         if doc_id % 2 == 0:
             return synth_pdf_payload(text)
