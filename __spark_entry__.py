@@ -228,6 +228,21 @@ def q_extract_pdf_grid_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_html_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Figure refs with deterministic md5-prefix ids (M8 — replaces the
+    reference's uuid4 ids) + higher-order page filter (D8)."""
+    ext = _extracted(spark, sf_dir, "html_fig")
+    figs_on_page = F.filter(F.col("figures"), lambda f: f.page_number == 1)
+    el = ext.select("doc_id", F.explode(figs_on_page).alias("f"))
+    return el.select(
+        "doc_id",
+        F.col("f.figure_id").alias("figure_id"),
+        F.col("f.caption").alias("caption"),
+        F.col("f.label").alias("label"),
+        F.col("f.page_number").cast("long").alias("page_number"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline queries (dedup / similarity / text analysis)
 # ---------------------------------------------------------------------------
@@ -509,6 +524,21 @@ _ORACLES: dict[str, str] = {
                'source,' || source || chr(10) AS csv
         FROM documents
     """,
+    "extract_html_figures": """
+        WITH h AS (
+          SELECT doc_id,
+                 substr(md5('https://synth.example/html_fig/'
+                            || CAST(doc_id AS VARCHAR)), 1, 16) AS uh
+          FROM documents
+        )
+        SELECT doc_id, uh || '_figure_0' AS figure_id,
+               'figure for doc ' || CAST(doc_id AS VARCHAR) AS caption,
+               'picture' AS label, CAST(1 AS BIGINT) AS page_number
+        FROM h
+        UNION ALL
+        SELECT doc_id, uh || '_figure_1', NULL, 'picture', CAST(1 AS BIGINT)
+        FROM h
+    """,
     "extract_html_tables": """
         SELECT doc_id,
                CAST(3 AS BIGINT) AS num_rows,
@@ -721,6 +751,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_multipage": q_extract_pdf_multipage,
         "extract_pdf_headers": q_extract_pdf_headers,
         "extract_pdf_grid_tables": q_extract_pdf_grid_tables,
+        "extract_html_figures": q_extract_html_figures,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -50,6 +50,13 @@ _HTML_TABLE_TEMPLATE = (
     "</body></html>"
 )
 
+_HTML_FIG_TEMPLATE = (
+    "<html><body><article><p>{text}</p></article>"
+    "<img src='/a.png' alt='figure for doc {doc_id}'>"
+    "<img src='/b.png'>"
+    "</body></html>"
+)
+
 _CORRUPT_PAYLOAD = b"%PDF-1.4\nthis is not a real pdf body"
 
 # Fixed overhead of the html template (payload bytes = this + len(str(doc_id))
@@ -124,6 +131,10 @@ def synth_payload(
         return synth_html_payload(doc_id, text)
     if mode == "html_table":
         return synth_html_table_payload(text, lang, source)
+    if mode == "html_fig":
+        return _HTML_FIG_TEMPLATE.format(doc_id=doc_id, text=text).encode(
+            "utf-8"
+        )
     if mode == "pdf":
         return synth_pdf_payload(text)
     if mode == "pdf2":

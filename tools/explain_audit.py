@@ -1,0 +1,145 @@
+"""Physical-plan audit: regenerates EXPLAIN.md.
+
+For each load-bearing plan, capture .explain("formatted") and assert the
+scale-critical properties (column pruning reaches the scan, predicate
+pushdown, broadcast joins where a side is small, no shuffle on the fused
+extract path). Run: python tools/explain_audit.py
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import os
+import pathlib
+import sys
+import tempfile
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+SECTIONS: list[tuple[str, str, list[str], str]] = []
+
+
+def capture(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def audit(title: str, df, must_contain: list[str], note: str) -> None:
+    plan = capture(df)
+    missing = [m for m in must_contain if m not in plan]
+    status = "OK" if not missing else f"MISSING {missing}"
+    print(f"{title:45s} {status}")
+    SECTIONS.append((title, plan, must_contain, note))
+    if missing:
+        raise SystemExit(f"plan audit failed: {title}: missing {missing}")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F  # noqa: N812
+
+    spark = (
+        SparkSession.builder.master("local[4]")
+        .config("spark.sql.shuffle.partitions", "4")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from pdf_document_extractor_spark.operators.skew import salted_repartition
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    tmp = tempfile.mkdtemp()
+    pages_path = os.path.join(tmp, "pages.parquet")
+    synthesize_pages_from_documents(
+        spark, "/root/testdata/sf0.001", "mixed"
+    ).write.parquet(pages_path)
+    pages = spark.read.parquet(pages_path)
+
+    audit(
+        "fused extract over pages table",
+        extract_pages(pages),
+        ["ReadSchema: struct<url:string,html:binary>", "MapInPandas"],
+        "Column pruning reaches the parquet scan: only (url, html) are "
+        "read even though the table has 5 columns (warc_ts/text/lang are "
+        "never deserialized). No Exchange anywhere — the extraction path "
+        "is scan -> Arrow -> Python -> output, zero shuffles. At 100 TB "
+        "this is the difference between reading ~60% of the table bytes "
+        "and reading all of them.",
+    )
+
+    committed = pages.select("url").filter(F.length("url") > 30)
+    todo = pages.join(committed, "url", "left_anti")
+    audit(
+        "idempotent resume anti-join",
+        extract_pages(todo),
+        ["BroadcastHashJoin LeftAnti", "ReadSchema: struct<url:string>"],
+        "The committed-urls side scans ONLY the url column and broadcasts; "
+        "the pages side is never shuffled. With a large committed set the "
+        "broadcast flips to a shuffled hash join automatically (AQE) — "
+        "still keyed on url, co-partitioned with the bucket layout.",
+    )
+
+    audit(
+        "url prefix predicate pushdown",
+        pages.filter(F.col("url").startswith("https://synth.example/mi")),
+        ["PushedFilters: [IsNotNull(url), StringStartsWith(url"],
+        "Predicates on scan columns reach the parquet reader "
+        "(row-group/page skip via min-max stats at scale).",
+    )
+
+    audit(
+        "salted repartition (the ONE shuffle)",
+        salted_repartition(pages, 8, hot=["synth.example"], salt_buckets=4),
+        ["hashpartitioning(_bucket", "REPARTITION_BY_NUM"],
+        "Placement shuffle keyed on (url-hash bucket, hot-host salt) — "
+        "computed in a Project directly over the scan, no extra stage. "
+        "This is the only wide dependency in the job; its partition count "
+        "and salt width are the two knobs that absorb Zipfian host skew. "
+        "Both helper columns are projected away after the Exchange, so "
+        "placement provably cannot change output content.",
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    audit(
+        "similarity top-k (query side broadcast)",
+        brute_force_topk(emb, query_ids_below=10, k=5),
+        [
+            "BroadcastNestedLoopJoin Cross BuildRight",
+            "PushedFilters: [IsNotNull(vec_id)",
+            "WindowGroupLimit",
+        ],
+        "The tiny query set is broadcast against the streaming corpus "
+        "scan; vec_id range predicates push into parquet. WindowGroupLimit "
+        "runs BEFORE the exchange — each map task keeps only its local "
+        "top-k per query, so the shuffle moves O(queries * k) rows, not "
+        "the scored corpus.",
+    )
+
+    md = ["# EXPLAIN — physical-plan audit (scale-critical properties)\n"]
+    md.append(
+        "Regenerate with `python tools/explain_audit.py` (asserts each "
+        "property; fails the run if a plan regresses).\n"
+    )
+    for title, plan, must, note in SECTIONS:
+        md.append(f"## {title}\n")
+        md.append(note + "\n")
+        md.append("Asserted plan properties: " + ", ".join(f"`{m}`" for m in must) + "\n")
+        md.append("```\n" + plan.strip() + "\n```\n")
+    (REPO / "EXPLAIN.md").write_text("\n".join(md))
+    print("wrote EXPLAIN.md")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
