@@ -172,18 +172,31 @@ def extract_rows_py(url: str, payload: bytes, partition_id: int = -1) -> list[di
     return rows
 
 
+# Output flush thresholds: bound Python-side memory regardless of how many
+# multi-MB documents the JVM packed into one input Arrow batch (the heavy
+# pass runs with these, not with a session-wide batch-size knob).
+FLUSH_ROWS = 4096
+FLUSH_BYTES = 64 << 20
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """mapInPandas body. Lazy TaskContext import keeps core Spark-free."""
     from pyspark import TaskContext
 
     ctx = TaskContext.get()
     pid = ctx.partitionId() if ctx is not None else -1
+    out: list[dict] = []
+    acc_bytes = 0
     for batch in batches:
-        out: list[dict] = []
         urls = batch["url"].to_numpy()
         payloads = batch["html"].to_numpy()
         for url, payload in zip(urls, payloads):
             out.extend(extract_rows_py(url, payload, pid))
+            acc_bytes += len(payload) if payload is not None else 0
+            if len(out) >= FLUSH_ROWS or acc_bytes >= FLUSH_BYTES:
+                yield pd.DataFrame(out, columns=_COLUMNS)
+                out, acc_bytes = [], 0
+    if out:
         yield pd.DataFrame(out, columns=_COLUMNS)
 
 
