@@ -9,6 +9,7 @@ import pandas as pd
 from pdf_document_extractor_spark.fixtures.gen import gen_scale_corpus
 from pdf_document_extractor_spark.sources.pages import pages_df_from_fixtures
 from pdf_document_extractor_spark.streaming.stream import (
+    stream_extract_committed,
     stream_extract_parquet_dir,
 )
 
@@ -82,3 +83,45 @@ def test_stream_restart_no_duplicates(spark, tmp_path):
         for r in spark.read.parquet(out_dir).collect()
     )
     assert max(per_page.values()) == 1  # exactly-once per (url, page)
+
+def test_stream_committed_snapshots_and_lineage(spark, tmp_path):
+    """foreachBatch variant: per-micro-batch atomic snapshots + lineage,
+    idempotent under restart (the streaming analog of plans/run.py)."""
+    from pdf_document_extractor_spark.sources.catalog import SnapshotTable
+
+    docs = gen_scale_corpus(80)
+    pages_dir = str(tmp_path / "pages")
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    _write_pages(spark, docs, pages_dir, n_files=3)
+
+    q = stream_extract_committed(spark, pages_dir, wh, ckpt)
+    q.awaitTermination(300)
+
+    extracted_tbl = SnapshotTable(wh, "extracted")
+    lineage_tbl = SnapshotTable(wh, "lineage")
+    ext = extracted_tbl.read(spark)
+    assert ext is not None
+    n1 = ext.count()
+    # every micro-batch snapshot has its lineage twin
+    assert extracted_tbl.committed_run_ids() == lineage_tbl.committed_run_ids()
+
+    # lineage doc counts reconcile exactly with committed extracted rows
+    lin = lineage_tbl.read(spark)
+    total_docs = sum(r.doc_count for r in lin.collect())
+    assert total_docs == ext.select("url").distinct().count()
+
+    # restart with same checkpoint: no new snapshots, no new rows
+    snaps_before = extracted_tbl.current_snapshot_id()
+    q2 = stream_extract_committed(spark, pages_dir, wh, ckpt)
+    q2.awaitTermination(300)
+    assert extracted_tbl.current_snapshot_id() == snaps_before
+    assert extracted_tbl.read(spark).count() == n1
+
+    # exactly-once per (url, page) across all snapshots
+    from collections import Counter
+
+    per_page = Counter(
+        (r.url, r.page_number) for r in extracted_tbl.read(spark).collect()
+    )
+    assert max(per_page.values()) == 1
