@@ -125,3 +125,52 @@ def test_stream_committed_snapshots_and_lineage(spark, tmp_path):
         (r.url, r.page_number) for r in extracted_tbl.read(spark).collect()
     )
     assert max(per_page.values()) == 1
+
+def test_stateful_host_stats_accumulate_across_restarts(spark, tmp_path):
+    """applyInPandasWithState: per-host totals persist in the state store
+    and keep accumulating when the stream restarts on new files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pdf_document_extractor_spark.streaming.stateful import (
+        stream_host_stats,
+    )
+
+    docs = gen_scale_corpus(40)
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "stats")
+    ckpt = str(tmp_path / "ckpt")
+    _write_pages(spark, docs, pages_dir, n_files=2)
+
+    q1 = stream_host_stats(spark, pages_dir, out_dir, ckpt)
+    q1.awaitTermination(300)
+    first = {
+        r.host: r.docs_total
+        for r in spark.read.parquet(out_dir)
+        .groupBy("host")
+        .agg({"docs_total": "max"})
+        .withColumnRenamed("max(docs_total)", "docs_total")
+        .collect()
+    }
+    assert sum(first.values()) == 40
+
+    # drop more pages for the SAME hosts; totals must accumulate on top of
+    # checkpointed state, not restart from zero
+    more = gen_scale_corpus(25, seed=5)
+    for d in more:
+        d.url = d.url + "?v=2"  # same hosts, new urls
+    extra = pages_df_from_fixtures(spark, more).toPandas()
+    pq.write_table(pa.Table.from_pandas(extra), f"{pages_dir}/extra-0.parquet")
+
+    q2 = stream_host_stats(spark, pages_dir, out_dir, ckpt)
+    q2.awaitTermination(300)
+    final = {
+        r.host: r.docs_total
+        for r in spark.read.parquet(out_dir)
+        .groupBy("host")
+        .agg({"docs_total": "max"})
+        .withColumnRenamed("max(docs_total)", "docs_total")
+        .collect()
+    }
+    assert sum(final.values()) == 65
+    assert all(final[h] >= first[h] for h in first)
