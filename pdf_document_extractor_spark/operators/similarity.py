@@ -161,6 +161,189 @@ def embedding_near_pairs(
 
 
 # --------------------------------------------------------------------------
+# IVF ANN (coarse k-means quantizer + cell-probed search)
+# --------------------------------------------------------------------------
+
+
+def _init_centroids(dim: int, k_cells: int):
+    """Deterministic pseudo-random init (md5 bits -> +-1), unit-normalized.
+    Wall-clock/RNG-free per the determinism policy."""
+    import numpy as np
+
+    cents = np.array(_hyperplanes(dim, k_cells), dtype="float64")
+    return cents / np.linalg.norm(cents, axis=1, keepdims=True)
+
+
+def _assign_cells(embeddings: "DataFrame", centroids) -> "DataFrame":
+    """(vec_id, embedding) -> + cell (nearest centroid by cosine).
+    One Arrow pass; centroid matrix rides in the closure (broadcast-sized:
+    k_cells x dim floats)."""
+    import numpy as np
+    import pandas as pd
+
+    cent = centroids  # (k, dim), unit rows
+
+    def assign(batches):
+        for batch in batches:
+            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            cells = np.argmax((mat / norms) @ cent.T, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": batch["vec_id"].to_numpy(),
+                    "embedding": batch["embedding"].to_numpy(),
+                    "cell": cells.astype("int64"),
+                }
+            )
+
+    return embeddings.select("vec_id", "embedding").mapInPandas(
+        assign, schema="vec_id long, embedding array<float>, cell long"
+    )
+
+
+def ivf_train_centroids(
+    embeddings: "DataFrame", dim: int, k_cells: int = 16, iters: int = 2
+):
+    """Distributed Lloyd iterations: assign (Arrow matmul) -> per-batch
+    PARTIAL sums (map-side combine) -> tiny groupBy(cell) reduce -> driver
+    update. Shuffle per iteration is O(batches * k_cells) partial rows, not
+    O(n) vectors — the scale-correct layout."""
+    import numpy as np
+    import pandas as pd
+
+    cent = _init_centroids(dim, k_cells)
+    for _ in range(iters):
+        assigned = _assign_cells(embeddings, cent)
+
+        def partials(batches):
+            for batch in batches:
+                mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+                cells = batch["cell"].to_numpy()
+                rows = []
+                for c in np.unique(cells):
+                    sel = mat[cells == c]
+                    rows.append(
+                        {
+                            "cell": int(c),
+                            "vec_sum": sel.sum(axis=0),
+                            "n": len(sel),
+                        }
+                    )
+                yield pd.DataFrame(rows, columns=["cell", "vec_sum", "n"])
+
+        part = assigned.mapInPandas(
+            partials, schema="cell long, vec_sum array<double>, n long"
+        )
+
+        def reduce_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            total = np.stack(pdf["vec_sum"].to_numpy()).sum(axis=0)
+            return pd.DataFrame(
+                [{"cell": int(key[0]), "vec_sum": total, "n": int(pdf["n"].sum())}]
+            )
+
+        stats = (
+            part.groupBy("cell")
+            .applyInPandas(
+                reduce_cell, schema="cell long, vec_sum array<double>, n long"
+            )
+            .collect()
+        )
+        new_cent = cent.copy()
+        for r in stats:
+            if r["n"] > 0:
+                mean = np.array(r["vec_sum"], dtype="float64") / r["n"]
+                nrm = np.linalg.norm(mean)
+                if nrm > 0:
+                    new_cent[r["cell"]] = mean / nrm
+        cent = new_cent
+    return cent
+
+
+def ivf_topk(
+    embeddings: "DataFrame",
+    dim: int,
+    query_ids_below: int = 10,
+    k: int = 5,
+    k_cells: int = 16,
+    nprobe: int = 4,
+    iters: int = 2,
+) -> "DataFrame":
+    """IVF approximate top-k: corpus vectors live in their nearest-centroid
+    cell; each query scores only its ``nprobe`` nearest cells (~nprobe/
+    k_cells of the corpus). Approximate by design -> rows-only oracle.
+
+    At scale: centroids are a broadcast closure, the cell column is a
+    partition/cluster key, and the probe join is cell-local — the same
+    inverted-file layout FAISS IVF uses, expressed as DataFrame ops.
+    """
+    import numpy as np
+    import pandas as pd
+
+    cent = ivf_train_centroids(embeddings, dim, k_cells, iters)
+    base = with_norm(embeddings)
+    corpus = _assign_cells(
+        base.filter(F.col("vec_id") >= query_ids_below), cent
+    ).join(base.select("vec_id", "_norm"), "vec_id")
+
+    queries = base.filter(F.col("vec_id") < query_ids_below)
+
+    def probe(batches):
+        for batch in batches:
+            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            sims = (mat / norms) @ cent.T
+            top = np.argsort(-sims, axis=1)[:, :nprobe]
+            rows = []
+            for qid, emb, nrm, cells in zip(
+                batch["query_id"].to_numpy(),
+                batch["embedding"].to_numpy(),
+                norms[:, 0],
+                top,
+            ):
+                for c in cells:
+                    rows.append(
+                        {
+                            "query_id": int(qid),
+                            "q_emb": emb,
+                            "q_norm": float(nrm),
+                            "cell": int(c),
+                        }
+                    )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "q_emb", "q_norm", "cell"]
+            )
+
+    probes = queries.select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).mapInPandas(
+        probe,
+        schema="query_id long, q_emb array<float>, q_norm double, cell long",
+    )
+
+    scored = corpus.withColumnRenamed("vec_id", "neighbor_id").join(
+        F.broadcast(probes), "cell"
+    ).withColumn(
+        "cos",
+        cosine_col("q_emb", "embedding", "q_norm", "_norm"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.select("query_id", "neighbor_id", "cos")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("long"),
+            F.col("rank").cast("long"),
+            F.col("neighbor_id").cast("long"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # LSH-bucketed ANN (the scale path; approximate by design)
 # --------------------------------------------------------------------------
 

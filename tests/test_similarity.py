@@ -1,0 +1,71 @@
+"""Similarity operators: exact paths vs brute force, approximate paths'
+recall floors + determinism (the entry gate only row-counts these)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: N812
+
+from pdf_document_extractor_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_pairs,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def test_block_matrix_near_pairs_match_planted_dups(spark):
+    emb = _emb(spark)
+    scaled = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * 3).alias("embedding"),
+    )
+    corpus = emb.unionByName(scaled)
+    got = {(r.id_a, r.id_b) for r in embedding_near_pairs(corpus, 950).collect()}
+    want = {
+        (r.vec_id, r.vec_id + 100000)
+        for r in emb.filter(F.col("vec_id") % 10 == 0).collect()
+    }
+    assert got == want
+    # block count must not affect output (pure placement parameter)
+    got5 = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_pairs(corpus, 950, num_blocks=5).collect()
+    }
+    assert got5 == want
+
+
+def test_ivf_recall_and_determinism(spark):
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()["embedding"])
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb).collect()}
+    a1 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, dim).collect()}
+    a2 = {(r.query_id, r.neighbor_id) for r in ivf_topk(emb, dim).collect()}
+    assert a1 == a2  # deterministic (seedless md5 init, fixed iterations)
+    assert len(a1) == len(exact)  # full k results per query
+    recall = len(a1 & exact) / len(exact)
+    assert recall >= 0.4, recall  # floor on near-orthogonal synthetic data
+    # full probe == exact (nprobe = k_cells degenerates to brute force)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(emb, dim, k_cells=8, nprobe=8).collect()
+    }
+    assert full == exact
+
+
+def test_lsh_topk_shape(spark):
+    emb = _emb(spark)
+    dim = len(emb.select("embedding").first()["embedding"])
+    rows = lsh_bucketed_topk(emb, dim=dim).collect()
+    per_query = {}
+    for r in rows:
+        per_query.setdefault(r.query_id, []).append(r.rank)
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
