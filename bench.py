@@ -142,14 +142,17 @@ def main() -> None:
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entry
 
+    # headline FIRST: the throughput job runs in a fresh session state
+    # (running 28 queries beforehand leaves GC/worker pollution that adds
+    # 2-3x noise to the timed section)
+    thr = throughput_job(spark, sf_dir, cpus, REPLICAS)
+
     qtimes: dict[str, float] = {}
     if not throughput_only:
         for name, fn in entry.queries().items():
             t0 = time.perf_counter()
             _noop_write(fn(spark, sf_dir))
             qtimes[name] = round(time.perf_counter() - t0, 3)
-
-    thr = throughput_job(spark, sf_dir, cpus, REPLICAS)
     qtimes["extract_throughput_job"] = thr["wall_s"]
 
     out = {

@@ -80,14 +80,24 @@ def _pair_jaccard(sh: "DataFrame", candidates: "DataFrame" = None) -> "DataFrame
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_size"))
     a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["id_a", "id_b"])
+        # Expand ONLY candidate pairs: (id_a,id_b) x a's shingles, matched
+        # against b's shingles. Cost is O(|candidates| * shingles/doc), not
+        # the O(sum_s df(s)^2) full inverted-index self-join — this is what
+        # makes LSH a win over the brute path at scale.
+        inter = (
+            candidates.join(a, "id_a")
+            .join(b, ["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        inter = (
+            a.join(b, "shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("doc_id", "id_a")
                    .withColumnRenamed("sh_size", "size_a"), "id_a")
