@@ -364,6 +364,33 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (crawl-dedup pre-step): lowercase scheme/host,
+    strip fragment + default port, sort query params, www-less host key.
+    Pure Catalyst expressions — stays in whole-stage codegen, no UDF."""
+    from pdf_document_extractor_spark.functions.url import (
+        canonicalize_url,
+        registered_host,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    dirty = F.concat(
+        F.lit("HTTPS://WWW.Example"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".COM:443/p/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?z=1&a="),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("#frag"),
+    )
+    df = docs.withColumn("url", dirty)
+    return df.select(
+        "doc_id",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        registered_host(F.col("url")).alias("host"),
+    )
+
+
 def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FLAGSHIP composition — the engine's whole purpose in one plan:
     corpus-with-duplicates -> synthesize pages -> fused extract (M1/M5/D1)
@@ -751,6 +778,15 @@ _ORACLES["text_fingerprint"] = f"""
 """
 
 
+_ORACLES["url_canonicalize"] = """
+    SELECT doc_id,
+           'https://www.example' || CAST(doc_id % 7 AS VARCHAR)
+               || '.com/p/' || CAST(doc_id AS VARCHAR)
+               || '?a=' || CAST(doc_id % 3 AS VARCHAR) || '&z=1' AS canon_url,
+           'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host
+    FROM documents
+"""
+
 _ORACLES["pipeline_training_corpus"] = f"""
     WITH base AS (
       SELECT doc_id, text FROM documents
@@ -826,6 +862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "mm_media_metadata": q_mm_media_metadata,
         "pipeline_training_corpus": q_pipeline_training_corpus,
+        "url_canonicalize": q_url_canonicalize,
     }
 
 

@@ -111,6 +111,25 @@ class SnapshotTable:
                 )
         raise KeyError(f"snapshot {snapshot_id} not found")
 
+    def read_since(
+        self, spark: "SparkSession", after_snapshot_id: int
+    ) -> "DataFrame | None":
+        """Incremental read: union of snapshots committed AFTER the given
+        id (Iceberg incremental-scan analog; replaces the reference's
+        consume-from-committed-offset, kafka_background_service.py:60-92).
+        A downstream consumer persists the last snapshot id it processed
+        and calls this to get exactly the delta."""
+        snaps = [
+            s for s in self.snapshots() if s.snapshot_id > after_snapshot_id
+        ]
+        if not snaps:
+            return None
+        paths = [
+            str(self.data_dir / f"snap-{s.snapshot_id:06d}-{s.run_id}")
+            for s in snaps
+        ]
+        return spark.read.parquet(*paths)
+
     def current_snapshot_id(self) -> int:
         snaps = self.snapshots()
         return snaps[-1].snapshot_id if snaps else 0

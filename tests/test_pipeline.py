@@ -136,3 +136,25 @@ def test_time_travel_reads_past_snapshot(spark, tmp_path, corpus_df):
     run_extraction_job(spark, corpus_df, wh, "r2", num_partitions=4)
     assert tbl.read(spark, as_of=v1).count() == n1
     assert tbl.read(spark).count() > n1
+
+
+def test_incremental_read_since_snapshot(spark, tmp_path, corpus_df):
+    """read_since returns exactly the delta committed after a snapshot id
+    (the Iceberg incremental-scan / Kafka consume-from-offset analog)."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    wh = str(tmp_path / "wh")
+    half = corpus_df.filter(F.crc32(F.col("url")) % 2 == 0)
+    run_extraction_job(spark, half, wh, "r1", num_partitions=4)
+    tbl = SnapshotTable(wh, "extracted")
+    v1 = tbl.current_snapshot_id()
+    assert tbl.read_since(spark, v1) is None  # no delta yet
+
+    run_extraction_job(spark, corpus_df, wh, "r2", num_partitions=4)
+    delta = tbl.read_since(spark, v1)
+    all_rows = tbl.read(spark).count()
+    v1_rows = tbl.read(spark, as_of=v1).count()
+    assert delta.count() == all_rows - v1_rows
+    # delta contains ONLY r2's urls (the unprocessed half)
+    r1_urls = {r.url for r in tbl.read(spark, as_of=v1).select("url").collect()}
+    assert all(r.url not in r1_urls for r in delta.select("url").collect())

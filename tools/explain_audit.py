@@ -46,6 +46,10 @@ def main() -> None:
         SparkSession.builder.master("local[4]")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.ui.enabled", "false")
+        .config(
+            "spark.sql.warehouse.dir",
+            tempfile.mkdtemp(prefix="explain-audit-wh-"),
+        )
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -124,6 +128,42 @@ def main() -> None:
         "runs BEFORE the exchange — each map task keeps only its local "
         "top-k per query, so the shuffle moves O(queries * k) rows, not "
         "the scored corpus.",
+    )
+
+    # -- bucketed co-located join: shuffle-free enrichment ------------------
+    spark.sql("DROP TABLE IF EXISTS pages_b")
+    spark.sql("DROP TABLE IF EXISTS extracted_b")
+    pages.write.bucketBy(8, "url").sortBy("url").saveAsTable("pages_b")
+    extract_pages(pages).select("url", "status", "word_count").write.bucketBy(
+        8, "url"
+    ).sortBy("url").saveAsTable("extracted_b")
+    # at sandbox scale both tables fit the broadcast threshold, which would
+    # hide the bucket layout — disable it to show the 10^12-row plan shape
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("pages_b").join(spark.table("extracted_b"), "url")
+        plan = capture(joined)
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" in plan and "Exchange hashpartitioning" not in plan, (
+        "bucketed join must not shuffle"
+    )
+    assert "Bucketed: true" in plan
+    print(f"{'bucketed co-located join (no shuffle)':45s} OK")
+    SECTIONS.append(
+        (
+            "bucketed co-located join (no shuffle)",
+            plan,
+            ["SortMergeJoin", "Bucketed: true", "NO Exchange hashpartitioning"],
+            "Both tables bucketed 8 ways on url (broadcast disabled here "
+            "to show the big-table plan shape): the enrichment join "
+            "(pages x extracted) runs with ZERO Exchange operators — each "
+            "task reads matching buckets from both sides. At 10^12 docs "
+            "this is how extracted output joins back to the source table "
+            "(or to a prior run) without moving either table across the "
+            "network; the same layout serves the resume anti-join once "
+            "the committed set outgrows broadcast range.",
+        )
     )
 
     md = ["# EXPLAIN — physical-plan audit (scale-critical properties)\n"]
