@@ -72,6 +72,60 @@ def _update_host_stats(
     )
 
 
+def stream_windowed_host_counts(
+    spark: "SparkSession",
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    window: str = "10 minutes",
+    watermark: str = "30 minutes",
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Event-time windowed ingest counts per host with a watermark.
+
+    groupBy(window(warc_ts), host).count() in append mode: a window's row
+    is emitted ONLY once the watermark passes its end, and events arriving
+    later than ``watermark`` behind the max seen warc_ts are dropped — the
+    bounded-state discipline for 10^12-doc event-time aggregation (state
+    size stays O(open windows x hosts), not O(history))."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from ..sources.pages import PAGES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+    counts = (
+        stream.withColumn(
+            "host", F.regexp_extract(F.col("url"), HOST_PATTERN, 1)
+        )
+        .withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("win"), "host")
+        .agg(
+            F.count("*").alias("doc_count"),
+            F.sum(F.length("html")).alias("byte_count"),
+        )
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "host",
+            "doc_count",
+            "byte_count",
+        )
+    )
+    writer = (
+        counts.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_host_stats(
     spark: "SparkSession",
     pages_dir: str,

@@ -174,3 +174,57 @@ def test_stateful_host_stats_accumulate_across_restarts(spark, tmp_path):
     }
     assert sum(final.values()) == 65
     assert all(final[h] >= first[h] for h in first)
+
+def test_windowed_host_counts_with_watermark(spark, tmp_path):
+    """Event-time windows + watermark: closed windows emit once; events
+    later than the watermark horizon are dropped."""
+    import datetime as dt
+
+    from pdf_document_extractor_spark.sources.pages import PAGES_SCHEMA
+    from pdf_document_extractor_spark.streaming.stateful import (
+        stream_windowed_host_counts,
+    )
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    out_dir = str(tmp_path / "win")
+    ckpt = str(tmp_path / "ckpt")
+
+    def rows_to_file(rows, name):
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(pages_dir))
+
+    def page(host, minute, hour=10, day=1):
+        ts = dt.datetime(2025, 1, day, hour, minute)
+        return (f"https://{host}/d{hour}{minute}", ts, b"<p>x</p>", "", "en")
+
+    # batch 1: 3 docs in window 10:00-10:10 + 1 doc at 12:00 that drags the
+    # watermark to 11:30, closing the 10:00 window
+    rows_to_file(
+        [page("a.com", 1), page("a.com", 5), page("b.com", 9),
+         page("a.com", 0, hour=12)],
+        "f1.parquet",
+    )
+    q = stream_windowed_host_counts(spark, str(pages_dir), out_dir, ckpt)
+    q.awaitTermination(300)
+    got = {
+        (r.win_start.hour, r.win_start.minute, r.host): r.doc_count
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got == {(10, 0, "a.com"): 2, (10, 0, "b.com"): 1}
+
+    # batch 2: a LATE event for the closed 10:00 window (dropped) + one at
+    # 14:00 that closes the 12:00 window
+    rows_to_file(
+        [page("a.com", 3), page("c.com", 0, hour=14)], "f2.parquet"
+    )
+    q2 = stream_windowed_host_counts(spark, str(pages_dir), out_dir, ckpt)
+    q2.awaitTermination(300)
+    got2 = {
+        (r.win_start.hour, r.win_start.minute, r.host): r.doc_count
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    assert got2[(10, 0, "a.com")] == 2  # late event dropped, no re-emit
+    assert got2[(12, 0, "a.com")] == 1  # 12:00 window closed by 14:00 event
+    assert (14, 0, "c.com") not in got2  # still open
