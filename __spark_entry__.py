@@ -364,6 +364,17 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking with overlap (reference DoclingConfig
+    chunk_size/overlap_size, docling_models.py:41-58) — pure Catalyst
+    sequence/slice/posexplode, no UDF, no shuffle."""
+    from pdf_document_extractor_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    return chunk_documents(_docs(spark, sf_dir), chunk_size=20, overlap=5)
+
+
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """URL canonicalization (crawl-dedup pre-step): lowercase scheme/host,
     strip fragment + default port, sort query params, www-less host key.
@@ -778,6 +789,24 @@ _ORACLES["text_fingerprint"] = f"""
 """
 
 
+_ORACLES["text_chunking"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, n,
+             unnest(range(0, (n - 1) // 15 + 1)) AS ci
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           array_to_string(toks[ci * 15 + 1 : ci * 15 + 20], ' ') AS chunk_text,
+           CAST(ci * 15 AS BIGINT) AS tok_start,
+           CAST(least(ci * 15 + 20, n) AS BIGINT) AS tok_end,
+           CAST(n AS BIGINT) AS n_tokens
+    FROM s
+"""
+
 _ORACLES["url_canonicalize"] = """
     SELECT doc_id,
            'https://www.example' || CAST(doc_id % 7 AS VARCHAR)
@@ -863,6 +892,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_media_metadata": q_mm_media_metadata,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "url_canonicalize": q_url_canonicalize,
+        "text_chunking": q_text_chunking,
     }
 
 
