@@ -424,7 +424,7 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted = extract_pages(pages).withColumn("doc_id", _doc_id())
     as_docs = extracted.select("doc_id", F.col("content").alias("text"))
     quality = quality_scores(as_docs).filter(F.col("is_quality") == 1)
-    kept = as_docs.join(quality.select("doc_id", "word_count"), "doc_id")
+    kept = as_docs.join(quality.select("doc_id"), "doc_id", "left_semi")
     return exact_dedup(kept).select("text_md5", "keeper_id", "dup_count")
 
 
@@ -795,7 +795,8 @@ _ORACLES["text_chunking"] = f"""
     ),
     s AS (
       SELECT doc_id, toks, n,
-             unnest(range(0, (n - 1) // 15 + 1)) AS ci
+             unnest(range(0, greatest(1,
+                 CAST(ceil((n - 20) / 15.0) AS BIGINT) + 1))) AS ci
       FROM t
     )
     SELECT doc_id,

@@ -11,11 +11,14 @@ pass, no shuffle, no Python. PINNED semantics (oracle'd in
 __spark_entry__.py):
 
   stride = chunk_size - overlap   (must be > 0)
-  starts = 0, stride, 2*stride, ... while start < n_tokens
-  chunk_i = tokens[start : start + chunk_size]  (last may be short)
+  n_chunks = max(1, ceil((n_tokens - chunk_size) / stride) + 1)
+  starts   = 0, stride, ..., (n_chunks - 1) * stride
+  chunk_i  = tokens[start : start + chunk_size]
 
-Every document yields >= 1 chunk; tok_start/tok_end are 0-based token
-offsets [start, min(start+chunk_size, n)).
+Generation STOPS once a chunk reaches the document end — a further start
+would yield a chunk strictly contained in its predecessor, duplicating
+training text. Every document yields >= 1 chunk; tok_start/tok_end are
+0-based token offsets [start, min(start+chunk_size, n)).
 """
 
 from __future__ import annotations
@@ -42,15 +45,18 @@ def chunk_documents(
     toked = docs.select(
         "doc_id", tokens(F.col("text")).alias("toks")
     ).withColumn("n", F.size("toks"))
-    # chunk start offsets: 0, stride, ... < n (>=1 chunk even for tiny docs)
-    starts = F.sequence(
-        F.lit(0),
+    # last start: smallest multiple of stride whose chunk reaches the end
+    # = ceil((n - chunk_size) / stride) * stride, clamped to >= 0
+    last_start = (
         F.greatest(
             F.lit(0),
-            F.floor((F.col("n") - 1) / F.lit(stride)).cast("int") * stride,
-        ),
-        F.lit(stride),
+            F.ceil((F.col("n") - F.lit(chunk_size)) / F.lit(stride)).cast(
+                "int"
+            ),
+        )
+        * stride
     )
+    starts = F.sequence(F.lit(0), last_start, F.lit(stride))
     exploded = toked.select(
         "doc_id",
         "toks",

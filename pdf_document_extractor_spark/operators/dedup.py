@@ -85,6 +85,11 @@ def _pair_jaccard(sh: "DataFrame", candidates: "DataFrame" = None) -> "DataFrame
         # against b's shingles. Cost is O(|candidates| * shingles/doc), not
         # the O(sum_s df(s)^2) full inverted-index self-join — this is what
         # makes LSH a win over the brute path at scale.
+        # Enforce the pair invariant here rather than trusting callers:
+        # self-pairs would score jaccard=1, duplicates would double counts.
+        candidates = candidates.filter(
+            F.col("id_a") < F.col("id_b")
+        ).distinct()
         inter = (
             candidates.join(a, "id_a")
             .join(b, ["id_b", "shingle"])

@@ -170,6 +170,8 @@ def media_features(
     stub), standing where a CNN/CLAP embedding would go in production.
     Output: (doc_id, features array<float>) ready for the similarity
     operators (brute_force_topk / lsh_bucketed_topk / embedding_near_pairs).
+    Rows with empty payloads are DROPPED (undecodable media has no
+    features; emitting a zero vector would poison cosine downstream).
     """
     import numpy as np
 
@@ -189,12 +191,14 @@ def media_features(
                 else:
                     payload = b
                 arr = np.frombuffer(payload, dtype=np.uint8)
+                if arr.size == 0:
+                    # empty payload -> no feature row; a zero vector would
+                    # poison downstream cosine (norm 0 -> NULL/NaN scores)
+                    continue
                 hist = np.bincount(arr >> 4, minlength=FEATURE_DIM).astype(
                     "float64"
                 )
-                total = hist.sum()
-                if total > 0:
-                    hist /= total
+                hist /= hist.sum()
                 ids.append(int(i))
                 feats.append(hist.astype("float32"))
             yield pd.DataFrame({"doc_id": ids, "features": feats})

@@ -175,9 +175,11 @@ def _init_centroids(dim: int, k_cells: int):
 
 
 def _assign_cells(embeddings: "DataFrame", centroids) -> "DataFrame":
-    """(vec_id, embedding) -> + cell (nearest centroid by cosine).
+    """(vec_id, embedding) -> + cell (nearest centroid by cosine) + _norm.
     One Arrow pass; centroid matrix rides in the closure (broadcast-sized:
-    k_cells x dim floats)."""
+    k_cells x dim floats). The norm is computed here anyway for the cosine
+    argmax — yielding it saves downstream callers a join back to the
+    corpus."""
     import numpy as np
     import pandas as pd
 
@@ -194,11 +196,13 @@ def _assign_cells(embeddings: "DataFrame", centroids) -> "DataFrame":
                     "vec_id": batch["vec_id"].to_numpy(),
                     "embedding": batch["embedding"].to_numpy(),
                     "cell": cells.astype("int64"),
+                    "_norm": norms[:, 0],
                 }
             )
 
     return embeddings.select("vec_id", "embedding").mapInPandas(
-        assign, schema="vec_id long, embedding array<float>, cell long"
+        assign,
+        schema="vec_id long, embedding array<float>, cell long, _norm double",
     )
 
 
@@ -281,12 +285,10 @@ def ivf_topk(
     import pandas as pd
 
     cent = ivf_train_centroids(embeddings, dim, k_cells, iters)
-    base = with_norm(embeddings)
     corpus = _assign_cells(
-        base.filter(F.col("vec_id") >= query_ids_below), cent
-    ).join(base.select("vec_id", "_norm"), "vec_id")
-
-    queries = base.filter(F.col("vec_id") < query_ids_below)
+        embeddings.filter(F.col("vec_id") >= query_ids_below), cent
+    )
+    queries = embeddings.filter(F.col("vec_id") < query_ids_below)
 
     def probe(batches):
         for batch in batches:

@@ -74,7 +74,12 @@ class SnapshotTable:
             return None  # idempotent: rerun of a committed run
         snapshot_id = (entries[-1].snapshot_id + 1) if entries else 1
         out_dir = self.data_dir / f"snap-{snapshot_id:06d}-{run_id}"
-        df.write.mode("errorifexists").parquet(str(out_dir))
+        # overwrite, NOT errorifexists: a commit that died mid-write leaves
+        # an orphan data dir with no manifest entry (invisible). The retry/
+        # replay must be able to reclaim that path — erroring on it would
+        # turn every replay into a permanent PATH_ALREADY_EXISTS crash loop.
+        # Visibility still flips only at the atomic manifest replace below.
+        df.write.mode("overwrite").parquet(str(out_dir))
         n_files = len(list(out_dir.glob("*.parquet")))
         snap = Snapshot(
             snapshot_id=snapshot_id,
@@ -84,6 +89,9 @@ class SnapshotTable:
         )
         self._write_manifest(entries + [snap])
         return snap
+
+    def _snap_path(self, s: Snapshot) -> str:
+        return str(self.data_dir / f"snap-{s.snapshot_id:06d}-{s.run_id}")
 
     # -- read -------------------------------------------------------------
     def read(
@@ -96,19 +104,13 @@ class SnapshotTable:
             snaps = [s for s in snaps if s.snapshot_id <= as_of]
         if not snaps:
             return None
-        paths = [
-            str(self.data_dir / f"snap-{s.snapshot_id:06d}-{s.run_id}")
-            for s in snaps
-        ]
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(*[self._snap_path(s) for s in snaps])
 
     def read_snapshot(self, spark: "SparkSession", snapshot_id: int) -> "DataFrame":
         """Read exactly one snapshot's files (the incremental-read analog)."""
         for s in self.snapshots():
             if s.snapshot_id == snapshot_id:
-                return spark.read.parquet(
-                    str(self.data_dir / f"snap-{s.snapshot_id:06d}-{s.run_id}")
-                )
+                return spark.read.parquet(self._snap_path(s))
         raise KeyError(f"snapshot {snapshot_id} not found")
 
     def read_since(
@@ -124,11 +126,7 @@ class SnapshotTable:
         ]
         if not snaps:
             return None
-        paths = [
-            str(self.data_dir / f"snap-{s.snapshot_id:06d}-{s.run_id}")
-            for s in snaps
-        ]
-        return spark.read.parquet(*paths)
+        return spark.read.parquet(*[self._snap_path(s) for s in snaps])
 
     def current_snapshot_id(self) -> int:
         snaps = self.snapshots()
