@@ -131,6 +131,28 @@ def run_extraction_job(
     )
 
 
+# Production conf for the 100 TB run (applied by main(); local tests use
+# their own sessions). Rationale per key:
+RECOMMENDED_CONF = {
+    # runtime re-planning: post-shuffle coalesce + skew-split the salted
+    # repartition's output
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # multi-MB html cells: a 10k-row default batch of 1 MB docs is 10 GB in
+    # one Arrow chunk — cap rows per batch (output side is further bounded
+    # by the UDF's FLUSH_ROWS/FLUSH_BYTES)
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "1024",
+    # binary-heavy scans: smaller splits keep per-task memory bounded and
+    # give AQE finer units to coalesce
+    "spark.sql.files.maxPartitionBytes": "64m",
+    # transient (soft) failures re-raise from the UDF by design — give the
+    # scheduler headroom to retry them before failing the stage
+    "spark.task.maxFailures": "4",
+    # long-lived Python workers amortize import cost across batches
+    "spark.python.worker.reuse": "true",
+}
+
+
 def main() -> None:
     from pyspark.sql import SparkSession
 
@@ -142,9 +164,10 @@ def main() -> None:
     ap.add_argument("--num-partitions", type=int, default=None)
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName(
-        f"extract-{args.run_id}"
-    ).getOrCreate()
+    builder = SparkSession.builder.appName(f"extract-{args.run_id}")
+    for key, value in RECOMMENDED_CONF.items():
+        builder = builder.config(key, value)
+    spark = builder.getOrCreate()
     pages = spark.read.parquet(args.pages)
     res = run_extraction_job(
         spark,

@@ -158,3 +158,59 @@ def test_incremental_read_since_snapshot(spark, tmp_path, corpus_df):
     # delta contains ONLY r2's urls (the unprocessed half)
     r1_urls = {r.url for r in tbl.read(spark, as_of=v1).select("url").collect()}
     assert all(r.url not in r1_urls for r in delta.select("url").collect())
+
+
+def test_commit_reclaims_orphan_snapshot_dir(spark, tmp_path, corpus_df):
+    """A commit that died mid-write leaves a data dir with no manifest
+    entry. The replayed commit must reclaim that path (overwrite), not
+    crash-loop on PATH_ALREADY_EXISTS."""
+    wh = str(tmp_path / "wh")
+    tbl = SnapshotTable(wh, "extracted")
+    # simulate the torn first attempt: data written, manifest never flipped
+    orphan = tbl.data_dir / "snap-000001-r1"
+    corpus_df.limit(5).write.parquet(str(orphan))
+    assert tbl.current_snapshot_id() == 0  # invisible
+
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+
+    snap = tbl.commit(extract_pages(corpus_df), "r1")
+    assert snap is not None and snap.snapshot_id == 1
+    n_docs = tbl.read(spark).select("url").distinct().count()
+    assert n_docs == corpus_df.count()  # full data, not the torn 5 rows
+
+
+def test_salting_rebalances_coarse_buckets(spark):
+    """With a coarse bucket layout (bucket(8, url), e.g. an Iceberg table
+    bucketed for locality) only 8 partition keys exist, so a 32-way
+    repartition leaves >= 24 cores idle. Salting hot hosts multiplies the
+    key space and rebalances — placement-only, no output change."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from pdf_document_extractor_spark.operators.skew import salted_repartition
+
+    docs = spark.range(4000).select(
+        F.concat(
+            F.lit("https://hot.example/"), F.col("id").cast("string")
+        ).alias("url"),
+        F.lit(b"<p>x</p>").alias("html"),
+    )
+
+    def partition_sizes(df):
+        rows = (
+            df.withColumn("pid", F.spark_partition_id())
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        return [r["count"] for r in rows]
+
+    unsalted = salted_repartition(docs, 32, hot=[], buckets=8, salt_buckets=16)
+    salted = salted_repartition(
+        docs, 32, hot=["hot.example"], buckets=8, salt_buckets=16
+    )
+    n_un = len(partition_sizes(unsalted))
+    n_sa = len(partition_sizes(salted))
+    assert n_un <= 8  # coarse buckets cap parallelism
+    assert n_sa > n_un * 2  # salting restores it
+    # placement only: same rows either way
+    assert unsalted.count() == salted.count() == 4000
