@@ -228,6 +228,19 @@ def q_extract_pdf_grid_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-document assembly (M6): per-page contents joined with the
+    reference's '\\n\\n---\\n\\n' multi-page template, page order enforced."""
+    from pdf_document_extractor_spark.operators.extract import (
+        assemble_documents,
+    )
+
+    ext = _extracted(spark, sf_dir, "pdf2")
+    return assemble_documents(ext).withColumn("doc_id", _doc_id()).select(
+        "doc_id", "doc_content", "page_count"
+    )
+
+
 def q_extract_html_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Figure refs with deterministic md5-prefix ids (M8 — replaces the
     reference's uuid4 ids) + higher-order page filter (D8)."""
@@ -599,6 +612,20 @@ _ORACLES: dict[str, str] = {
                'source,' || source || chr(10) AS csv
         FROM documents
     """,
+    "extract_doc_assembly": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               'Page 1' || chr(10) || chr(10)
+                   || array_to_string(toks[1:5], ' ') || chr(10)
+                   || chr(10) || chr(10) || '---' || chr(10) || chr(10)
+                   || 'Page 2' || chr(10) || chr(10)
+                   || array_to_string(toks[6:], ' ') || chr(10) AS doc_content,
+               CAST(2 AS BIGINT) AS page_count
+        FROM t
+    """,
     "extract_html_figures": """
         WITH h AS (
           SELECT doc_id,
@@ -878,6 +905,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_headers": q_extract_pdf_headers,
         "extract_pdf_grid_tables": q_extract_pdf_grid_tables,
         "extract_html_figures": q_extract_html_figures,
+        "extract_doc_assembly": q_extract_doc_assembly,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

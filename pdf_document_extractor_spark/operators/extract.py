@@ -120,11 +120,20 @@ def _figure_rows(figures) -> list[dict]:
     ]
 
 
-def extract_rows_py(url: str, payload: bytes, partition_id: int = -1) -> list[dict]:
+def extract_rows_py(
+    url: str,
+    payload: bytes,
+    partition_id: int = -1,
+    config=None,
+) -> list[dict]:
     """Pure-Python row production for one document — ALSO the pytest oracle.
 
     Returns the exact dict rows the Spark UDF emits (minus Arrow transport).
+    ``config`` flags gate structure arrays only; content is config-invariant.
     """
+    from ..core.config import DEFAULT_CONFIG
+
+    config = config or DEFAULT_CONFIG
     payload = payload or b""
     result = extract_document(url, payload)  # soft failures re-raise
     nbytes = len(payload)
@@ -160,8 +169,16 @@ def extract_rows_py(url: str, payload: bytes, partition_id: int = -1) -> list[di
                 "word_count": page.word_count,
                 "page_count": page_count,
                 "elements": _element_rows(page.elements),
-                "tables": _table_rows(page.tables),
-                "figures": _figure_rows(page.figures),
+                "tables": (
+                    _table_rows(page.tables)
+                    if config.enable_table_structure
+                    else []
+                ),
+                "figures": (
+                    _figure_rows(page.figures)
+                    if config.enable_figure_extraction
+                    else []
+                ),
                 "status": STATUS_SUCCESS,
                 "error_type": None,
                 "error_message": None,
@@ -179,33 +196,70 @@ FLUSH_ROWS = 4096
 FLUSH_BYTES = 64 << 20
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body. Lazy TaskContext import keeps core Spark-free."""
-    from pyspark import TaskContext
+def _make_extract_batches(config):
+    """Build the mapInPandas body with the run config in its closure (the
+    reference's broadcast-config analog, D4). Lazy TaskContext import keeps
+    the core Spark-free."""
 
-    ctx = TaskContext.get()
-    pid = ctx.partitionId() if ctx is not None else -1
-    out: list[dict] = []
-    acc_bytes = 0
-    for batch in batches:
-        urls = batch["url"].to_numpy()
-        payloads = batch["html"].to_numpy()
-        for url, payload in zip(urls, payloads):
-            out.extend(extract_rows_py(url, payload, pid))
-            acc_bytes += len(payload) if payload is not None else 0
-            if len(out) >= FLUSH_ROWS or acc_bytes >= FLUSH_BYTES:
-                yield pd.DataFrame(out, columns=_COLUMNS)
-                out, acc_bytes = [], 0
-    if out:
-        yield pd.DataFrame(out, columns=_COLUMNS)
+    def _extract_batches(
+        batches: Iterator[pd.DataFrame],
+    ) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else -1
+        out: list[dict] = []
+        acc_bytes = 0
+        for batch in batches:
+            urls = batch["url"].to_numpy()
+            payloads = batch["html"].to_numpy()
+            for url, payload in zip(urls, payloads):
+                out.extend(extract_rows_py(url, payload, pid, config))
+                acc_bytes += len(payload) if payload is not None else 0
+                if len(out) >= FLUSH_ROWS or acc_bytes >= FLUSH_BYTES:
+                    yield pd.DataFrame(out, columns=_COLUMNS)
+                    out, acc_bytes = [], 0
+        if out:
+            yield pd.DataFrame(out, columns=_COLUMNS)
+
+    return _extract_batches
 
 
-def extract_pages(pages_df: "DataFrame") -> "DataFrame":
+def extract_pages(pages_df: "DataFrame", config=None) -> "DataFrame":
     """pages(url, warc_ts, html, text, lang) -> extracted rows.
 
     Projects to (url, html) FIRST so column pruning reaches the scan, then
-    runs the single fused mapInPandas extraction stage.
+    runs the single fused mapInPandas extraction stage. ``config``
+    (core.config.ExtractionConfig) gates structure outputs; content is
+    config-invariant.
     """
     return pages_df.select("url", "html").mapInPandas(
-        _extract_batches, schema=EXTRACTED_SCHEMA
+        _make_extract_batches(config), schema=EXTRACTED_SCHEMA
+    )
+
+
+DOC_JOINER = "\n\n---\n\n"  # reference docling_strategy_processor.py:1452
+
+
+def assemble_documents(extracted: "DataFrame") -> "DataFrame":
+    """Per-page rows -> one row per document: contents in page order joined
+    with the reference's multi-page template (M6,
+    docling_strategy_processor.py:1417-1453). JVM-side: sorted collect_list
+    + array_join, one shuffle on url."""
+    from pyspark.sql import functions as F  # noqa: N812
+
+    pages = F.array_sort(
+        F.collect_list(F.struct("page_number", "content"))
+    )
+    return (
+        extracted.filter(F.col("status") == "success")
+        .groupBy("url")
+        .agg(pages.alias("_pages"))
+        .select(
+            "url",
+            F.array_join(
+                F.transform("_pages", lambda p: p["content"]), DOC_JOINER
+            ).alias("doc_content"),
+            F.size("_pages").cast("long").alias("page_count"),
+        )
     )
