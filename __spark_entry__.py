@@ -377,6 +377,38 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fingerprints(_docs(spark, sf_dir))
 
 
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash sampling + train/val split (no rand(): replay-
+    stable, oracle-expressible, scan-level filter at 100 TB)."""
+    from pdf_document_extractor_spark.functions.text import h64
+    from pdf_document_extractor_spark.operators.sampling import (
+        train_val_split,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    split = train_val_split(docs, "doc_id", val_pct=10)
+    in20 = (
+        h64(F.concat(F.lit("s20"), F.col("doc_id").cast("string"))) % 100
+        < 20
+    )
+    return split.select(
+        "doc_id", "split", in20.cast("long").alias("in_sample20")
+    )
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= 8 word
+    3-grams with the benchmark set (docs with doc_id%50==0 stand in as
+    the leaked benchmark)."""
+    from pdf_document_extractor_spark.operators.sampling import (
+        contamination_flags,
+    )
+
+    docs = _docs(spark, sf_dir)
+    benchmark = docs.filter(F.col("doc_id") % 50 == 0).select("text")
+    return contamination_flags(docs, benchmark, n=3, min_shared=8)
+
+
 def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-window chunking with overlap (reference DoclingConfig
     chunk_size/overlap_size, docling_models.py:41-58) — pure Catalyst
@@ -816,6 +848,46 @@ _ORACLES["text_fingerprint"] = f"""
 """
 
 
+_H64 = "(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+_ORACLES["sample_split"] = f"""
+    SELECT doc_id,
+           CASE WHEN {_H64.format(expr="'split' || CAST(doc_id AS VARCHAR)")}
+                     % 100 < 10
+                THEN 'val' ELSE 'train' END AS split,
+           CAST(CASE WHEN
+                {_H64.format(expr="'s20' || CAST(doc_id AS VARCHAR)")}
+                     % 100 < 20
+                THEN 1 ELSE 0 END AS BIGINT) AS in_sample20
+    FROM documents
+"""
+
+_ORACLES["decontaminate"] = f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ),
+    bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+    ),
+    shared AS (
+      SELECT s.doc_id, count(*) AS shared_shingles
+      FROM sh s JOIN bench USING (shingle)
+      GROUP BY s.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(shared_shingles, 0) AS BIGINT) AS shared_shingles,
+           CAST(CASE WHEN coalesce(shared_shingles, 0) >= 8
+                THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+    FROM documents d LEFT JOIN shared ON d.doc_id = shared.doc_id
+"""
+
 _ORACLES["text_chunking"] = f"""
     WITH t AS (
       SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
@@ -922,6 +994,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "url_canonicalize": q_url_canonicalize,
         "text_chunking": q_text_chunking,
+        "sample_split": q_sample_split,
+        "decontaminate": q_decontaminate,
     }
 
 
