@@ -26,6 +26,22 @@ from .taxonomy import classify_error
 
 PDF_MAGIC = b"%PDF-"
 
+# Known non-extractable container magics -> typed hard failures. Parity
+# with the reference's 10-type MIME table (lib/models/mime_type_utils.py:
+# 36-77): those formats are RECOGNIZED (named in the failure row) even
+# though extraction is out of the north rule's pdf/html scope. Everything
+# else falls through to the HTML path, whose binary-junk guard catches the
+# residue (html_extract.py pinned rule 7).
+CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
+    (b"PK\x03\x04", "zip/ooxml container (docx/xlsx/pptx)"),
+    (b"\x89PNG\r\n", "png image"),
+    (b"\xff\xd8\xff", "jpeg image"),
+    (b"GIF87a", "gif image"),
+    (b"GIF89a", "gif image"),
+    (b"\x1f\x8b", "gzip stream"),
+    (b"%!PS", "postscript document"),
+)
+
 
 def url_hash(url: str) -> str:
     """Deterministic 16-hex-char document id prefix. Replaces the
@@ -56,6 +72,15 @@ def extract_document(url: str, data: bytes) -> ExtractionResult:
     => redelivery)."""
     uh = url_hash(url)
     data = data or b""
+    for magic, label in CONTAINER_MAGICS:
+        if data[: len(magic)] == magic:
+            return ExtractionResult(
+                doc_type="unsupported",
+                status="hard_failure",
+                error_type="UnsupportedFormatError",
+                error_message=f"unsupported format: {label}",
+                pages=[],
+            )
     doc_type = sniff_doc_type(data)
     try:
         return EXTRACTORS[doc_type](data, uh)

