@@ -72,6 +72,40 @@ def _update_host_stats(
     )
 
 
+def stream_dedup_recrawls(
+    spark: "SparkSession",
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    watermark: str = "1 hour",
+    available_now: bool = True,
+) -> "StreamingQuery":
+    """Re-crawl suppression: keep the FIRST arrival of each url within the
+    watermark horizon (Common Crawl revisits hot pages; a training corpus
+    wants one copy). ``dropDuplicatesWithinWatermark`` keys state on url
+    and expires entries once the event-time watermark passes — bounded
+    state at 10^12 docs, unlike an unbounded dropDuplicates."""
+    from ..sources.pages import PAGES_SCHEMA
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(pages_dir)
+    )
+    deduped = stream.withWatermark(
+        "warc_ts", watermark
+    ).dropDuplicatesWithinWatermark(["url"])
+    writer = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_windowed_host_counts(
     spark: "SparkSession",
     pages_dir: str,

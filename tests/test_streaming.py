@@ -228,3 +228,49 @@ def test_windowed_host_counts_with_watermark(spark, tmp_path):
     assert got2[(10, 0, "a.com")] == 2  # late event dropped, no re-emit
     assert got2[(12, 0, "a.com")] == 1  # 12:00 window closed by 14:00 event
     assert (14, 0, "c.com") not in got2  # still open
+
+def test_stream_dedup_recrawls(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps one copy per url across
+    micro-batches (bounded keyed state)."""
+    import datetime as dt
+
+    from pdf_document_extractor_spark.sources.pages import PAGES_SCHEMA
+    from pdf_document_extractor_spark.streaming.stateful import (
+        stream_dedup_recrawls,
+    )
+
+    pages_dir = tmp_path / "pages"
+    pages_dir.mkdir()
+    out_dir = str(tmp_path / "dedup")
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema=PAGES_SCHEMA).coalesce(1).write.mode(
+            "append"
+        ).parquet(str(pages_dir))
+
+    t0 = dt.datetime(2025, 1, 1, 10, 0)
+
+    def page(url, minutes):
+        return (
+            url,
+            t0 + dt.timedelta(minutes=minutes),
+            b"<p>x</p>",
+            "",
+            "en",
+        )
+
+    # url A crawled 3x within the hour, B once
+    write([page("https://h/a", 0), page("https://h/a", 5),
+           page("https://h/b", 6), page("https://h/a", 20)])
+    q = stream_dedup_recrawls(spark, str(pages_dir), out_dir, ckpt)
+    q.awaitTermination(300)
+    urls = [r.url for r in spark.read.parquet(out_dir).select("url").collect()]
+    assert sorted(urls) == ["https://h/a", "https://h/b"]
+
+    # second drop: another re-crawl of A within horizon -> still suppressed
+    write([page("https://h/a", 30), page("https://h/c", 31)])
+    q2 = stream_dedup_recrawls(spark, str(pages_dir), out_dir, ckpt)
+    q2.awaitTermination(300)
+    urls = [r.url for r in spark.read.parquet(out_dir).select("url").collect()]
+    assert sorted(urls) == ["https://h/a", "https://h/b", "https://h/c"]
