@@ -371,6 +371,16 @@ def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_scores(_docs(spark, sf_dir))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters (Gopher/RefinedWeb family): duplicate-token ratio
+    + top-bigram fraction, integer-exact millis."""
+    from pdf_document_extractor_spark.operators.textstats import (
+        repetition_scores,
+    )
+
+    return repetition_scores(_docs(spark, sf_dir))
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.textstats import fingerprints
 
@@ -838,6 +848,31 @@ _ORACLES["text_quality_scores"] = f"""
     FROM t
 """
 
+_ORACLES["text_repetition"] = f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS} AS toks, len({_TOKS}) AS n FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, n,
+             unnest(list_transform(range(1, n),
+                    i -> toks[i] || ' ' || toks[i+1])) AS b
+      FROM t WHERE n >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, n, b, count(*) AS c FROM bg GROUP BY doc_id, n, b
+    ),
+    top AS (
+      SELECT doc_id, max(c) * 2 * 1000 // any_value(n) AS top_bigram_millis
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(1000 - len(list_distinct(toks)) * 1000 // n AS BIGINT)
+               AS dup_token_ratio_millis,
+           CAST(coalesce(top_bigram_millis, 0) AS BIGINT)
+               AS top_bigram_millis
+    FROM t LEFT JOIN top ON t.doc_id = top.doc_id
+"""
+
 _ORACLES["text_fingerprint"] = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
@@ -990,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_language_id": q_text_language_id,
         "text_quality_scores": q_text_quality_scores,
         "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
         "mm_media_metadata": q_mm_media_metadata,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "url_canonicalize": q_url_canonicalize,

@@ -107,6 +107,58 @@ def stopword_count_expr():
     )
 
 
+def repetition_scores(docs: "DataFrame") -> "DataFrame":
+    """Intra-document repetition signals (Gopher/RefinedWeb-style filters):
+
+    - dup_token_ratio_millis: 1000 * (1 - distinct/total tokens) — natural
+      text sits low; keyword-stuffed/boilerplate pages spike.
+    - top_bigram_millis: 1000 * (occurrences of the most frequent bigram *
+      2) div total tokens — catches "foo bar foo bar ..." repetition that
+      token-level dedup misses.
+
+    dup ratio is a pure projection; the bigram mode needs one groupBy
+    (doc_id, bigram) + one max per doc — both map-side-combining counts,
+    never the text itself.
+    """
+    toked = docs.select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    ).withColumn("n", F.size("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.col("n") - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at("toks", i), F.element_at("toks", i + 1)
+        ),
+    )
+    top_bigram = (
+        toked.filter(F.col("n") >= 2)
+        .select("doc_id", "n", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "n", "bg")
+        .count()
+        .groupBy("doc_id", "n")
+        .agg(F.max("count").alias("top_bg"))
+        .select(
+            "doc_id",
+            F.expr("top_bg * 2 * 1000 div n").alias("top_bigram_millis"),
+        )
+    )
+    dup = toked.select(
+        "doc_id",
+        F.expr(
+            "1000 - size(array_distinct(toks)) * 1000 div n"
+        ).alias("dup_token_ratio_millis"),
+    )
+    return (
+        dup.join(top_bigram, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("dup_token_ratio_millis").cast("long"),
+            F.coalesce("top_bigram_millis", F.lit(0))
+            .cast("long")
+            .alias("top_bigram_millis"),
+        )
+    )
+
+
 def fingerprints(docs: "DataFrame") -> "DataFrame":
     """Position-sensitive document fingerprint (rolling-hash family):
     fp = sum_i ((h64(word_i) mod 1000003) * i) mod 1000000007, i 1-based.
