@@ -130,6 +130,34 @@ def main() -> None:
         "the scored corpus.",
     )
 
+    # -- LSH verification joins candidates, not the full inverted index ----
+    from pdf_document_extractor_spark.operators.dedup import minhash_lsh_pairs
+
+    docs_small = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet"
+    ).select("doc_id", "text")
+    lsh_plan = capture(minhash_lsh_pairs(docs_small))
+    assert "[id_b" in lsh_plan and "shingle" in lsh_plan, "candidate join shape"
+    print(f"{'LSH verify joins candidate pairs only':45s} OK")
+    SECTIONS.append(
+        (
+            "LSH verify joins candidate pairs only",
+            "\n".join(
+                ln
+                for ln in lsh_plan.splitlines()
+                if "keys" in ln or "Join" in ln
+            ),
+            ["join keys include (id_b, shingle)"],
+            "The exact-Jaccard verification of LSH candidates expands "
+            "candidate pairs against per-doc shingle sets (join keyed on "
+            "(id_b, shingle)) instead of self-joining the full shingle "
+            "inverted index and filtering afterwards. The latter is "
+            "O(sum_s df(s)^2) — it silently re-introduces the quadratic "
+            "cost LSH exists to avoid (this regressed once; the audit "
+            "pins the join shape). Only join-key lines shown.",
+        )
+    )
+
     # -- bucketed co-located join: shuffle-free enrichment ------------------
     spark.sql("DROP TABLE IF EXISTS pages_b")
     spark.sql("DROP TABLE IF EXISTS extracted_b")
