@@ -305,6 +305,36 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs_with_near_copies(spark, sf_dir), tau_pct=80)
 
 
+def _docs_with_copy_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + TWO near-copy tiers per doc_id%5==0 (drop 3 / 6 leading
+    words) — components span A~B~C, exercising transitive clustering."""
+    docs = _docs(spark, sf_dir)
+    tier_b = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.regexp_replace("text", r"^(\S+ ){3}", "").alias("text"),
+    )
+    tier_c = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.regexp_replace("text", r"^(\S+ ){6}", "").alias("text"),
+    )
+    return docs.unionByName(tier_b).unionByName(tier_c)
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-dup pairs: transitive A~B~C clusters
+    collapse to one canonical keeper (min id), via iterative min-label
+    propagation. Oracle = recursive-CTE transitive closure over the same
+    exact-Jaccard edges."""
+    from pdf_document_extractor_spark.operators.dedup import (
+        dedup_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    corpus = _docs_with_copy_chain(spark, sf_dir)
+    edges = ngram_jaccard_pairs(corpus, tau_pct=80).select("id_a", "id_b")
+    return dedup_clusters(edges)
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.dedup import simhash64
 
@@ -737,6 +767,54 @@ _JACCARD_ORACLE = f"""
 _ORACLES["dedup_ngram_jaccard"] = _JACCARD_ORACLE
 _ORACLES["dedup_minhash_lsh"] = _JACCARD_ORACLE  # verified LSH == exact
 
+_CHAIN_BASE = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, regexp_replace(text, '^(\\S+ ){3}', '')
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id + 200000, regexp_replace(text, '^(\\S+ ){6}', '')
+    FROM documents WHERE doc_id % 5 = 0
+"""
+
+_ORACLES["dedup_clusters"] = f"""
+    WITH RECURSIVE base AS ({_CHAIN_BASE}),
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM base),
+    sh AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))
+             AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b USING (shingle)
+      WHERE a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE 100 * inter >= 80 * (sa.sz + sb.sz - inter)
+    ),
+    sym AS (
+      SELECT id_a AS src, id_b AS dst FROM edges
+      UNION
+      SELECT id_b, id_a FROM edges
+    ),
+    reach AS (
+      SELECT src, dst FROM sym
+      UNION
+      SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+    )
+    SELECT CAST(src AS BIGINT) AS doc_id,
+           CAST(least(src, min(dst)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src
+"""
+
 _ORACLES["dedup_exact"] = """
     WITH base AS (
       SELECT doc_id, text FROM documents
@@ -1017,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "sim_ann_lsh_topk": q_sim_ann_lsh_topk,

@@ -181,6 +181,64 @@ def minhash_lsh_pairs(
     )
 
 
+def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
+    """Near-dup pairs -> connected components: (doc_id, cluster_id) where
+    cluster_id = min doc_id in the component (the canonical keeper).
+
+    Pair output alone under-deduplicates: A~B and B~C must collapse to ONE
+    keeper even when A~C missed the threshold. Iterative min-label
+    propagation (the simplified large-star/small-star layout): each round
+    every node takes the min label among itself and its neighbors; rounds
+    needed = component diameter (tiny for near-dup clusters). Each round is
+    one shuffle join on ~|edges| rows of (long, long) — no text moves.
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    does not replay rounds 1..N-1.
+    """
+    edges = pairs.select(
+        F.col("id_a").cast("long"), F.col("id_b").cast("long")
+    )
+    sym = edges.unionByName(
+        edges.select(
+            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+        )
+    ).distinct()
+    labels = (
+        sym.select(F.col("id_a").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["id_b"] == labels["id"])
+            .groupBy("id_a")
+            .agg(F.min("label").alias("neighbor_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels["id"] == neighbor_min["id_a"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce("neighbor_label", labels["label"]),
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
 # --------------------------------------------------------------------------
 # SimHash
 # --------------------------------------------------------------------------
