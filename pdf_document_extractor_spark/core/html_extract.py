@@ -41,13 +41,12 @@ every golden fixture changes):
 
 from __future__ import annotations
 
-import csv
-import io
 import re
 from html.parser import HTMLParser
 
 from .model import (
     DOC_TYPE_HTML,
+    table_csv,
     LABEL_BLOCK,
     Element,
     ExtractionResult,
@@ -190,6 +189,11 @@ class _BlockCollector(HTMLParser):
             self._anchor_depth += 1
         if tag in BLOCK_TAGS:
             self._flush()
+            # An inline anchor cannot span into a new block; without this
+            # reset one unclosed <a> (ubiquitous in crawl HTML) would mark
+            # every later fragment as link text and reject all remaining
+            # blocks as link-dense.
+            self._anchor_depth = 0
 
     def handle_endtag(self, tag: str) -> None:
         if tag in DROP_TAGS:
@@ -236,17 +240,7 @@ class _BlockCollector(HTMLParser):
 
 
 def _table_csv(rows: list[list[str]]) -> str | None:
-    """CSV export matching pandas ``to_csv(index=False)`` framing: first row
-    as header line, QUOTE_MINIMAL, "\\n" line terminator (reference CSV
-    export: asset_storage_service.py:241-285)."""
-    if not rows:
-        return None
-    ncols = max(len(r) for r in rows)
-    buf = io.StringIO()
-    writer = csv.writer(buf, lineterminator="\n")
-    for row in rows:
-        writer.writerow(row + [""] * (ncols - len(row)))
-    return buf.getvalue()
+    return table_csv(rows)  # shared pinned implementation (model.py)
 
 
 def extract_html(data: bytes, url_hash: str) -> ExtractionResult:

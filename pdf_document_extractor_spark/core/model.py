@@ -127,3 +127,22 @@ def normalize_ws(text: str) -> str:
     count always agree.
     """
     return " ".join(text.split())
+
+
+def table_csv(rows: list[list[str]]) -> str | None:
+    """CSV export matching pandas ``to_csv(index=False)`` framing: first
+    row as header line, QUOTE_MINIMAL, '\\n' line terminator (reference:
+    asset_storage_service.py:241-285). Rows are right-padded to the widest
+    row. ONE shared implementation — the rule is pinned to the goldens for
+    BOTH the PDF and HTML table paths."""
+    import csv
+    import io
+
+    if not rows:
+        return None
+    ncols = max(len(r) for r in rows)
+    buf = io.StringIO()
+    writer = csv.writer(buf, lineterminator="\n")
+    for row in rows:
+        writer.writerow(row + [""] * (ncols - len(row)))
+    return buf.getvalue()

@@ -49,6 +49,7 @@ from .model import (
     ExtractionResult,
     PageResult,
     TableRef,
+    table_csv,
     word_count,
 )
 from .taxonomy import CorruptedFileError, EmptyContentError, UnsupportedFormatError
@@ -580,13 +581,6 @@ def extract_pdf(data: bytes, url_hash: str) -> ExtractionResult:
             # shows are already x-sorted within the line.
             headers = tuple(rows[0])
             ncols = max(len(r) for r in rows)
-            import csv as _csv
-            import io as _io
-
-            buf = _io.StringIO()
-            w = _csv.writer(buf, lineterminator="\n")
-            for r in rows:
-                w.writerow(r + [""] * (ncols - len(r)))
             tables.append(
                 TableRef(
                     table_id=f"{url_hash}_table_{table_counter}",
@@ -595,7 +589,7 @@ def extract_pdf(data: bytes, url_hash: str) -> ExtractionResult:
                     num_cols=ncols,
                     headers=headers,
                     cell_count=sum(len(r) for r in rows),
-                    csv=buf.getvalue(),
+                    csv=table_csv(rows),
                 )
             )
             table_counter += 1

@@ -51,7 +51,16 @@ class OversizeDocumentError(ExtractionError):
 
 def is_soft_failure(exc: BaseException) -> bool:
     """True iff the error is transient and must be retried (reference:
-    docling_strategy_processor.py:534-538)."""
+    docling_strategy_processor.py:534-538).
+
+    Typed ``ExtractionError``s are NEVER soft: their messages embed
+    document-controlled text (stream filter names, parse context), so a
+    crafted/garbage document containing e.g. '/Connection' must not be
+    promoted into a retry — a deterministic failure that retries exhausts
+    spark.task.maxFailures and aborts the whole stage on one poison doc.
+    """
+    if isinstance(exc, ExtractionError):
+        return False
     msg = str(exc).lower()
     return any(marker in msg for marker in _SOFT_MARKERS)
 
@@ -60,11 +69,12 @@ def classify_error(exc: BaseException) -> tuple[str, str, str]:
     """Return ``(status, error_type, error_message)`` for an exception.
 
     status is ``soft_failure`` for transient errors, else ``hard_failure``.
+    Typed hard failures are classified FIRST (see is_soft_failure).
     """
     from .model import STATUS_HARD_FAILURE, STATUS_SOFT_FAILURE
 
-    if is_soft_failure(exc):
-        return STATUS_SOFT_FAILURE, "TransientError", str(exc)
     if isinstance(exc, ExtractionError):
         return STATUS_HARD_FAILURE, exc.error_type, str(exc)
+    if is_soft_failure(exc):
+        return STATUS_SOFT_FAILURE, "TransientError", str(exc)
     return STATUS_HARD_FAILURE, type(exc).__name__, str(exc)

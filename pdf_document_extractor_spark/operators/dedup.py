@@ -208,6 +208,7 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    converged = False
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["id_b"] == labels["id"])
@@ -233,7 +234,16 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning partial labels would under-deduplicate with
+        # no signal; a >max_iter-diameter component is a data smell the
+        # caller must see (raise max_iter, or pre-split giant components)
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iter} rounds — a "
+            f"component has diameter > {max_iter}"
+        )
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

@@ -39,7 +39,13 @@ def with_norm(df: "DataFrame", emb: str = "embedding") -> "DataFrame":
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    return df.withColumn("_norm", F.sqrt(dot_self))
+    # zero-vector guard: norm 0 -> cos = 0/0 = NaN, and NaN sorts LARGEST
+    # in Spark, so one zero embedding would become the rank-1 neighbor of
+    # every query. With norm clamped to 1, its dot (0) ranks it last.
+    return df.withColumn(
+        "_norm",
+        F.when(dot_self == 0.0, F.lit(1.0)).otherwise(F.sqrt(dot_self)),
+    )
 
 
 def cosine_col(emb_a: str, emb_b: str, norm_a: str, norm_b: str):
@@ -406,18 +412,23 @@ def lsh_bucketed_topk(
     the query's bucket or any 1-bit flip of it (multi-probe). At 100 TB the
     bucket column is a cheap partition/cluster key; the join is bucket-local
     instead of all-pairs."""
+    import itertools
+
     planes = _hyperplanes(dim)
     base = with_norm(embeddings).withColumn(
         "bucket", _sign_bucket(F.col("embedding"), planes)
     )
     queries = base.filter(F.col("vec_id") < query_ids_below)
+    # probe masks: the bucket itself plus every <= multiprobe_flips-bit
+    # flip — the advertised recall/cost dial (radius r probes
+    # sum_{i<=r} C(N_PLANES, i) buckets)
+    masks = [0] + [
+        sum(1 << j for j in combo)
+        for r in range(1, multiprobe_flips + 1)
+        for combo in itertools.combinations(range(N_PLANES), r)
+    ]
     probe_buckets = F.array(
-        F.col("bucket"),
-        *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << j))
-            for j in range(N_PLANES)
-            if multiprobe_flips >= 1
-        ],
+        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
     )
     queries = queries.select(
         F.col("vec_id").alias("query_id"),

@@ -28,13 +28,46 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
-HOST_PATTERN = r"^[a-z][a-z0-9+.-]*://([^/?#]*)"
+# kept for backward compat; prefer functions.url.host_of (lowercased,
+# scheme-case-insensitive) — a case-variant host split across spellings
+# would fall below hot_fraction and silently dodge salting
+HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 
 
 def with_host(df: "DataFrame", url_col: str = "url") -> "DataFrame":
     from pyspark.sql import functions as F  # noqa: N812
 
-    return df.withColumn("host", F.regexp_extract(F.col(url_col), HOST_PATTERN, 1))
+    from ..functions.url import host_of
+
+    return df.withColumn("host", host_of(F.col(url_col)))
+
+
+def host_stats(
+    pages_df: "DataFrame",
+    hot_fraction: float = 0.05,
+    url_col: str = "url",
+) -> tuple[list[str], int]:
+    """(hot hosts, total row count) from ONE scan of the url column.
+
+    The per-host aggregate is tiny (~#distinct hosts rows, stays
+    distributed); the total is summed from it rather than re-scanning the
+    input, and only above-threshold hosts are collected to the driver.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    counts = with_host(pages_df, url_col).groupBy("host").count()
+    counts = counts.persist()
+    try:
+        row = counts.agg(F.sum("count").alias("t")).collect()[0]
+        total = int(row["t"] or 0)
+        if total == 0:
+            return [], 0
+        rows = counts.filter(
+            F.col("count") > total * hot_fraction
+        ).collect()
+        return sorted(r["host"] for r in rows), total
+    finally:
+        counts.unpersist()
 
 
 def hot_hosts(
@@ -42,19 +75,9 @@ def hot_hosts(
     hot_fraction: float = 0.05,
     url_col: str = "url",
 ) -> list[str]:
-    """Hosts holding more than ``hot_fraction`` of all rows.
-
-    One cheap aggregation pass; the count(*) subtotal is computed in the
-    same job via a window-free grouping + a scalar total.
-    """
-    from pyspark.sql import functions as F  # noqa: N812
-
-    counts = with_host(pages_df, url_col).groupBy("host").count()
-    total = pages_df.count()
-    if total == 0:
-        return []
-    rows = counts.filter(F.col("count") > total * hot_fraction).collect()
-    return sorted(r["host"] for r in rows)
+    """Hosts holding more than ``hot_fraction`` of all rows."""
+    hot, _ = host_stats(pages_df, hot_fraction, url_col)
+    return hot
 
 
 def salted_repartition(

@@ -168,7 +168,12 @@ def fingerprints(docs: "DataFrame") -> "DataFrame":
     df = docs.select(
         "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "word")
     )
-    term = (h64(F.col("word")) % H64_MOD) * (F.col("pos") + 1)
+    # reduce each term mod FP_MOD BEFORE summing: (sum t_i) mod M ==
+    # (sum (t_i mod M)) mod M, and the raw term is ~1e6 * position — an
+    # un-reduced int64 sum overflows around 4M tokens/doc (ANSI mode would
+    # abort the job on one huge document). Reduced terms stay < 1e9+7, so
+    # the sum is safe to ~9e9 tokens.
+    term = ((h64(F.col("word")) % H64_MOD) * (F.col("pos") + 1)) % FP_MOD
     return (
         df.groupBy("doc_id")
         .agg((F.sum(term) % FP_MOD).cast("long").alias("fingerprint"))

@@ -36,7 +36,7 @@ from typing import TYPE_CHECKING
 
 from ..operators.extract import extract_pages
 from ..operators.lineage import lineage_rows, run_rollup
-from ..operators.skew import hot_hosts, salted_repartition, split_heavy
+from ..operators.skew import host_stats, salted_repartition, split_heavy
 from ..sources.catalog import SnapshotTable
 
 if TYPE_CHECKING:
@@ -84,13 +84,12 @@ def run_extraction_job(
         done_urls = prior.select("url").distinct()
         todo = pages.join(done_urls, "url", "left_anti")
 
-    docs_in = todo.count()
+    # ONE url-column pre-pass yields both the doc count and the hot set
+    # (the input is scanned again only by the extraction stage itself)
+    hot, docs_in = host_stats(todo, hot_fraction=hot_fraction)
     if docs_in == 0:
         return RunResult(run_id, 0, 0, time.time() - t0, False,
                          extracted_tbl.current_snapshot_id())
-
-    # -- placement: skew-salted buckets, then heavy split -------------------
-    hot = hot_hosts(todo, hot_fraction=hot_fraction)
     placed = salted_repartition(
         todo, num_partitions, hot=hot, salt_buckets=salt_buckets
     )

@@ -21,7 +21,7 @@ from typing import TYPE_CHECKING, Any
 
 import pandas as pd
 
-from ..operators.skew import HOST_PATTERN
+from ..functions.url import host_of
 
 if TYPE_CHECKING:
     from pyspark.sql import SparkSession
@@ -133,7 +133,7 @@ def stream_windowed_host_counts(
     )
     counts = (
         stream.withColumn(
-            "host", F.regexp_extract(F.col("url"), HOST_PATTERN, 1)
+            "host", host_of(F.col("url"))
         )
         .withWatermark("warc_ts", watermark)
         .groupBy(F.window("warc_ts", window).alias("win"), "host")
@@ -181,7 +181,7 @@ def stream_host_stats(
         .parquet(pages_dir)
     )
     keyed = stream.select(
-        F.regexp_extract(F.col("url"), HOST_PATTERN, 1).alias("host"),
+        host_of(F.col("url")).alias("host"),
         "html",
     ).groupBy("host")
     stats = keyed.applyInPandasWithState(

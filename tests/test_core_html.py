@@ -141,3 +141,16 @@ def test_anchor_inside_kept_block_counts_link_chars_only():
     )
     r = extract_document("u", html)
     assert "one link" in r.pages[0].content
+
+
+def test_unclosed_anchor_does_not_poison_following_blocks():
+    """An unclosed <a> (ubiquitous crawl HTML) must not mark every later
+    block as link text: anchor depth resets at block boundaries."""
+    html = (
+        b"<html><body><p><a href='/x'>home</p>"
+        b"<p>this is the real article body text that must survive</p>"
+        b"</body></html>"
+    )
+    r = extract_document("u", html)
+    assert r.status == "success"
+    assert "real article body" in r.pages[0].content

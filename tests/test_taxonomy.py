@@ -76,3 +76,21 @@ def test_known_containers_get_typed_unsupported_failures():
         assert r.error_type == "UnsupportedFormatError", label
         assert r.doc_type == "unsupported", label
         assert label.split("/")[0][:3] in r.error_message or True
+
+
+def test_document_controlled_text_cannot_promote_hard_to_soft():
+    """A typed hard failure whose MESSAGE contains a transient marker
+    ('/Connection' stream filter in a crafted PDF) must stay hard — soft
+    would retry a deterministic failure and abort the stage."""
+    from pdf_document_extractor_spark.core.taxonomy import (
+        UnsupportedFormatError,
+        classify_error,
+        is_soft_failure,
+    )
+
+    exc = UnsupportedFormatError("unsupported stream filter /Connection timeout")
+    assert not is_soft_failure(exc)
+    status, etype, _ = classify_error(exc)
+    assert status == "hard_failure" and etype == "UnsupportedFormatError"
+    # genuine transient errors still classify soft
+    assert is_soft_failure(TimeoutError("connection timed out"))
