@@ -28,44 +28,61 @@ from typing import TYPE_CHECKING
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
-# kept for backward compat; prefer functions.url.host_of (lowercased,
-# scheme-case-insensitive) — a case-variant host split across spellings
-# would fall below hot_fraction and silently dodge salting
+# Single-group pattern for the PLACEMENT hot path: evaluated per row in
+# the pre-pass and in the salt projection, so it must stay cheap — the
+# 5-group anchored regex in functions/url.py belongs to canonicalization,
+# not here. Lowercasing still applies (a case-variant host split across
+# spellings would fall below hot_fraction and silently dodge salting).
 HOST_PATTERN = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
 
 
 def with_host(df: "DataFrame", url_col: str = "url") -> "DataFrame":
     from pyspark.sql import functions as F  # noqa: N812
 
-    from ..functions.url import host_of
-
-    return df.withColumn("host", host_of(F.col(url_col)))
+    return df.withColumn(
+        "host",
+        F.lower(F.regexp_extract(F.col(url_col), HOST_PATTERN, 1)),
+    )
 
 
 def host_stats(
     pages_df: "DataFrame",
     hot_fraction: float = 0.05,
     url_col: str = "url",
+    sample_fraction: float | None = None,
 ) -> tuple[list[str], int]:
     """(hot hosts, total row count) from ONE scan of the url column.
 
     The per-host aggregate is tiny (~#distinct hosts rows, stays
     distributed); the total is summed from it rather than re-scanning the
     input, and only above-threshold hosts are collected to the driver.
+
+    ``sample_fraction``: hot-host detection is a FREQUENCY estimate — at
+    100 TB you sample the url column (seeded, deterministic), you don't
+    scan 10^12 rows to learn that one host holds 20% of them. A host at
+    hot_fraction 0.05 appears ~50k times in a 0.1% sample of 10^9 rows;
+    the estimate cannot miss it. Placement-only: a borderline host salted
+    or not never changes output. Returned total is scaled back up (exact
+    when sample_fraction is None).
     """
     from pyspark.sql import functions as F  # noqa: N812
 
-    counts = with_host(pages_df, url_col).groupBy("host").count()
+    src = pages_df
+    scale = 1.0
+    if sample_fraction is not None and sample_fraction < 1.0:
+        src = pages_df.sample(False, sample_fraction, seed=42)
+        scale = 1.0 / sample_fraction
+    counts = with_host(src, url_col).groupBy("host").count()
     counts = counts.persist()
     try:
         row = counts.agg(F.sum("count").alias("t")).collect()[0]
-        total = int(row["t"] or 0)
-        if total == 0:
+        sampled_total = int(row["t"] or 0)
+        if sampled_total == 0:
             return [], 0
         rows = counts.filter(
-            F.col("count") > total * hot_fraction
+            F.col("count") > sampled_total * hot_fraction
         ).collect()
-        return sorted(r["host"] for r in rows), total
+        return sorted(r["host"] for r in rows), int(sampled_total * scale)
     finally:
         counts.unpersist()
 
