@@ -214,3 +214,19 @@ def test_salting_rebalances_coarse_buckets(spark):
     assert n_sa > n_un * 2  # salting restores it
     # placement only: same rows either way
     assert unsalted.count() == salted.count() == 4000
+
+
+def test_hash_sampling_is_nested_and_deterministic(spark):
+    """sample_hash(pct) slices nest (10% subset of 20%) and replay exactly."""
+    from pdf_document_extractor_spark.operators.sampling import sample_hash
+
+    docs = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s10 = {r.doc_id for r in sample_hash(docs, "doc_id", 10).collect()}
+    s20 = {r.doc_id for r in sample_hash(docs, "doc_id", 20).collect()}
+    assert s10 <= s20
+    assert 100 <= len(s10) <= 300 and 280 <= len(s20) <= 520
+    again = {r.doc_id for r in sample_hash(docs, "doc_id", 10).collect()}
+    assert again == s10
+    # different salt -> a different (deterministic) slice
+    other = {r.doc_id for r in sample_hash(docs, "doc_id", 10, salt="x").collect()}
+    assert other != s10
