@@ -22,9 +22,10 @@ Scale notes:
   rerun resumes exactly (snapshot-commit discipline, sources/catalog.py).
 
 CLI:
-  spark-submit --py-files pdf_document_extractor_spark.zip \
-      -m pdf_document_extractor_spark.plans.run \
+  # job.py: from pdf_document_extractor_spark.plans.run import main; main()
+  spark-submit --py-files pdf_document_extractor_spark.zip job.py \
       --pages /path/pages.parquet --warehouse /path/wh --run-id r1
+  (build the zip with: python tools/package.py; see tests/test_spark_submit.py)
 """
 
 from __future__ import annotations

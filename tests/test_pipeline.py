@@ -230,3 +230,36 @@ def test_hash_sampling_is_nested_and_deterministic(spark):
     # different salt -> a different (deterministic) slice
     other = {r.doc_id for r in sample_hash(docs, "doc_id", 10, salt="x").collect()}
     assert other != s10
+
+
+def test_chunk_reassembly_roundtrip(spark):
+    """Dropping each chunk's leading `overlap` tokens (except chunk 0) and
+    concatenating reproduces the original token stream exactly — no token
+    lost, none duplicated (the training-corpus integrity property)."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: N812
+
+    from pdf_document_extractor_spark.operators.chunking import (
+        chunk_documents,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(50):
+        n = rng.randint(1, 130)
+        rows.append((i, " ".join(f"w{rng.randint(0, 9)}" for _ in range(n))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    chunks = chunk_documents(docs, chunk_size=20, overlap=5).collect()
+    by_doc = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        toks = r.chunk_text.split()
+        if r.chunk_idx == 0:
+            by_doc[r.doc_id] = toks
+        else:
+            # overlap region must MATCH the previous chunk's tail...
+            assert by_doc[r.doc_id][-5:] == toks[:5] or len(toks) < 5
+            # ...then contribute only the novel tail
+            by_doc[r.doc_id].extend(toks[5:])
+    for doc_id, text in rows:
+        assert by_doc[doc_id] == text.split(), doc_id
