@@ -1,8 +1,12 @@
 """HTML main-content extraction: boilerplate stripping by DOM block scoring.
 
 From-scratch implementation of the boilerpipe/jusText family of shallow-text
-heuristics (Kohlschuetter et al., WSDM 2010; Pomikalek's jusText) on top of a
-stdlib ``html.parser`` DOM — no lxml dependency. The reference repo contains
+heuristics (Kohlschuetter et al., WSDM 2010; Pomikalek's jusText). The
+north star names lxml parse trees; lxml is NOT installed in this
+environment (and installs are disallowed), so the same text-density /
+link-density node scoring runs over the stdlib ``html.parser`` event
+stream — the algorithm family, thresholds, and output contract are
+identical; only the tree library differs. The reference repo contains
 no HTML input path (its only HTML touchpoints are an *output* format enum,
 docling_models.py:22-28); this module satisfies the north-rule's HTML half
 while honoring the reference's *output contract*: per-page ``content`` plus
