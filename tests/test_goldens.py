@@ -86,3 +86,41 @@ def test_spark_pipeline_matches_goldens_byte_identical(spark, unit_corpus):
         assert [e.asDict(recursive=True) for e in row.elements] == g["elements"]
         assert [t.asDict(recursive=True) for t in row.tables] == g["tables"]
         assert [f.asDict(recursive=True) for f in row.figures] == g["figures"]
+
+
+def test_gate_mode_goldens_byte_identical():
+    """The driver-gate synthesis modes (FIXTURES.md §5) are frozen by their
+    own golden file, independent of the DuckDB oracle equality."""
+    import sys
+
+    sys.path.insert(0, str(pathlib.Path(__file__).parents[1] / "tools"))
+    import make_goldens
+
+    from pdf_document_extractor_spark.operators.extract import extract_rows_py
+    from pdf_document_extractor_spark.sources.pages import (
+        synth_payload,
+        synth_url,
+    )
+
+    path = pathlib.Path(__file__).parent / "golden" / "gate_modes.jsonl"
+    goldens = {}
+    with path.open(encoding="utf-8") as fh:
+        for line in fh:
+            row = json.loads(line)
+            goldens[(row["mode"], row["url"], row["page_number"])] = row
+
+    seen = set()
+    for mode in make_goldens.GATE_MODES:
+        for doc_id, text in make_goldens.GATE_TEXTS:
+            url = synth_url(doc_id, mode)
+            payload = synth_payload(doc_id, text, mode, lang="en", source="src1")
+            for row in extract_rows_py(url, payload):
+                key = (mode, row["url"], row["page_number"])
+                seen.add(key)
+                g = goldens[key]
+                assert row["content"].encode() == g["content"].encode(), key
+                assert row["status"] == g["status"], key
+                assert row["tables"] == g["tables"], key
+                assert row["figures"] == g["figures"], key
+                assert row["elements"] == g["elements"], key
+    assert seen == set(goldens)
