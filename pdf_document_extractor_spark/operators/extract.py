@@ -125,17 +125,48 @@ def extract_rows_py(
     payload: bytes,
     partition_id: int = -1,
     config=None,
+    quarantine_soft: bool = False,
 ) -> list[dict]:
     """Pure-Python row production for one document — ALSO the pytest oracle.
 
     Returns the exact dict rows the Spark UDF emits (minus Arrow transport).
     ``config`` flags gate structure arrays only; content is config-invariant.
+
+    ``quarantine_soft``: normally soft (transient) failures re-raise so the
+    TASK retries (reference: raise => no Kafka commit => redelivery). A
+    final salvage pass sets this True: soft failures become committed
+    ``soft_failure`` rows instead — the reference's dead-letter step once
+    redelivery is exhausted (kafka_message_handler.py:147-161), so one
+    permanently-flaky document cannot wedge the job forever.
     """
     from ..core.config import DEFAULT_CONFIG
+    from ..core.taxonomy import is_soft_failure
 
     config = config or DEFAULT_CONFIG
     payload = payload or b""
-    result = extract_document(url, payload)  # soft failures re-raise
+    try:
+        result = extract_document(url, payload)  # soft failures re-raise
+    except BaseException as exc:  # noqa: BLE001 — taxonomy decided soft
+        if not (quarantine_soft and is_soft_failure(exc)):
+            raise
+        return [
+            {
+                "url": url,
+                "page_number": 0,
+                "doc_type": "",
+                "content": "",
+                "word_count": 0,
+                "page_count": 0,
+                "elements": [],
+                "tables": [],
+                "figures": [],
+                "status": "soft_failure",
+                "error_type": "TransientError",
+                "error_message": str(exc),
+                "partition_id": partition_id,
+                "byte_count": len(payload),
+            }
+        ]
     nbytes = len(payload)
     rows: list[dict] = []
     if result.status != STATUS_SUCCESS:
@@ -196,7 +227,7 @@ FLUSH_ROWS = 4096
 FLUSH_BYTES = 64 << 20
 
 
-def _make_extract_batches(config):
+def _make_extract_batches(config, quarantine_soft: bool = False):
     """Build the mapInPandas body with the run config in its closure (the
     reference's broadcast-config analog, D4). Lazy TaskContext import keeps
     the core Spark-free."""
@@ -214,7 +245,11 @@ def _make_extract_batches(config):
             urls = batch["url"].to_numpy()
             payloads = batch["html"].to_numpy()
             for url, payload in zip(urls, payloads):
-                out.extend(extract_rows_py(url, payload, pid, config))
+                out.extend(
+                    extract_rows_py(
+                        url, payload, pid, config, quarantine_soft
+                    )
+                )
                 acc_bytes += len(payload) if payload is not None else 0
                 if len(out) >= FLUSH_ROWS or acc_bytes >= FLUSH_BYTES:
                     yield pd.DataFrame(out, columns=_COLUMNS)
@@ -225,7 +260,9 @@ def _make_extract_batches(config):
     return _extract_batches
 
 
-def extract_pages(pages_df: "DataFrame", config=None) -> "DataFrame":
+def extract_pages(
+    pages_df: "DataFrame", config=None, quarantine_soft: bool = False
+) -> "DataFrame":
     """pages(url, warc_ts, html, text, lang) -> extracted rows.
 
     Projects to (url, html) FIRST so column pruning reaches the scan, then
@@ -234,7 +271,8 @@ def extract_pages(pages_df: "DataFrame", config=None) -> "DataFrame":
     config-invariant.
     """
     return pages_df.select("url", "html").mapInPandas(
-        _make_extract_batches(config), schema=EXTRACTED_SCHEMA
+        _make_extract_batches(config, quarantine_soft),
+        schema=EXTRACTED_SCHEMA,
     )
 
 

@@ -94,3 +94,31 @@ def test_document_controlled_text_cannot_promote_hard_to_soft():
     assert status == "hard_failure" and etype == "UnsupportedFormatError"
     # genuine transient errors still classify soft
     assert is_soft_failure(TimeoutError("connection timed out"))
+
+
+def test_quarantine_soft_emits_row_instead_of_raising(monkeypatch):
+    """P2 dead-letter step: the salvage pass commits soft failures as rows
+    once task redelivery is exhausted; the normal pass still raises."""
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.operators import extract as ex
+
+    def boom(url, data):
+        raise TimeoutError("connection timed out fetching shard")
+
+    monkeypatch.setattr(ex, "extract_document", boom)
+
+    with _pytest.raises(TimeoutError):
+        ex.extract_rows_py("u", b"<p>x</p>")
+
+    rows = ex.extract_rows_py("u", b"<p>x</p>", quarantine_soft=True)
+    assert len(rows) == 1
+    assert rows[0]["status"] == "soft_failure"
+    assert rows[0]["error_type"] == "TransientError"
+    assert rows[0]["byte_count"] == len(b"<p>x</p>")
+
+    # hard failures are NEVER swallowed by the quarantine flag path —
+    # they come back as classified hard rows exactly as before
+    monkeypatch.undo()
+    rows = ex.extract_rows_py("u", b"%PDF-garbage", quarantine_soft=True)
+    assert rows[0]["status"] == "hard_failure"
