@@ -27,6 +27,7 @@ LINEAGE_COLS = [
     "byte_count",
     "success_count",
     "hard_fail_count",
+    "soft_fail_count",
     "failure_manifest",
 ]
 
@@ -56,7 +57,7 @@ def lineage_rows(extracted: "DataFrame", run_id: str) -> "DataFrame":
 
     per_doc = _per_doc(extracted)
     fail_struct = F.when(
-        F.col("status") == "hard_failure",
+        F.col("status") != "success",
         F.struct(
             F.col("url"), F.col("error_type"), F.col("error_message")
         ),
@@ -70,6 +71,9 @@ def lineage_rows(extracted: "DataFrame", run_id: str) -> "DataFrame":
         ),
         F.sum(F.when(F.col("status") == "hard_failure", 1).otherwise(0)).alias(
             "hard_fail_count"
+        ),
+        F.sum(F.when(F.col("status") == "soft_failure", 1).otherwise(0)).alias(
+            "soft_fail_count"
         ),
         F.to_json(
             F.array_sort(F.collect_list(fail_struct))
@@ -94,6 +98,9 @@ def run_rollup(extracted: "DataFrame") -> "DataFrame":
         F.sum(F.when(F.col("status") == "hard_failure", 1).otherwise(0))
         .cast("long")
         .alias("hard_fail_docs"),
+        F.sum(F.when(F.col("status") == "soft_failure", 1).otherwise(0))
+        .cast("long")
+        .alias("soft_fail_docs"),
         F.sum(F.when(F.col("status") == "success", F.col("page_count")).otherwise(0))
         .cast("long")
         .alias("total_pages"),

@@ -65,6 +65,7 @@ def run_extraction_job(
     heavy_bytes: int = HEAVY_BYTES_DEFAULT,
     hot_fraction: float = 0.05,
     salt_buckets: int = 16,
+    quarantine_soft: bool = False,
 ) -> RunResult:
     t0 = time.time()
     extracted_tbl = SnapshotTable(warehouse, "extracted")
@@ -96,9 +97,12 @@ def run_extraction_job(
     )
     light, heavy = split_heavy(placed, heavy_bytes)
 
-    ext_light = extract_pages(light)
+    ext_light = extract_pages(light, quarantine_soft=quarantine_soft)
     # heavy pass: spread big payloads thin (more, smaller partitions)
-    ext_heavy = extract_pages(heavy.repartition(num_partitions, "url"))
+    ext_heavy = extract_pages(
+        heavy.repartition(num_partitions, "url"),
+        quarantine_soft=quarantine_soft,
+    )
     extracted = ext_light.unionByName(ext_heavy)
 
     snap = extracted_tbl.commit(extracted, run_id)
@@ -117,6 +121,7 @@ def run_extraction_job(
             F.col("total_bytes").alias("byte_count"),
             F.col("success_docs").alias("success_count"),
             F.col("hard_fail_docs").alias("hard_fail_count"),
+            F.col("soft_fail_docs").alias("soft_fail_count"),
             F.lit("[]").alias("failure_manifest"),
             F.lit(run_id).alias("run_id"),
             F.current_timestamp().alias("committed_at"),
@@ -162,6 +167,13 @@ def main() -> None:
     ap.add_argument("--run-id", required=True)
     ap.add_argument("--heavy-bytes", type=int, default=HEAVY_BYTES_DEFAULT)
     ap.add_argument("--num-partitions", type=int, default=None)
+    ap.add_argument(
+        "--quarantine-soft",
+        action="store_true",
+        help="salvage pass: commit transient failures as soft_failure rows "
+        "instead of raising for task retry (run AFTER a normal pass; the "
+        "resume anti-join feeds it only the still-unextracted urls)",
+    )
     args = ap.parse_args()
 
     builder = SparkSession.builder.appName(f"extract-{args.run_id}")
@@ -176,6 +188,7 @@ def main() -> None:
         args.run_id,
         num_partitions=args.num_partitions,
         heavy_bytes=args.heavy_bytes,
+        quarantine_soft=args.quarantine_soft,
     )
     print(
         f"run_id={res.run_id} docs_in={res.docs_in} committed={res.committed} "
