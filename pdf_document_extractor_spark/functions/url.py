@@ -12,6 +12,9 @@ them exactly):
  3. default ports stripped (':80' for http, ':443' for https).
  4. query parameters sorted bytewise ('a=1&b=2'); empty query ('?') dropped.
  5. empty path becomes '/'.
+ 6. urls that don't parse (scheme-less/relative, e.g. 'example.com/x') pass
+    through UNCHANGED — collapsing them all to ':///' would merge every
+    malformed url into one dedup record.
 """
 
 from __future__ import annotations
@@ -35,8 +38,9 @@ def registered_host(url) -> Column:
 
 
 def canonicalize_url(url) -> Column:
-    """Apply the pinned rules 1-5. Composes ~10 Catalyst expressions;
+    """Apply the pinned rules 1-6. Composes ~10 Catalyst expressions;
     stays JVM-side and codegen-friendly."""
+    url = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(url, _SPLIT_RE, 1))
     host = F.lower(F.regexp_extract(url, _SPLIT_RE, 2))
     path = F.regexp_extract(url, _SPLIT_RE, 3)
@@ -60,4 +64,6 @@ def canonicalize_url(url) -> Column:
         F.lit("")
     )
 
-    return F.concat(scheme, F.lit("://"), host, path, query_out)
+    built = F.concat(scheme, F.lit("://"), host, path, query_out)
+    # pinned rule 6: unparseable url -> identity, never ':///'
+    return F.when(scheme == "", url).otherwise(built)

@@ -145,8 +145,14 @@ def embedding_near_pairs(
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         mat_l = np.stack(left["embedding"].to_numpy()).astype("float64")
         mat_r = np.stack(right["embedding"].to_numpy()).astype("float64")
-        mat_l /= np.linalg.norm(mat_l, axis=1, keepdims=True)
-        mat_r /= np.linalg.norm(mat_r, axis=1, keepdims=True)
+        # zero-norm clamp (same convention as with_norm/_assign_cells):
+        # a zero embedding scores cos 0 everywhere instead of NaN
+        nl = np.linalg.norm(mat_l, axis=1, keepdims=True)
+        nr = np.linalg.norm(mat_r, axis=1, keepdims=True)
+        nl[nl == 0] = 1.0
+        nr[nr == 0] = 1.0
+        mat_l /= nl
+        mat_r /= nr
         sims = mat_l @ mat_r.T
         ids_l = left["vec_id"].to_numpy()
         ids_r = right["vec_id"].to_numpy()

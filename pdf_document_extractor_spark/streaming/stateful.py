@@ -167,9 +167,15 @@ def stream_host_stats(
     checkpoint_dir: str,
     available_now: bool = True,
 ) -> "StreamingQuery":
-    """pages stream -> per-host running totals, appended to ``out_dir`` as
+    """pages stream -> per-host running totals written to ``out_dir`` as
     parquet via foreachBatch (one row per (host, trigger) with the totals
-    as of that trigger)."""
+    as of that trigger).
+
+    Idempotent per-batch commit: each micro-batch OVERWRITES its own
+    ``batch_id={n}`` partition directory, so a batch replayed after a crash
+    mid-write replaces its rows instead of appending duplicates — the same
+    exactly-once-visible-effect discipline as stream_extract_committed
+    (there via SnapshotTable run_id idempotency)."""
     from pyspark.sql import functions as F  # noqa: N812
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -193,9 +199,9 @@ def stream_host_stats(
     )
 
     def write_batch(batch_df, batch_id: int) -> None:
-        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(out_dir)
+        batch_df.write.mode("overwrite").parquet(
+            f"{out_dir}/batch_id={batch_id}"
+        )
 
     writer = (
         stats.writeStream.foreachBatch(write_batch)

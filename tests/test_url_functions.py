@@ -19,6 +19,10 @@ CASES = [
     ("https://ex.com/a/B?x=1", "https://ex.com/a/B?x=1", "ex.com"),  # path case kept
     ("https://sub.ex.com/p#only-frag", "https://sub.ex.com/p", "sub.ex.com"),
     ("HTTP://EX.COM/q?", "http://ex.com/q", "ex.com"),  # empty query dropped
+    # pinned rule 6: unparseable urls pass through unchanged (not ':///')
+    ("example.com/x", "example.com/x", ""),
+    ("/relative/path?b=2", "/relative/path?b=2", ""),
+    ("", "", ""),
 ]
 
 
