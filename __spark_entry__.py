@@ -65,6 +65,33 @@ def q_extract_pdf_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_xrefstream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PDF 1.5 modern structure (M1 dialect widening): object stream +
+    predictor-12 cross-reference stream. Same invariant as the classic
+    dialect: content == 'Page 1\\n\\n' + text + '\\n'."""
+    return _extracted(spark, sf_dir, "pdf_xs").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("page_count").cast("long").alias("page_count"),
+    )
+
+
+def q_extract_pdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-update PDFs (S10 analog at the file level): an appended
+    update section overrides the base content stream; the newest xref
+    section must win, so content carries the update's text only."""
+    return _extracted(spark, sf_dir, "pdf_inc").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
 def q_extract_dispatch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte dispatch (D1/D2): even doc_id -> pdf, odd -> html."""
     return _extracted(spark, sf_dir, "mixed").select(
@@ -578,6 +605,19 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS page_count
         FROM documents
     """,
+    "extract_pdf_xrefstream": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
+               {_WORDS} + 2 AS word_count,
+               CAST(1 AS BIGINT) AS page_count
+        FROM documents
+    """,
+    "extract_pdf_incremental": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
+               {_WORDS} + 2 AS word_count
+        FROM documents
+    """,
     "extract_dispatch_mixed": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS doc_type,
@@ -1078,6 +1118,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_content": q_extract_html_content,
         "extract_pdf_content": q_extract_pdf_content,
+        "extract_pdf_xrefstream": q_extract_pdf_xrefstream,
+        "extract_pdf_incremental": q_extract_pdf_incremental,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,

@@ -6,12 +6,19 @@ flattening; :1264-1300 page assembly; :1699-1726 table headers rule) with a
 hand-written parser instead of Docling's ML models — pure functions over
 ``bytes``, no I/O, no Spark imports (the UDF body IS the pytest oracle).
 
-Supported dialect (FIXTURES.md): classic non-compressed-xref PDF 1.4,
-``/Type /Page`` tree, content streams raw or FlateDecode, text via
-``BT/Tf/Td/TD/Tm/TL/T*/Tj/TJ/ET``, simple fonts. Everything outside the
-dialect raises ``CorruptedFileError``/``UnsupportedFormatError`` -> a
-hard-failure row, mirroring the reference's poison-pill taxonomy
-(docling_strategy_processor.py:527-544, 1024-1027).
+Supported dialect (FIXTURES.md): PDF 1.4-1.7 document structure —
+classic xref tables AND cross-reference streams (``/Type /XRef``, PDF 1.5+)
+with PNG/TIFF predictors, object streams (``/Type /ObjStm``), hybrid-reference
+files (``/XRefStm``), and incremental updates (``/Prev`` chains, newest
+section wins, free entries tombstone); ``/Type /Page`` tree, content streams
+raw or FlateDecode, text via ``BT/Tf/Td/TD/Tm/TL/T*/Tj/TJ/ET``, simple
+fonts. Everything outside the dialect raises
+``CorruptedFileError``/``UnsupportedFormatError`` -> a hard-failure row,
+mirroring the reference's poison-pill taxonomy
+(docling_strategy_processor.py:527-544, 1024-1027). The reference accepts
+any Docling-parseable PDF (docling_strategy_processor.py:622-712); xref/
+object-stream support is what closes that gap for real-web (PDF 1.5+)
+documents.
 
 PINNED SEMANTICS (byte-identical invariant surface):
 
@@ -71,18 +78,28 @@ class _Ref(tuple):
 
 
 class _Objects:
-    """Lazy object store over the raw buffer + xref offsets."""
+    """Lazy object store over the raw buffer + xref entries.
 
-    def __init__(self, buf: bytes, offsets: dict[int, int]):
+    An entry is either an int byte offset (xref type 1), a
+    ``("objstm", stream_num, idx)`` tuple (type 2 — the object lives inside
+    a ``/Type /ObjStm`` object stream, PDF 1.5+), or ``None`` (a free-entry
+    tombstone from an incremental update — the object was deleted)."""
+
+    def __init__(self, buf: bytes, offsets: dict[int, object]):
         self.buf = buf
         self.offsets = offsets
         self._cache: dict[int, object] = {}
+        self._objstm_cache: dict[int, dict[int, object]] = {}
 
     def get(self, num: int):
         if num in self._cache:
             return self._cache[num]
         off = self.offsets.get(num)
-        if off is None or off >= len(self.buf):
+        if isinstance(off, tuple):
+            obj = self._get_from_objstm(num, off[1], off[2])
+            self._cache[num] = obj
+            return obj
+        if off is None or not isinstance(off, int) or off >= len(self.buf):
             raise CorruptedFileError(f"missing object {num}")
         m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.buf[off : off + 64])
         if not m or int(m.group(1)) != num:
@@ -112,6 +129,41 @@ class _Objects:
                 raise CorruptedFileError("reference cycle")
         return obj
 
+    def _get_from_objstm(self, num: int, stm_num: int, idx: int):
+        """Fetch object ``num`` out of object stream ``stm_num`` (PDF 1.5+
+        ``/Type /ObjStm``: header of N (num, offset) int pairs, then the
+        serialized objects at ``/First`` + offset)."""
+        if stm_num not in self._objstm_cache:
+            stm = self.get(stm_num)
+            if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
+                raise CorruptedFileError(
+                    f"object {num} points into non-ObjStm object {stm_num}"
+                )
+            data = stm.decoded()
+            n = self.resolve(stm.dict.get("N"))
+            first = self.resolve(stm.dict.get("First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise CorruptedFileError(f"ObjStm {stm_num} missing /N or /First")
+            header = data[:first].split()
+            if len(header) < 2 * n:
+                raise CorruptedFileError(f"ObjStm {stm_num} header truncated")
+            table: dict[int, object] = {}
+            for i in range(n):
+                try:
+                    onum = int(header[2 * i])
+                    ooff = int(header[2 * i + 1])
+                except ValueError as exc:
+                    raise CorruptedFileError(
+                        f"ObjStm {stm_num} non-integer header entry"
+                    ) from exc
+                obj, _pos = _parse_object(data, first + ooff)
+                table[onum] = obj
+            self._objstm_cache[stm_num] = table
+        table = self._objstm_cache[stm_num]
+        if num not in table:
+            raise CorruptedFileError(f"object {num} not found in ObjStm {stm_num}")
+        return table[num]
+
 
 @dataclass
 class _Stream:
@@ -123,16 +175,81 @@ class _Stream:
         if filt is None:
             return self.data
         filters = filt if isinstance(filt, list) else [filt]
+        parms_raw = self.dict.get("DecodeParms") or self.dict.get("DP")
+        parms_list = parms_raw if isinstance(parms_raw, list) else [parms_raw]
         data = self.data
-        for f in filters:
+        for i, f in enumerate(filters):
             if f == "FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as exc:
                     raise CorruptedFileError(f"flate decode failed: {exc}") from exc
+                parms = parms_list[i] if i < len(parms_list) else None
+                if isinstance(parms, dict):
+                    data = _unpredict(data, parms)
             else:
                 raise UnsupportedFormatError(f"unsupported stream filter /{f}")
         return data
+
+
+def _unpredict(data: bytes, parms: dict) -> bytes:
+    """Reverse the /Predictor pre-filter (PDF 32000 7.4.4.4) — xref streams
+    in real-web PDFs are near-universally Flate + PNG Up (predictor 12).
+    Supports TIFF (2) and all PNG row filters (10-15; the per-row filter
+    byte decides, so one implementation covers them all)."""
+    pred = parms.get("Predictor", 1)
+    if not isinstance(pred, int) or pred <= 1:
+        return data
+    columns = parms.get("Columns", 1)
+    colors = parms.get("Colors", 1)
+    bpc = parms.get("BitsPerComponent", 8)
+    if not all(isinstance(v, int) for v in (columns, colors, bpc)):
+        raise CorruptedFileError("non-integer predictor parameters")
+    if bpc != 8:
+        raise UnsupportedFormatError(f"predictor with BitsPerComponent={bpc}")
+    bpp = colors  # bytes per pixel at 8 bpc
+    rowlen = columns * colors
+    if pred == 2:  # TIFF horizontal differencing
+        out = bytearray(data)
+        for r0 in range(0, len(out) - rowlen + 1, rowlen):
+            for i in range(r0 + bpp, r0 + rowlen):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    if pred < 10 or pred > 15:
+        raise UnsupportedFormatError(f"unknown predictor {pred}")
+    # PNG predictors: each row = 1 filter byte + rowlen data bytes
+    stride = rowlen + 1
+    if len(data) % stride:
+        raise CorruptedFileError("predictor data not a whole number of rows")
+    out = bytearray()
+    prev = bytearray(rowlen)
+    for r0 in range(0, len(data), stride):
+        ftype = data[r0]
+        row = bytearray(data[r0 + 1 : r0 + stride])
+        if ftype == 1:  # Sub
+            for i in range(bpp, rowlen):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(rowlen):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(rowlen):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(rowlen):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                row[i] = (row[i] + pr) & 0xFF
+        elif ftype != 0:
+            raise CorruptedFileError(f"bad PNG row filter {ftype}")
+        out += row
+        prev = row
+    return bytes(out)
 
 
 def _skip_ws(buf: bytes, pos: int) -> int:
@@ -259,22 +376,12 @@ def _parse_string(buf: bytes, pos: int) -> tuple[str, int]:
 # --------------------------------------------------------------------------
 
 
-def _parse_xref(buf: bytes) -> tuple[dict[int, int], dict]:
-    tail = buf[-2048:]
-    m = None
-    for m in re.finditer(rb"startxref\s+(\d+)", tail):
-        pass  # keep last occurrence
-    if m is None:
-        raise CorruptedFileError("startxref not found")
-    xref_pos = int(m.group(1))
-    if xref_pos >= len(buf):
-        raise CorruptedFileError("startxref beyond EOF")
-    offsets: dict[int, int] = {}
-    trailer: dict = {}
-    pos = _skip_ws(buf, xref_pos)
-    if not buf.startswith(b"xref", pos):
-        raise CorruptedFileError("xref table not found (compressed xref unsupported)")
-    pos += 4
+def _parse_classic_section(buf: bytes, pos: int) -> tuple[dict[int, object], dict]:
+    """One classic ``xref`` table section starting at ``pos`` (after ws).
+    Free entries are recorded as ``None`` tombstones so a newer section's
+    deletion shadows an older section's offset in incremental updates."""
+    offsets: dict[int, object] = {}
+    pos += 4  # past b"xref"
     while True:
         pos = _skip_ws(buf, pos)
         if buf.startswith(b"trailer", pos):
@@ -282,8 +389,7 @@ def _parse_xref(buf: bytes) -> tuple[dict[int, int], dict]:
             trailer_obj, pos = _parse_object(buf, pos)
             if not isinstance(trailer_obj, dict):
                 raise CorruptedFileError("trailer is not a dict")
-            trailer = trailer_obj
-            break
+            return offsets, trailer_obj
         m2 = re.match(rb"(\d+)\s+(\d+)", buf[pos : pos + 64])
         if not m2:
             raise CorruptedFileError("malformed xref subsection header")
@@ -295,9 +401,119 @@ def _parse_xref(buf: bytes) -> tuple[dict[int, int], dict]:
             m3 = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
             if not m3:
                 raise CorruptedFileError("malformed xref entry")
-            if m3.group(3) == b"n":
-                offsets[start + i] = int(m3.group(1))
+            offsets[start + i] = (
+                int(m3.group(1)) if m3.group(3) == b"n" else None
+            )
             pos += 20
+
+
+def _parse_xref_stream_section(
+    buf: bytes, pos: int
+) -> tuple[dict[int, object], dict]:
+    """One cross-reference STREAM section (PDF 1.5+, ``/Type /XRef``):
+    an ordinary stream object whose decoded bytes are fixed-width binary
+    entries described by ``/W``, covering the object ranges in ``/Index``
+    (default ``[0 /Size]``). Entry types: 0 free (tombstone), 1 byte
+    offset, 2 (objstm_num, idx)."""
+    m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", buf[pos : pos + 64])
+    if not m:
+        raise CorruptedFileError("xref stream: no object at startxref")
+    obj_pos = pos + m.end()
+    sdict, obj_pos = _parse_object(buf, obj_pos)
+    if not isinstance(sdict, dict) or sdict.get("Type") != "XRef":
+        raise CorruptedFileError("startxref does not point at xref table or /XRef")
+    m2 = re.match(rb"\s*stream(\r\n|\n|\r)", buf[obj_pos : obj_pos + 16])
+    if m2 is None:
+        raise CorruptedFileError("xref stream without stream data")
+    data_start = obj_pos + m2.end()
+    length = sdict.get("Length")  # direct per spec (PDF 32000 7.5.8.2)
+    if not isinstance(length, int):
+        raise CorruptedFileError("xref stream /Length missing or indirect")
+    raw = buf[data_start : data_start + length]
+    if len(raw) != length:
+        raise CorruptedFileError("truncated xref stream")
+    data = _Stream(sdict, raw).decoded()
+
+    w = sdict.get("W")
+    size = sdict.get("Size")
+    if not (isinstance(w, list) and len(w) >= 3 and isinstance(size, int)):
+        raise CorruptedFileError("xref stream missing /W or /Size")
+    w0, w1, w2 = (int(x) for x in w[:3])
+    index = sdict.get("Index") or [0, size]
+    if not isinstance(index, list) or len(index) % 2:
+        raise CorruptedFileError("malformed xref stream /Index")
+    entry_len = w0 + w1 + w2
+    if entry_len <= 0:
+        raise CorruptedFileError("zero-width xref stream entries")
+
+    offsets: dict[int, object] = {}
+    pos_d = 0
+    for r in range(0, len(index), 2):
+        start, count = int(index[r]), int(index[r + 1])
+        for num in range(start, start + count):
+            chunk = data[pos_d : pos_d + entry_len]
+            if len(chunk) != entry_len:
+                raise CorruptedFileError("xref stream data truncated")
+            pos_d += entry_len
+            etype = int.from_bytes(chunk[:w0], "big") if w0 else 1
+            f2 = int.from_bytes(chunk[w0 : w0 + w1], "big")
+            f3 = int.from_bytes(chunk[w0 + w1 :], "big")
+            if etype == 1:
+                offsets[num] = f2
+            elif etype == 2:
+                offsets[num] = ("objstm", f2, f3)
+            else:  # type 0 free (or unknown: spec says treat as free)
+                offsets[num] = None
+    return offsets, sdict
+
+
+def _parse_xref(buf: bytes) -> tuple[dict[int, object], dict]:
+    """All xref sections, newest first: classic tables AND xref streams,
+    following ``/Prev`` chains (incremental updates — a newer section's
+    entry, including a free tombstone, shadows older ones) and hybrid
+    ``/XRefStm`` pointers."""
+    tail = buf[-2048:]
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+        pass  # keep last occurrence
+    if m is None:
+        raise CorruptedFileError("startxref not found")
+    xref_pos = int(m.group(1))
+
+    offsets: dict[int, object] = {}
+    trailer: dict = {}
+    seen: set[int] = set()
+    queue: list[int] = [xref_pos]
+    while queue:
+        pos = queue.pop(0)
+        if pos in seen:
+            raise CorruptedFileError("xref /Prev cycle")
+        seen.add(pos)
+        if pos >= len(buf):
+            raise CorruptedFileError("xref offset beyond EOF")
+        pos = _skip_ws(buf, pos)
+        if buf.startswith(b"xref", pos):
+            sec_offsets, sec_trailer = _parse_classic_section(buf, pos)
+        else:
+            sec_offsets, sec_trailer = _parse_xref_stream_section(buf, pos)
+        for k, v in sec_offsets.items():
+            offsets.setdefault(k, v)  # newest-first: first write wins
+        for k, v in sec_trailer.items():
+            trailer.setdefault(k, v)
+        # hybrid-reference file: classic trailer points at a parallel xref
+        # stream holding the objstm entries; it shares this section's age
+        # (consulted before /Prev but after the table itself)
+        xs = sec_trailer.get("XRefStm")
+        if isinstance(xs, int) and xs not in seen and xs < len(buf):
+            seen.add(xs)
+            s_off, _s_tr = _parse_xref_stream_section(buf, _skip_ws(buf, xs))
+            for k, v in s_off.items():
+                offsets.setdefault(k, v)
+        prev = sec_trailer.get("Prev")
+        if isinstance(prev, int):
+            queue.append(prev)
+        if len(seen) > 64:
+            raise CorruptedFileError("too many xref sections")
     return offsets, trailer
 
 

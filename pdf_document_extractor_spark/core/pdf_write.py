@@ -1,9 +1,18 @@
-"""Minimal deterministic PDF 1.4 writer (fixture generator dependency).
+"""Minimal deterministic PDF writer (fixture generator dependency).
 
-Emits EXACTLY the dialect the from-scratch parser (pdf_extract.py) supports
-(FIXTURES.md "PDF fixture dialect"): classic non-compressed-xref PDF 1.4,
-``/Type /Page`` tree, content streams raw or FlateDecode, text via
-``BT .. /F1 <size> Tf .. <x> <y> Td .. (txt) Tj .. ET`` with Helvetica,
+Emits EXACTLY the dialects the from-scratch parser (pdf_extract.py)
+supports (FIXTURES.md "PDF fixture dialect"):
+
+- ``write_pdf``: classic non-compressed-xref PDF 1.4.
+- ``write_pdf_15``: PDF 1.5 modern structure — non-stream objects packed
+  into a ``/Type /ObjStm`` object stream, cross-reference STREAM
+  (``/Type /XRef``, ``/W [1 4 2]``, FlateDecode, optionally PNG Up
+  predictor 12 — the layout real-web PDF producers emit).
+- ``append_incremental``: appends an update section (overridden objects +
+  a classic xref section with ``/Prev``) — the incremental-save shape.
+
+Both emit a ``/Type /Page`` tree, content streams raw or FlateDecode, text
+via ``BT .. /F1 <size> Tf .. <x> <y> Td .. (txt) Tj .. ET`` with Helvetica,
 font size carrying the header-vs-body signal. No encryption, no images,
 no CID fonts.
 
@@ -61,12 +70,41 @@ def _content_stream(page: PdfPageSpec) -> bytes:
 
 
 def write_pdf(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
-    """Serialize page specs to PDF bytes with a classic xref table."""
-    objects: list[bytes] = []  # 1-indexed bodies, object i = objects[i-1]
+    """Serialize page specs to PDF bytes with a classic xref table.
 
+    Object numbering: 1=Catalog, 2=Pages, 3=Font, 4..3+n = Page objects,
+    4+n..3+2n = content streams (shared with write_pdf_15 via
+    ``_doc_objects``)."""
+    objects, _ = _doc_objects(pages, compress)
+
+    out = bytearray()
+    out += b"%PDF-1.4\n"
+    offsets = [0]  # object 0 is the free head
+    for i, body in enumerate(objects, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+
+    xref_pos = len(out)
+    n_objs = len(objects) + 1
+    out += f"xref\n0 {n_objs}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"startxref\n{xref_pos}\n%%EOF\n"
+    ).encode()
+    return bytes(out)
+
+
+def _doc_objects(
+    pages: list[PdfPageSpec], compress: bool
+) -> tuple[list[bytes], int]:
+    """Shared object bodies for both writers: 1=Catalog, 2=Pages, 3=Font,
+    4..3+n page dicts, 4+n..3+2n content streams. Returns (bodies,
+    n_pages); bodies are 1-indexed via position."""
+    objects: list[bytes] = []
     n_pages = len(pages)
-    # Object numbering: 1=Catalog, 2=Pages, 3=Font,
-    # 4..3+n = Page objects, 4+n..3+2n = content streams.
     page_obj_ids = [4 + i for i in range(n_pages)]
     content_obj_ids = [4 + n_pages + i for i in range(n_pages)]
 
@@ -75,9 +113,7 @@ def write_pdf(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
     objects.append(
         f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
     )
-    objects.append(
-        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-    )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
     for i in range(n_pages):
         objects.append(
             (
@@ -95,22 +131,152 @@ def write_pdf(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
         else:
             head = f"<< /Length {len(data)} >>".encode()
         objects.append(head + b"\nstream\n" + data + b"\nendstream")
+    return objects, n_pages
+
+
+def content_stream_obj(page: PdfPageSpec, compress: bool = False) -> bytes:
+    """One content-stream object body (for ``append_incremental``
+    overrides)."""
+    data = _content_stream(page)
+    if compress:
+        data = zlib.compress(data, 6)
+        head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
+    else:
+        head = f"<< /Length {len(data)} >>".encode()
+    return head + b"\nstream\n" + data + b"\nendstream"
+
+
+def _png_up_predict(data: bytes, rowlen: int) -> bytes:
+    """Apply PNG Up (filter 2) per row — the inverse of the parser's
+    predictor-12 decode path."""
+    out = bytearray()
+    prev = bytes(rowlen)
+    for r0 in range(0, len(data), rowlen):
+        row = data[r0 : r0 + rowlen]
+        out.append(2)
+        out += bytes((row[i] - prev[i]) & 0xFF for i in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def write_pdf_15(
+    pages: list[PdfPageSpec],
+    compress: bool = True,
+    predictor: bool = False,
+) -> bytes:
+    """Serialize page specs as a PDF 1.5 document: catalog/pages/font/page
+    dicts packed into ONE object stream, content streams top-level, and a
+    cross-reference stream (``/W [1 4 2]``) instead of a classic table.
+    ``predictor=True`` additionally PNG-Up-filters the xref entries
+    (``/DecodeParms << /Predictor 12 /Columns 7 >>`` — what pdflatex/
+    Acrobat-style producers emit)."""
+    bodies, n_pages = _doc_objects(pages, compress)
+    n_packed = 3 + n_pages  # catalog + pages + font + page dicts
+    objstm_id = 4 + 2 * n_pages
+    xref_id = objstm_id + 1
+
+    # --- object stream: header of (num, offset) pairs + serialized bodies
+    parts: list[bytes] = []
+    header: list[str] = []
+    off = 0
+    for num in range(1, n_packed + 1):
+        body = bodies[num - 1]
+        header.append(f"{num} {off}")
+        parts.append(body + b"\n")
+        off += len(body) + 1
+    payload = b" ".join(h.encode() for h in header) + b"\n"
+    first = len(payload)
+    payload += b"".join(parts)
+    zpayload = zlib.compress(payload, 6)
+    objstm = (
+        f"<< /Type /ObjStm /N {n_packed} /First {first} "
+        f"/Length {len(zpayload)} /Filter /FlateDecode >>".encode()
+        + b"\nstream\n"
+        + zpayload
+        + b"\nendstream"
+    )
 
     out = bytearray()
-    out += b"%PDF-1.4\n"
-    offsets = [0]  # object 0 is the free head
-    for i, body in enumerate(objects, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+    out += b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n"  # binary-comment convention
+    offsets: dict[int, int] = {}
+    for i in range(n_pages):  # content streams stay top-level
+        num = 4 + n_pages + i
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + bodies[num - 1] + b"\nendobj\n"
+    offsets[objstm_id] = len(out)
+    out += f"{objstm_id} 0 obj\n".encode() + objstm + b"\nendobj\n"
+
+    # --- xref stream entries: W = [1 4 2]
+    size = xref_id + 1
+    entries = bytearray()
+    for num in range(size):
+        if num == 0:
+            entries += bytes([0]) + (0).to_bytes(4, "big") + (65535).to_bytes(2, "big")
+        elif 1 <= num <= n_packed:
+            idx = num - 1  # position inside the objstm
+            entries += bytes([2]) + objstm_id.to_bytes(4, "big") + idx.to_bytes(2, "big")
+        elif num == xref_id:
+            entries += bytes([1]) + len(out).to_bytes(4, "big") + (0).to_bytes(2, "big")
+        else:
+            entries += bytes([1]) + offsets[num].to_bytes(4, "big") + (0).to_bytes(2, "big")
+    if predictor:
+        filtered = _png_up_predict(bytes(entries), 7)
+        zentries = zlib.compress(filtered, 6)
+        parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        zentries = zlib.compress(bytes(entries), 6)
+        parms = ""
+    xref_pos = len(out)
+    out += (
+        f"{xref_id} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R /Filter /FlateDecode{parms} "
+        f"/Length {len(zentries)} >>".encode()
+        + b"\nstream\n"
+        + zentries
+        + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
+    return bytes(out)
+
+
+def append_incremental(base: bytes, overrides: dict[int, bytes]) -> bytes:
+    """Append an incremental-update section to ``base``: the overridden
+    object bodies plus a classic xref section whose trailer carries
+    ``/Prev`` pointing at the previous xref — the shape every PDF editor's
+    "save" produces. A body of ``None`` marks the object FREE (deleted)."""
+    import re as _re
+
+    m = None
+    for m in _re.finditer(rb"startxref\s+(\d+)", base[-2048:]):
+        pass
+    if m is None:
+        raise ValueError("base has no startxref")
+    prev_xref = int(m.group(1))
+
+    out = bytearray(base)
+    if not out.endswith(b"\n"):
+        out += b"\n"
+    new_offsets: dict[int, int | None] = {}
+    for num in sorted(overrides):
+        body = overrides[num]
+        if body is None:
+            new_offsets[num] = None
+            continue
+        new_offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + body + b"\nendobj\n"
 
     xref_pos = len(out)
-    n_objs = len(objects) + 1
-    out += f"xref\n0 {n_objs}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
+    out += b"xref\n"
+    for num in sorted(new_offsets):  # one subsection per object (simple)
+        off = new_offsets[num]
+        out += f"{num} 1\n".encode()
+        if off is None:
+            out += b"0000000000 65535 f \n"
+        else:
+            out += f"{off:010d} 00000 n \n".encode()
+    max_obj = max(new_offsets, default=0)
     out += (
-        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {max_obj + 1} /Root 1 0 R /Prev {prev_xref} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)

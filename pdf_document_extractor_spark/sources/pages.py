@@ -23,7 +23,15 @@ from typing import TYPE_CHECKING
 
 import pandas as pd
 
-from ..core.pdf_write import PdfPageSpec, TextShow, table_grid, write_pdf
+from ..core.pdf_write import (
+    PdfPageSpec,
+    TextShow,
+    append_incremental,
+    content_stream_obj,
+    table_grid,
+    write_pdf,
+    write_pdf_15,
+)
 
 if TYPE_CHECKING:
     from pyspark.sql import DataFrame, SparkSession
@@ -95,6 +103,32 @@ def synth_pdf2_payload(text: str) -> bytes:
     )
 
 
+def synth_pdf_xs_payload(text: str) -> bytes:
+    """PDF 1.5 modern structure: catalog/pages/font/page dicts in an object
+    stream, predictor-12 cross-reference stream, Flate content — the layout
+    real-web (Common Crawl) PDFs actually use. Same extraction oracle as
+    mode='pdf': content == 'Page 1\\n\\n' + text + '\\n'."""
+    return write_pdf_15(
+        [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])],
+        predictor=True,
+    )
+
+
+def synth_pdf_inc_payload(text: str) -> bytes:
+    """Incrementally-updated PDF: a classic base whose single content
+    stream is overridden by an appended update section (/Prev chain). The
+    parser must read the NEWEST xref section, so extracted content carries
+    the update's text, never the placeholder."""
+    base = write_pdf(
+        [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "placeholder gone")])]
+    )
+    # single-page layout: object 5 is the content stream (pdf_write.py)
+    new_cs = content_stream_obj(
+        PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])
+    )
+    return append_incremental(base, {5: new_cs})
+
+
 def synth_pdf_hdr_payload(text: str) -> bytes:
     """18pt header line (first 3 tokens) above a 10pt body line (the rest):
     the font-size header/body labeling signal (HEADER_SIZE_MIN=14)."""
@@ -122,7 +156,8 @@ def synth_pdf_table_payload(text: str, lang: str, source: str) -> bytes:
 def synth_payload(
     doc_id: int, text: str, mode: str, lang: str = "", source: str = ""
 ) -> bytes:
-    """mode: 'html' | 'pdf' | 'pdf2' | 'pdf_hdr' | 'pdf_table' |
+    """mode: 'html' | 'pdf' | 'pdf_xs' (PDF 1.5 xref/object streams) |
+    'pdf_inc' (incremental update) | 'pdf2' | 'pdf_hdr' | 'pdf_table' |
     'html_table' | 'mixed' (alternate by doc_id parity) | 'mixed_fail'
     (mixed + corrupt every 17th doc)."""
     if mode == "mixed_fail" and doc_id % 17 == 0:
@@ -137,6 +172,10 @@ def synth_payload(
         )
     if mode == "pdf":
         return synth_pdf_payload(text)
+    if mode == "pdf_xs":
+        return synth_pdf_xs_payload(text)
+    if mode == "pdf_inc":
+        return synth_pdf_inc_payload(text)
     if mode == "pdf2":
         return synth_pdf2_payload(text)
     if mode == "pdf_hdr":

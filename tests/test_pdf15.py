@@ -1,0 +1,220 @@
+"""PDF 1.5+ structure: cross-reference streams, object streams, PNG/TIFF
+predictors, hybrid-reference files, incremental updates (/Prev chains).
+
+The invariant: every modern-structure serialization of the same page specs
+extracts byte-identically to the classic PDF 1.4 serialization — document
+STRUCTURE is transport, extraction semantics are pinned elsewhere.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+
+import pytest
+
+from pdf_document_extractor_spark.core.pdf_extract import (
+    _unpredict,
+    extract_pdf,
+)
+from pdf_document_extractor_spark.core.pdf_write import (
+    PdfPageSpec,
+    TextShow,
+    append_incremental,
+    content_stream_obj,
+    write_pdf,
+    write_pdf_15,
+)
+from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+PAGES = [
+    PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "hello world one two")]),
+    PdfPageSpec(
+        shows=[
+            TextShow(72.0, 720.0, 18.0, "Header Line"),
+            TextShow(72.0, 692.0, 10.0, "body line follows"),
+        ]
+    ),
+]
+
+
+def _snapshot(result):
+    return [
+        (
+            p.page_number,
+            p.content,
+            p.word_count,
+            [(e.text, e.label, e.char_start, e.char_end) for e in p.elements],
+        )
+        for p in result.pages
+    ]
+
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"compress": True, "predictor": False},
+        {"compress": True, "predictor": True},
+        {"compress": False, "predictor": False},
+    ],
+    ids=["flate", "flate+pred12", "raw-content"],
+)
+def test_xref_stream_matches_classic(kwargs):
+    classic = _snapshot(extract_pdf(write_pdf(PAGES), "h"))
+    modern = _snapshot(extract_pdf(write_pdf_15(PAGES, **kwargs), "h"))
+    assert modern == classic
+
+
+def test_incremental_update_overrides_content():
+    base = write_pdf(PAGES)
+    new_cs = content_stream_obj(
+        PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "patched text")])
+    )
+    # two pages: content streams are objects 6 and 7 (pdf_write numbering)
+    inc = extract_pdf(append_incremental(base, {6: new_cs}), "h")
+    assert inc.pages[0].content == "Page 1\n\npatched text\n"
+    assert inc.pages[1].content == extract_pdf(base, "h").pages[1].content
+
+
+def test_incremental_over_xref_stream_base():
+    base = write_pdf_15(PAGES)
+    new_cs = content_stream_obj(
+        PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "patched text")]),
+        compress=True,
+    )
+    inc = extract_pdf(append_incremental(base, {6: new_cs}), "h")
+    assert inc.pages[0].content == "Page 1\n\npatched text\n"
+
+
+def test_chained_incremental_updates_newest_wins():
+    doc = write_pdf(PAGES)
+    for i in range(3):
+        doc = append_incremental(
+            doc,
+            {
+                6: content_stream_obj(
+                    PdfPageSpec(
+                        shows=[TextShow(72.0, 720.0, 10.0, f"rev {i}")]
+                    )
+                )
+            },
+        )
+    assert extract_pdf(doc, "h").pages[0].content == "Page 1\n\nrev 2\n"
+
+
+def test_free_tombstone_shadows_older_offset():
+    doc = append_incremental(write_pdf(PAGES), {1: None})  # delete catalog
+    with pytest.raises(CorruptedFileError):
+        extract_pdf(doc, "h")
+
+
+def test_hybrid_xrefstm_pointer():
+    """Classic trailer with /XRefStm: entries come from the parallel xref
+    stream (the PDF 1.5 hybrid-reference layout for legacy viewers)."""
+    base = write_pdf_15(PAGES)
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", base[-2048:]):
+        pass
+    xref_stream_pos = int(m.group(1))
+    hybrid = bytearray(base)
+    table_pos = len(hybrid)
+    hybrid += (
+        f"xref\ntrailer\n<< /Size 10 /Root 1 0 R /XRefStm "
+        f"{xref_stream_pos} >>\nstartxref\n{table_pos}\n%%EOF\n"
+    ).encode()
+    assert _snapshot(extract_pdf(bytes(hybrid), "h")) == _snapshot(
+        extract_pdf(base, "h")
+    )
+
+
+def test_prev_cycle_raises():
+    base = write_pdf(PAGES)
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", base[-2048:]):
+        pass
+    pos = len(base)
+    doc = base + (
+        f"xref\ntrailer\n<< /Size 10 /Root 1 0 R /Prev {pos} >>\n"
+        f"startxref\n{pos}\n%%EOF\n"
+    ).encode()
+    with pytest.raises(CorruptedFileError):
+        extract_pdf(doc, "h")
+
+
+def test_corrupt_xref_stream_taxonomy():
+    base = write_pdf_15(PAGES)
+    # truncate the xref stream payload -> flate error -> CorruptedFileError
+    broken = base[:-200] + base[-40:]
+    with pytest.raises(CorruptedFileError):
+        extract_pdf(broken, "h")
+
+
+# --------------------------------------------------------------------------
+# Predictor decode unit tests (all PNG row filters + TIFF)
+# --------------------------------------------------------------------------
+
+ROWS = [bytes([10, 20, 30, 40]), bytes([15, 25, 35, 45]), bytes([5, 0, 255, 7])]
+
+
+def _png_filter(rows: list[bytes], ftype: int, bpp: int = 1) -> bytes:
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for row in rows:
+        out.append(ftype)
+        for i, v in enumerate(row):
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                out.append(v)
+            elif ftype == 1:
+                out.append((v - a) & 0xFF)
+            elif ftype == 2:
+                out.append((v - b) & 0xFF)
+            elif ftype == 3:
+                out.append((v - ((a + b) >> 1)) & 0xFF)
+            elif ftype == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                out.append((v - pr) & 0xFF)
+        prev = row
+    return bytes(out)
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_predictor_roundtrip(ftype):
+    parms = {"Predictor": 12, "Columns": 4}
+    got = _unpredict(_png_filter(ROWS, ftype), parms)
+    assert got == b"".join(ROWS)
+
+
+def test_tiff_predictor():
+    original = bytes([10, 20, 30, 40, 100, 90, 80, 70])
+    filtered = bytearray()
+    for r0 in range(0, len(original), 4):
+        row = original[r0 : r0 + 4]
+        filtered.append(row[0])
+        for i in range(1, 4):
+            filtered.append((row[i] - row[i - 1]) & 0xFF)
+    got = _unpredict(bytes(filtered), {"Predictor": 2, "Columns": 4})
+    assert got == original
+
+
+def test_bad_png_row_filter_raises():
+    data = bytes([9]) + bytes(4)  # filter byte 9 is invalid
+    with pytest.raises(CorruptedFileError):
+        _unpredict(data, {"Predictor": 12, "Columns": 4})
+
+
+def test_objstm_stream_roundtrip_is_flate():
+    """write_pdf_15 really packs objects in a Flate ObjStm (layout guard)."""
+    data = write_pdf_15(PAGES)
+    m = re.search(rb"/Type /ObjStm /N (\d+) /First (\d+)", data)
+    assert m and int(m.group(1)) == 5  # catalog+pages+font+2 page dicts
+    # and the doc still declares PDF 1.5
+    assert data.startswith(b"%PDF-1.5")
+    # sanity: flate payload decompresses
+    s = re.search(rb"stream\n", data[m.start() :])
+    start = m.start() + s.end()
+    zlib.decompress(data[start : start + 10_000])
