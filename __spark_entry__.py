@@ -65,6 +65,19 @@ def q_extract_pdf_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_html_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy-charset decode (M15/D1 widening): windows-1252 and GBK pages
+    with <meta charset>/http-equiv declarations decode to the exact text;
+    a UTF-8 mis-decode would mangle the non-ASCII witness prefix."""
+    return _extracted(spark, sf_dir, "html_charset").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
 def q_extract_pdf_xrefstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF 1.5 modern structure (M1 dialect widening): object stream +
     predictor-12 cross-reference stream. Same invariant as the classic
@@ -605,6 +618,13 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS page_count
         FROM documents
     """,
+    "extract_html_charset": f"""
+        SELECT doc_id, 'html' AS doc_type, 'success' AS status,
+               CASE WHEN doc_id % 2 = 0 THEN 'café ' || text
+                    ELSE '中文 ' || text END AS content,
+               {_WORDS} + 1 AS word_count
+        FROM documents
+    """,
     "extract_pdf_xrefstream": f"""
         SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
                'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
@@ -1117,6 +1137,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_html_content": q_extract_html_content,
+        "extract_html_charset": q_extract_html_charset,
         "extract_pdf_content": q_extract_pdf_content,
         "extract_pdf_xrefstream": q_extract_pdf_xrefstream,
         "extract_pdf_incremental": q_extract_pdf_incremental,

@@ -16,7 +16,12 @@ docling_strategy_processor.py:1504).
 PINNED SEMANTICS (the byte-identical invariant surface — change these and
 every golden fixture changes):
 
-1. Bytes are decoded as UTF-8 with ``errors="replace"``.
+1. Bytes are decoded with a sniffed charset, ``errors="replace"``:
+   a BOM wins (UTF-8/UTF-16LE/UTF-16BE, stripped), else the first
+   ``<meta ... charset=...>`` / ``http-equiv`` label within the leading
+   1024 bytes (resolved via Python ``codecs.lookup``; unknown labels fall
+   back), else UTF-8. Legacy-web pages (windows-1252, GBK, Shift-JIS...)
+   decode correctly instead of silently mangling to U+FFFD.
 2. Subtrees under structural-boilerplate / non-content tags are dropped
    outright: head, nav, header, footer, aside, script, style, noscript,
    template, form, iframe, svg, button, select, option, object, embed,
@@ -45,6 +50,7 @@ every golden fixture changes):
 
 from __future__ import annotations
 
+import codecs
 import re
 from html.parser import HTMLParser
 
@@ -128,6 +134,46 @@ LINK_DENSITY_MAX = 0.5  # pinned rule 5
 
 # Control chars other than \t\n\r (pinned rule 7's binary-junk signal).
 _CTRL_RE = re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f]")
+
+# Charset sniffing (pinned rule 1) -----------------------------------------
+
+_BOMS: tuple[tuple[bytes, str], ...] = (
+    (codecs.BOM_UTF8, "utf-8"),
+    (codecs.BOM_UTF16_LE, "utf-16-le"),
+    (codecs.BOM_UTF16_BE, "utf-16-be"),
+)
+
+# Matches both `<meta charset=X>` and
+# `<meta http-equiv="Content-Type" content="text/html; charset=X">`
+# within a single tag (charset never legally spans tags).
+_META_CHARSET_RE = re.compile(
+    rb"<meta[^>]{0,512}?charset\s*=\s*[\"']?\s*([a-zA-Z0-9_.:\-]+)",
+    re.IGNORECASE,
+)
+
+SNIFF_WINDOW = 1024  # bytes scanned for a meta charset (WHATWG prescan size)
+
+
+def detect_charset(data: bytes) -> tuple[str, int]:
+    """Return (codec_name, bom_length). BOM > meta tag > utf-8 fallback."""
+    for bom, enc in _BOMS:
+        if data.startswith(bom):
+            return enc, len(bom)
+    m = _META_CHARSET_RE.search(data[:SNIFF_WINDOW])
+    if m:
+        label = m.group(1).decode("ascii", errors="replace").strip().lower()
+        try:
+            codecs.lookup(label)
+        except LookupError:
+            return "utf-8", 0
+        return label, 0
+    return "utf-8", 0
+
+
+def decode_html_bytes(data: bytes) -> str:
+    """Pinned rule 1 decode: sniffed charset, errors=replace."""
+    enc, bom_len = detect_charset(data)
+    return data[bom_len:].decode(enc, errors="replace")
 
 
 class _BlockCollector(HTMLParser):
@@ -249,7 +295,7 @@ def _table_csv(rows: list[list[str]]) -> str | None:
 
 def extract_html(data: bytes, url_hash: str) -> ExtractionResult:
     """Extract main content from HTML bytes. Raises typed hard failures."""
-    text = data.decode("utf-8", errors="replace")
+    text = decode_html_bytes(data)
     parser = _BlockCollector()
     parser.feed(text)
     parser.close()

@@ -65,6 +65,20 @@ _HTML_FIG_TEMPLATE = (
     "</body></html>"
 )
 
+# Legacy-charset pages (html_charset mode): even doc_id -> windows-1252
+# with a <meta charset>, odd -> GBK with an http-equiv declaration. The
+# non-ASCII prefix is the decode witness: mis-decoding as UTF-8 would turn
+# it into U+FFFD and break the oracle's byte-identity.
+_HTML_CP1252_TEMPLATE = (
+    '<html><head><meta charset="windows-1252"></head>'
+    "<body><article><p>café {text}</p></article></body></html>"
+)
+_HTML_GBK_TEMPLATE = (
+    '<html><head><meta http-equiv="Content-Type" '
+    'content="text/html; charset=gbk"></head>'
+    "<body><article><p>中文 {text}</p></article></body></html>"
+)
+
 _CORRUPT_PAYLOAD = b"%PDF-1.4\nthis is not a real pdf body"
 
 # Fixed overhead of the html template (payload bytes = this + len(str(doc_id))
@@ -74,6 +88,14 @@ HTML_TEMPLATE_FIXED_LEN = len(_HTML_TEMPLATE.format(doc_id="", text=""))
 
 def synth_html_payload(doc_id: int, text: str) -> bytes:
     return _HTML_TEMPLATE.format(doc_id=doc_id, text=text).encode("utf-8")
+
+
+def synth_html_charset_payload(doc_id: int, text: str) -> bytes:
+    """Legacy-encoding page: the whole document is encoded in the declared
+    charset (text is all-ASCII; the prefix is the non-ASCII witness)."""
+    if doc_id % 2 == 0:
+        return _HTML_CP1252_TEMPLATE.format(text=text).encode("cp1252")
+    return _HTML_GBK_TEMPLATE.format(text=text).encode("gbk")
 
 
 def synth_html_table_payload(text: str, lang: str, source: str) -> bytes:
@@ -164,6 +186,8 @@ def synth_payload(
         return _CORRUPT_PAYLOAD
     if mode == "html":
         return synth_html_payload(doc_id, text)
+    if mode == "html_charset":
+        return synth_html_charset_payload(doc_id, text)
     if mode == "html_table":
         return synth_html_table_payload(text, lang, source)
     if mode == "html_fig":

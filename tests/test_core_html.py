@@ -154,3 +154,59 @@ def test_unclosed_anchor_does_not_poison_following_blocks():
     r = extract_document("u", html)
     assert r.status == "success"
     assert "real article body" in r.pages[0].content
+
+
+# --------------------------------------------------------------------------
+# Charset detection (pinned rule 1: BOM > meta charset > utf-8 replace)
+# --------------------------------------------------------------------------
+
+
+def test_charset_meta_windows1252():
+    html = (
+        '<html><head><meta charset="windows-1252"></head>'
+        "<body><p>café crème</p></body></html>"
+    ).encode("cp1252")
+    r = extract_document("u", html)
+    assert r.pages[0].content == "café crème"
+
+
+def test_charset_http_equiv_gbk():
+    html = (
+        '<html><head><meta http-equiv="Content-Type" '
+        'content="text/html; charset=gbk"></head>'
+        "<body><p>中文 content here</p></body></html>"
+    ).encode("gbk")
+    r = extract_document("u", html)
+    assert r.pages[0].content == "中文 content here"
+
+
+def test_charset_utf16_bom():
+    html = "<html><body><p>utf sixteen page body</p></body></html>"
+    import codecs as _codecs
+
+    for bom, enc in ((_codecs.BOM_UTF16_LE, "utf-16-le"),
+                     (_codecs.BOM_UTF16_BE, "utf-16-be")):
+        r = extract_document("u", bom + html.encode(enc))
+        assert r.pages[0].content == "utf sixteen page body", enc
+
+
+def test_charset_utf8_bom_stripped():
+    html = b"\xef\xbb\xbf<html><body><p>bom page</p></body></html>"
+    r = extract_document("u", html)
+    assert r.pages[0].content == "bom page"
+
+
+def test_charset_unknown_label_falls_back_to_utf8():
+    html = (
+        b'<html><head><meta charset="no-such-enc"></head>'
+        b"<body><p>plain ascii body</p></body></html>"
+    )
+    r = extract_document("u", html)
+    assert r.pages[0].content == "plain ascii body"
+
+
+def test_charset_absent_still_utf8_replace():
+    # invalid utf-8 byte -> U+FFFD, exactly the pre-sniff behavior
+    html = b"<html><body><p>bad \xff byte</p></body></html>"
+    r = extract_document("u", html)
+    assert r.pages[0].content == "bad � byte"

@@ -29,8 +29,8 @@ GATE_TEXTS = [
     (3, "uniform victor whiskey xray yankee zulu one two three four five"),
 ]
 GATE_MODES = [
-    "html", "html_table", "html_fig", "pdf", "pdf_xs", "pdf_inc", "pdf2",
-    "pdf_hdr", "pdf_table", "mixed_fail",
+    "html", "html_charset", "html_table", "html_fig", "pdf", "pdf_xs",
+    "pdf_inc", "pdf2", "pdf_hdr", "pdf_table", "mixed_fail",
 ]
 
 
