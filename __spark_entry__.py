@@ -78,6 +78,45 @@ def q_extract_html_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_txt_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TXT passthrough extraction (reference MIME-table parity, D1/D2
+    widening): magic-less printable bytes route to txt; content == text."""
+    return _extracted(spark, sf_dir, "txt").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+def q_extract_docx_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX extraction (reference mime_type.py DOCX support): zip+XML
+    paragraphs; two paragraphs split at token 3 join with '\\n'."""
+    return _extracted(spark, sf_dir, "docx").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+def q_extract_docx_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOCX table extraction (M9/M10 parity for the ooxml path): same 3x2
+    k/v grid semantics as html_table/pdf_table."""
+    ext = _extracted(spark, sf_dir, "docx")
+    t = ext.select("doc_id", F.explode("tables").alias("t"))
+    return t.select(
+        "doc_id",
+        F.col("t.num_rows").cast("long").alias("num_rows"),
+        F.col("t.num_cols").cast("long").alias("num_cols"),
+        F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
+        F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.csv").alias("csv"),
+    )
+
+
 def q_extract_pdf_xrefstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF 1.5 modern structure (M1 dialect widening): object stream +
     predictor-12 cross-reference stream. Same invariant as the classic
@@ -625,6 +664,36 @@ _ORACLES: dict[str, str] = {
                {_WORDS} + 1 AS word_count
         FROM documents
     """,
+    "extract_txt_content": f"""
+        SELECT doc_id, 'txt' AS doc_type, 'success' AS status,
+               text AS content,
+               {_WORDS} AS word_count
+        FROM documents
+    """,
+    "extract_docx_content": f"""
+        WITH t AS (
+          SELECT doc_id, {_WORDS} AS wc,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3],
+                                 ' ') AS p1,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:],
+                                 ' ') AS p2
+          FROM documents
+        )
+        SELECT doc_id, 'docx' AS doc_type, 'success' AS status,
+               p1 || chr(10) || p2 AS content,
+               wc AS word_count
+        FROM t
+    """,
+    "extract_docx_tables": """
+        SELECT doc_id,
+               CAST(3 AS BIGINT) AS num_rows,
+               CAST(2 AS BIGINT) AS num_cols,
+               'k|v' AS headers_joined,
+               CAST(6 AS BIGINT) AS cell_count,
+               'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
+               'source,' || source || chr(10) AS csv
+        FROM documents
+    """,
     "extract_pdf_xrefstream": f"""
         SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
                'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
@@ -1141,6 +1210,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_content": q_extract_pdf_content,
         "extract_pdf_xrefstream": q_extract_pdf_xrefstream,
         "extract_pdf_incremental": q_extract_pdf_incremental,
+        "extract_txt_content": q_extract_txt_content,
+        "extract_docx_content": q_extract_docx_content,
+        "extract_docx_tables": q_extract_docx_tables,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,

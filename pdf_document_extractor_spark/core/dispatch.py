@@ -3,7 +3,9 @@
 Upgrades the reference's extension-based MIME detection
 (lib/models/mime_type_utils.py:36-77) to magic-byte sniffing per the north
 rule (Common-Crawl payloads are raw bytes, not trusted extensions):
-``%PDF-`` prefix => pdf, else html. The strategy-registry shape mirrors the
+``%PDF-`` => pdf; ``PK\\x03\\x04`` => ooxml container (docx extracted,
+xlsx/pptx named-unsupported); markup (a ``<`` in the head) => html; other
+non-empty printable bytes => txt. The strategy-registry shape mirrors the
 reference's ``DocumentProcessingStrategy`` protocol + orchestrator routing
 (src/interfaces/document_processor.py:10-83;
 src/services/processing_orchestrator.py:68-122) without the service wrapper.
@@ -15,25 +17,28 @@ import hashlib
 
 from .html_extract import extract_html
 from .model import (
+    DOC_TYPE_DOCX,
     DOC_TYPE_HTML,
     DOC_TYPE_PDF,
+    DOC_TYPE_TXT,
     STATUS_SUCCESS,
     ExtractionResult,
     PageResult,
 )
+from .office_extract import extract_docx, extract_txt
 from .pdf_extract import extract_pdf
 from .taxonomy import classify_error
 
 PDF_MAGIC = b"%PDF-"
+ZIP_MAGIC = b"PK\x03\x04"
 
 # Known non-extractable container magics -> typed hard failures. Parity
 # with the reference's 10-type MIME table (lib/models/mime_type_utils.py:
 # 36-77): those formats are RECOGNIZED (named in the failure row) even
-# though extraction is out of the north rule's pdf/html scope. Everything
-# else falls through to the HTML path, whose binary-junk guard catches the
-# residue (html_extract.py pinned rule 7).
+# though extraction is out of scope (image decode needs PIL — absent here).
+# Everything else falls through to the HTML/TXT paths, whose binary-junk
+# guards catch the residue (html_extract.py pinned rule 7).
 CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"PK\x03\x04", "zip/ooxml container (docx/xlsx/pptx)"),
     (b"\x89PNG\r\n", "png image"),
     (b"\xff\xd8\xff", "jpeg image"),
     (b"GIF87a", "gif image"),
@@ -41,6 +46,11 @@ CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"\x1f\x8b", "gzip stream"),
     (b"%!PS", "postscript document"),
 )
+
+# How many leading bytes decide html-vs-txt (pinned: a '<' anywhere in the
+# head means markup; whitespace-only/empty heads stay on the html path so
+# empty payloads keep their historical html EmptyContentError taxonomy).
+TEXT_SNIFF_WINDOW = 512
 
 
 def url_hash(url: str) -> str:
@@ -51,8 +61,19 @@ def url_hash(url: str) -> str:
 
 
 def sniff_doc_type(data: bytes) -> str:
-    """Magic-byte dispatch (north rule): %PDF- prefix => pdf, else html."""
-    return DOC_TYPE_PDF if data[:5] == PDF_MAGIC else DOC_TYPE_HTML
+    """Magic-byte dispatch (north rule): %PDF- => pdf, PK zip => docx
+    (ooxml container; xlsx/pptx are named inside the extractor), '<' in
+    the head => html, other non-whitespace heads => txt."""
+    if data[:5] == PDF_MAGIC:
+        return DOC_TYPE_PDF
+    if data[:4] == ZIP_MAGIC:
+        return DOC_TYPE_DOCX
+    head = data[:TEXT_SNIFF_WINDOW]
+    if b"<" in head:
+        return DOC_TYPE_HTML
+    if head.strip():
+        return DOC_TYPE_TXT
+    return DOC_TYPE_HTML
 
 
 # Extractor registry: doc_type -> callable(bytes, url_hash) -> ExtractionResult.
@@ -61,6 +82,8 @@ def sniff_doc_type(data: bytes) -> str:
 EXTRACTORS = {
     DOC_TYPE_PDF: extract_pdf,
     DOC_TYPE_HTML: extract_html,
+    DOC_TYPE_TXT: extract_txt,
+    DOC_TYPE_DOCX: extract_docx,
 }
 
 

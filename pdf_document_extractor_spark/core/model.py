@@ -33,6 +33,8 @@ STATUS_SOFT_FAILURE = "soft_failure"
 
 DOC_TYPE_PDF = "pdf"
 DOC_TYPE_HTML = "html"
+DOC_TYPE_TXT = "txt"
+DOC_TYPE_DOCX = "docx"
 
 
 @dataclass(frozen=True)

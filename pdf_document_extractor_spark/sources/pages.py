@@ -23,6 +23,7 @@ from typing import TYPE_CHECKING
 
 import pandas as pd
 
+from ..core.docx_write import write_docx
 from ..core.pdf_write import (
     PdfPageSpec,
     TextShow,
@@ -102,6 +103,22 @@ def synth_html_table_payload(text: str, lang: str, source: str) -> bytes:
     return _HTML_TABLE_TEMPLATE.format(
         text=text, lang=lang, source=source
     ).encode("utf-8")
+
+
+def synth_txt_payload(text: str) -> bytes:
+    """Plain UTF-8 text bytes -> txt passthrough: content == text."""
+    return text.encode("utf-8")
+
+
+def synth_docx_payload(text: str, lang: str, source: str) -> bytes:
+    """Two paragraphs split at token 3 (documents have >= 10 tokens) plus
+    the standard 3x2 k/v table -> content == p1 + '\\n' + p2, tables
+    mirror the html_table/pdf_table oracles."""
+    toks = text.split()
+    return write_docx(
+        [" ".join(toks[:3]), " ".join(toks[3:])],
+        tables=[[["k", "v"], ["lang", lang], ["source", source]]],
+    )
 
 
 def synth_pdf_payload(text: str) -> bytes:
@@ -188,6 +205,10 @@ def synth_payload(
         return synth_html_payload(doc_id, text)
     if mode == "html_charset":
         return synth_html_charset_payload(doc_id, text)
+    if mode == "txt":
+        return synth_txt_payload(text)
+    if mode == "docx":
+        return synth_docx_payload(text, lang, source)
     if mode == "html_table":
         return synth_html_table_payload(text, lang, source)
     if mode == "html_fig":

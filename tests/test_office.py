@@ -1,0 +1,118 @@
+"""TXT + DOCX extraction (office_extract pinned rules 1-9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_document_extractor_spark.core.dispatch import (
+    extract_document,
+    sniff_doc_type,
+)
+from pdf_document_extractor_spark.core.docx_write import write_docx
+from pdf_document_extractor_spark.core.office_extract import (
+    extract_docx,
+    extract_txt,
+)
+from pdf_document_extractor_spark.core.taxonomy import (
+    CorruptedFileError,
+    EmptyContentError,
+    UnsupportedFormatError,
+)
+
+
+# -- sniffing ---------------------------------------------------------------
+
+
+def test_sniff_routes():
+    assert sniff_doc_type(b"%PDF-1.4 ...") == "pdf"
+    assert sniff_doc_type(b"PK\x03\x04...") == "docx"
+    assert sniff_doc_type(b"<html><body>x</body></html>") == "html"
+    assert sniff_doc_type(b"plain words only") == "txt"
+    assert sniff_doc_type(b"") == "html"  # empty stays on the html path
+    assert sniff_doc_type(b"   \n\t  ") == "html"  # whitespace-only too
+
+
+# -- TXT --------------------------------------------------------------------
+
+
+def test_txt_passthrough_exact():
+    raw = "line one\nline two  with   spacing\n"
+    r = extract_txt(raw.encode("utf-8"), "h")
+    assert r.doc_type == "txt"
+    assert r.pages[0].content == raw  # NO whitespace normalization
+    assert r.pages[0].word_count == len(raw.split())
+    (el,) = r.pages[0].elements
+    assert (el.char_start, el.char_end, el.label) == (0, len(raw), "block")
+
+
+def test_txt_utf16_bom():
+    raw = "utf sixteen text"
+    data = b"\xff\xfe" + raw.encode("utf-16-le")
+    assert extract_txt(data, "h").pages[0].content == raw
+
+
+def test_txt_empty_and_junk():
+    with pytest.raises(EmptyContentError):
+        extract_txt(b"   \n ", "h")
+    with pytest.raises(UnsupportedFormatError):
+        extract_txt(bytes(range(1, 32)) * 8, "h")
+
+
+def test_txt_through_dispatch():
+    r = extract_document("u", b"just some plain prose here")
+    assert (r.doc_type, r.status) == ("txt", "success")
+    assert r.pages[0].content == "just some plain prose here"
+
+
+# -- DOCX -------------------------------------------------------------------
+
+
+def test_docx_paragraphs_and_spans():
+    data = write_docx(["first paragraph", "second  one", ""])
+    r = extract_docx(data, "h")
+    assert r.doc_type == "docx"
+    # empty paragraph dropped; per-paragraph normalize_ws applied
+    assert r.pages[0].content == "first paragraph\nsecond one"
+    spans = [(e.text, e.char_start, e.char_end) for e in r.pages[0].elements]
+    assert spans == [("first paragraph", 0, 15), ("second one", 16, 26)]
+
+
+def test_docx_tables_excluded_from_content():
+    rows = [["k", "v"], ["lang", "en"], ["source", "src1"]]
+    data = write_docx(["body text"], tables=[rows])
+    r = extract_docx(data, "h")
+    page = r.pages[0]
+    assert page.content == "body text"
+    (t,) = page.tables
+    assert t.headers == ("k", "v")
+    assert (t.num_rows, t.num_cols, t.cell_count) == (3, 2, 6)
+    assert t.csv == "k,v\nlang,en\nsource,src1\n"
+    assert t.table_id == "h_table_0"
+
+
+def test_docx_through_dispatch_matches_direct():
+    data = write_docx(["alpha bravo", "charlie"])
+    via_dispatch = extract_document("u", data)
+    direct = extract_docx(data, "ignored")
+    assert via_dispatch.status == "success"
+    assert via_dispatch.pages[0].content == direct.pages[0].content
+
+
+def test_docx_empty_content():
+    with pytest.raises(EmptyContentError):
+        extract_docx(write_docx([""]), "h")
+
+
+def test_docx_malformed_xml_is_corrupt():
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<w:document><unclosed")
+    with pytest.raises(CorruptedFileError):
+        extract_docx(buf.getvalue(), "h")
+
+
+def test_docx_determinism():
+    assert write_docx(["a", "b"]) == write_docx(["a", "b"])

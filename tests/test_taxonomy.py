@@ -58,13 +58,12 @@ def test_hard_failure_becomes_row_not_exception():
 
 
 def test_known_containers_get_typed_unsupported_failures():
-    """D1/D3 parity: the reference's MIME table recognizes docx/images/etc;
+    """D1/D3 parity: the reference's MIME table recognizes images/etc;
     we classify their magic bytes into named hard failures instead of
     letting them bleed into the HTML path."""
     from pdf_document_extractor_spark.core.dispatch import extract_document
 
     cases = {
-        b"PK\x03\x04rest-of-docx": "docx",
         b"\x89PNG\r\n\x1a\n....": "png",
         b"\xff\xd8\xff\xe0JFIF": "jpeg",
         b"GIF89a;;;": "gif",
@@ -76,6 +75,24 @@ def test_known_containers_get_typed_unsupported_failures():
         assert r.error_type == "UnsupportedFormatError", label
         assert r.doc_type == "unsupported", label
         assert label.split("/")[0][:3] in r.error_message or True
+
+
+def test_zip_containers_route_to_docx_extractor():
+    """PK magic now routes to the DOCX extractor: corrupt zips are
+    CorruptedFileError, recognized non-word ooxml parts get NAMED
+    UnsupportedFormatError rows."""
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.core.docx_write import write_xlsx_stub
+
+    r = extract_document("u", b"PK\x03\x04not-actually-a-zip")
+    assert (r.status, r.doc_type, r.error_type) == (
+        "hard_failure",
+        "docx",
+        "CorruptedFileError",
+    )
+    r = extract_document("u", write_xlsx_stub())
+    assert (r.status, r.error_type) == ("hard_failure", "UnsupportedFormatError")
+    assert "xlsx" in r.error_message
 
 
 def test_document_controlled_text_cannot_promote_hard_to_soft():
