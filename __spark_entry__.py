@@ -78,6 +78,28 @@ def q_extract_html_charset(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markdown renderer (M4): reference '# Page {n}' template selected by
+    output_format (DoclingOutputFormatEnum, docling_models.py:22-28)."""
+    from pdf_document_extractor_spark.core.config import ExtractionConfig
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    pages = synthesize_pages_from_documents(spark, sf_dir, "pdf")
+    ext = extract_pages(
+        pages, config=ExtractionConfig(output_format="markdown")
+    )
+    return ext.withColumn("doc_id", _doc_id()).select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
 def q_extract_txt_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TXT passthrough extraction (reference MIME-table parity, D1/D2
     widening): magic-less printable bytes route to txt; content == text."""
@@ -664,6 +686,12 @@ _ORACLES: dict[str, str] = {
                {_WORDS} + 1 AS word_count
         FROM documents
     """,
+    "extract_pdf_markdown": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               '# Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
+               {_WORDS} + 3 AS word_count
+        FROM documents
+    """,
     "extract_txt_content": f"""
         SELECT doc_id, 'txt' AS doc_type, 'success' AS status,
                text AS content,
@@ -1210,6 +1238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_content": q_extract_pdf_content,
         "extract_pdf_xrefstream": q_extract_pdf_xrefstream,
         "extract_pdf_incremental": q_extract_pdf_incremental,
+        "extract_pdf_markdown": q_extract_pdf_markdown,
         "extract_txt_content": q_extract_txt_content,
         "extract_docx_content": q_extract_docx_content,
         "extract_docx_tables": q_extract_docx_tables,

@@ -1,22 +1,27 @@
 """Extraction config — the reference's DoclingConfig surface
-(src/models/docling_models.py:41-58) minus ML-only knobs.
+(src/models/docling_models.py:41-58) minus ML-only knobs, plus the
+per-document-type tuning matrix (processing_config_manager.py:88-237).
 
 One config per run, captured in the UDF closure (the Spark analog of the
-reference's broadcast of per-MIME tuned configs,
-processing_config_manager.py:88-237). Flags gate STRUCTURE outputs only —
-``content`` bytes are invariant under every flag combination, so the
-golden byte-identity surface never depends on config.
+reference's broadcast of per-MIME tuned configs). Structure flags gate
+STRUCTURE outputs only; ``output_format`` selects the content renderer
+(reference ``DoclingOutputFormatEnum``, docling_models.py:22-28) — the
+default 'text' is the golden byte-identity surface, 'markdown' renders
+the reference's ``"# Page {n}\\n\\n"`` template
+(docling_strategy_processor.py:1282-1286), any other value falls through
+to the reference's bare ``"\\n"``-join branch (:1293-1294).
 
 Dropped knobs and why: ``enable_ocr`` (Docling ML path — no OCR engine in
 scope; scanned PDFs without text operators become EmptyContentError hard
-failures, mirroring the taxonomy), ``provider`` (no multi-backend),
-``output_format`` markdown/html/json variants (text is the byte-identity
-target; the others are renderers over the same elements).
+failures, mirroring the taxonomy), ``provider`` (no multi-backend).
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
+
+FORMAT_TEXT = "text"
+FORMAT_MARKDOWN = "markdown"
 
 
 @dataclass(frozen=True)
@@ -30,6 +35,27 @@ class ExtractionConfig:
     # (:52-54); consumed by operators/chunking.py
     chunk_size: int = 20
     overlap_size: int = 5
+    # content renderer (reference output_format, docling_models.py:47):
+    # 'text' | 'markdown' | anything else -> bare newline-join fallback
+    output_format: str = FORMAT_TEXT
+
+    def for_type(self, doc_type: str) -> "ExtractionConfig":
+        """Uniform config: every doc_type gets this config."""
+        return self
+
+
+@dataclass(frozen=True)
+class ConfigMatrix:
+    """Per-document-type tuning (D4) — the reference keys tuned configs by
+    MIME type (processing_config_manager.py:88-237); here by sniffed
+    doc_type ('pdf' | 'html' | 'txt' | 'docx'). Unlisted types fall back
+    to ``default``. Duck-typed with ExtractionConfig via ``for_type``."""
+
+    default: ExtractionConfig = ExtractionConfig()
+    per_type: dict = field(default_factory=dict)
+
+    def for_type(self, doc_type: str) -> ExtractionConfig:
+        return self.per_type.get(doc_type, self.default)
 
 
 DEFAULT_CONFIG = ExtractionConfig()

@@ -87,12 +87,15 @@ EXTRACTORS = {
 }
 
 
-def extract_document(url: str, data: bytes) -> ExtractionResult:
+def extract_document(url: str, data: bytes, config=None) -> ExtractionResult:
     """Sniff + extract one document; never raises for HARD failures —
     returns a failure-taxonomy result instead (poison-pill discipline,
     reference kafka_message_handler.py:126-161). SOFT (transient) failures
     re-raise so the task layer retries (reference: raise => no Kafka commit
-    => redelivery)."""
+    => redelivery). ``config`` may be an ExtractionConfig or a ConfigMatrix
+    (D4): it is resolved per sniffed doc_type BEFORE extraction, mirroring
+    the reference's per-MIME tuned configs
+    (processing_config_manager.py:88-237)."""
     uh = url_hash(url)
     data = data or b""
     for magic, label in CONTAINER_MAGICS:
@@ -105,8 +108,9 @@ def extract_document(url: str, data: bytes) -> ExtractionResult:
                 pages=[],
             )
     doc_type = sniff_doc_type(data)
+    cfg = config.for_type(doc_type) if config is not None else None
     try:
-        return EXTRACTORS[doc_type](data, uh)
+        return EXTRACTORS[doc_type](data, uh, config=cfg)
     except BaseException as exc:  # noqa: BLE001 — taxonomy decides
         status, error_type, message = classify_error(exc)
         if status == "soft_failure":

@@ -293,8 +293,10 @@ def _table_csv(rows: list[list[str]]) -> str | None:
     return table_csv(rows)  # shared pinned implementation (model.py)
 
 
-def extract_html(data: bytes, url_hash: str) -> ExtractionResult:
-    """Extract main content from HTML bytes. Raises typed hard failures."""
+def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """Extract main content from HTML bytes. Raises typed hard failures.
+    ``config`` is accepted for registry uniformity; the HTML path has no
+    format knob (reference's API extraction path returns one text body)."""
     text = decode_html_bytes(data)
     parser = _BlockCollector()
     parser.feed(text)

@@ -64,8 +64,9 @@ from .taxonomy import (
 )
 
 
-def extract_txt(data: bytes, url_hash: str) -> ExtractionResult:
-    """Plain-text passthrough extraction (pinned rules 1-4)."""
+def extract_txt(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """Plain-text passthrough extraction (pinned rules 1-4). ``config`` is
+    accepted for registry uniformity (no format knob)."""
     content = decode_html_bytes(data)
     if not content.strip():
         raise EmptyContentError("empty text document")
@@ -111,8 +112,9 @@ def _node_text(node) -> str:
     return normalize_ws("".join(parts))
 
 
-def extract_docx(data: bytes, url_hash: str) -> ExtractionResult:
-    """DOCX extraction (pinned rules 5-9). Raises typed hard failures."""
+def extract_docx(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """DOCX extraction (pinned rules 5-9). Raises typed hard failures.
+    ``config`` is accepted for registry uniformity (no format knob)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         names = set(zf.namelist())

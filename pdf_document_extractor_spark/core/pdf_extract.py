@@ -32,9 +32,14 @@ PINNED SEMANTICS (byte-identical invariant surface):
    (fixture signal: 18pt header vs 10pt body).
 4. Reading order = line order; a table row renders into content as its cells
    joined with single spaces.
-5. Page content (reference M5 template, docling_strategy_processor.py:
-   1264-1300): ``"Page {n}\\n\\n"`` + ``line_text + "\\n"`` for each line,
-   joined "". word_count = ``len(content.split())`` over that content.
+5. Page content (reference M5/M4 templates, docling_strategy_processor.py:
+   1264-1300): per ``config.output_format`` — 'text' (default, the golden
+   byte-identity surface): ``"Page {n}\\n\\n"`` + ``line_text + "\\n"`` per
+   line; 'markdown' (reference :1282-1286): ``"# Page {n}\\n\\n"`` + the
+   same per-line template; any other format (reference fallback :1293-94):
+   bare ``"\\n"``-join of the lines, no header, no trailing newline.
+   word_count = ``len(content.split())`` over the rendered content;
+   element char spans index into the rendered content.
 6. Pages are 1-indexed (reference: docling_strategy_processor.py:1149-1150).
 7. Table/figure ids are deterministic ``{url_hash}_table_{idx}`` (reference
    uuid4 ids at docling 1550, 1665 are excluded from the invariant surface).
@@ -720,8 +725,21 @@ def _bbox_for(show: _Show, page_height: float, text: str) -> BBox:
     )
 
 
-def extract_pdf(data: bytes, url_hash: str) -> ExtractionResult:
-    """Extract text/elements/tables from PDF bytes. Raises typed failures."""
+def _page_header(page_no: int, output_format: str) -> tuple[str, bool]:
+    """(header, bare_join) per pinned rule 5 / reference M4 templates."""
+    if output_format == "markdown":
+        return f"# Page {page_no}\n\n", False
+    if output_format == "text":
+        return f"Page {page_no}\n\n", False
+    return "", True  # reference's non-text/markdown fallback: bare join
+
+
+def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """Extract text/elements/tables from PDF bytes. Raises typed failures.
+
+    ``config.output_format`` selects the content renderer (pinned rule 5);
+    structure flags are applied by the caller (operators/extract.py)."""
+    output_format = config.output_format if config is not None else "text"
     if not data.startswith(b"%PDF-"):
         raise UnsupportedFormatError("missing %PDF- magic")
     offsets, trailer = _parse_xref(data)
@@ -750,8 +768,9 @@ def extract_pdf(data: bytes, url_hash: str) -> ExtractionResult:
                 in_table_rows[li] = t_local
 
         # Assemble content + elements in reading order (pinned rules 4-5).
-        parts: list[str] = [f"Page {page_no}\n\n"]
-        offset = len(parts[0])
+        header, bare_join = _page_header(page_no, output_format)
+        parts: list[str] = [header]
+        offset = len(header)
         elements: list[Element] = []
         for li, line in enumerate(lines):
             if li in in_table_rows:
@@ -788,6 +807,8 @@ def extract_pdf(data: bytes, url_hash: str) -> ExtractionResult:
             parts.append(line_text + "\n")
             offset += len(line_text) + 1
         content = "".join(parts)
+        if bare_join and lines:
+            content = content[:-1]  # "\n".join semantics: no trailing \n
 
         tables: list[TableRef] = []
         for (i, j) in table_spans:

@@ -130,7 +130,9 @@ def extract_rows_py(
     """Pure-Python row production for one document — ALSO the pytest oracle.
 
     Returns the exact dict rows the Spark UDF emits (minus Arrow transport).
-    ``config`` flags gate structure arrays only; content is config-invariant.
+    ``config`` may be an ExtractionConfig or a per-type ConfigMatrix (D4);
+    structure flags gate the tables/figures arrays, ``output_format``
+    selects the PDF content renderer (core/config.py).
 
     ``quarantine_soft``: normally soft (transient) failures re-raise so the
     TASK retries (reference: raise => no Kafka commit => redelivery). A
@@ -145,7 +147,7 @@ def extract_rows_py(
     config = config or DEFAULT_CONFIG
     payload = payload or b""
     try:
-        result = extract_document(url, payload)  # soft failures re-raise
+        result = extract_document(url, payload, config)  # soft failures re-raise
     except BaseException as exc:  # noqa: BLE001 — taxonomy decided soft
         if not (quarantine_soft and is_soft_failure(exc)):
             raise
@@ -190,6 +192,7 @@ def extract_rows_py(
         )
         return rows
     page_count = result.page_count
+    cfg = config.for_type(result.doc_type)  # D4 per-type resolution
     for page in result.pages:
         rows.append(
             {
@@ -202,12 +205,12 @@ def extract_rows_py(
                 "elements": _element_rows(page.elements),
                 "tables": (
                     _table_rows(page.tables)
-                    if config.enable_table_structure
+                    if cfg.enable_table_structure
                     else []
                 ),
                 "figures": (
                     _figure_rows(page.figures)
-                    if config.enable_figure_extraction
+                    if cfg.enable_figure_extraction
                     else []
                 ),
                 "status": STATUS_SUCCESS,

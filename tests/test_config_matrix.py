@@ -1,0 +1,122 @@
+"""M4 output-format renderers + D4 per-type config matrix.
+
+Reference semantics: page-content templates per DoclingOutputFormatEnum
+(docling_strategy_processor.py:1282-1294 — '# Page {n}' for markdown,
+'Page {n}' for text, bare newline-join for anything else) and per-MIME
+tuned configs (processing_config_manager.py:88-237, matrix test shape at
+tests/services/test_processing_config_manager.py:48-233).
+"""
+
+from __future__ import annotations
+
+from pdf_document_extractor_spark.core.config import (
+    ConfigMatrix,
+    ExtractionConfig,
+)
+from pdf_document_extractor_spark.core.docx_write import write_docx
+from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+from pdf_document_extractor_spark.core.pdf_write import (
+    PdfPageSpec,
+    TextShow,
+    write_pdf,
+)
+from pdf_document_extractor_spark.operators.extract import extract_rows_py
+from pdf_document_extractor_spark.sources.pages import (
+    synth_html_table_payload,
+    synth_pdf_table_payload,
+)
+
+PDF = write_pdf(
+    [
+        PdfPageSpec(
+            shows=[
+                TextShow(72.0, 720.0, 18.0, "Title Here"),
+                TextShow(72.0, 692.0, 10.0, "body words"),
+            ]
+        ),
+        PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "page two body")]),
+    ]
+)
+
+
+def test_markdown_format_renders_reference_template():
+    r = extract_pdf(PDF, "h", ExtractionConfig(output_format="markdown"))
+    assert r.pages[0].content == "# Page 1\n\nTitle Here\nbody words\n"
+    assert r.pages[1].content == "# Page 2\n\npage two body\n"
+    # spans index into the RENDERED content
+    el = r.pages[0].elements[0]
+    assert r.pages[0].content[el.char_start : el.char_end] == el.text
+    assert r.pages[0].word_count == len(r.pages[0].content.split())
+
+
+def test_text_format_is_default_and_unchanged():
+    assert (
+        extract_pdf(PDF, "h").pages[0].content
+        == extract_pdf(PDF, "h", ExtractionConfig()).pages[0].content
+        == "Page 1\n\nTitle Here\nbody words\n"
+    )
+
+
+def test_other_formats_fall_through_to_bare_join():
+    for fmt in ("html", "json"):
+        r = extract_pdf(PDF, "h", ExtractionConfig(output_format=fmt))
+        assert r.pages[0].content == "Title Here\nbody words", fmt
+        el = r.pages[0].elements[-1]
+        assert r.pages[0].content[el.char_start : el.char_end] == el.text
+
+
+def test_config_matrix_gates_structure_per_type():
+    """pdf tables on / html tables off / docx figures+tables off — each
+    doc_type resolves its own flags (reference per-MIME matrix)."""
+    matrix = ConfigMatrix(
+        default=ExtractionConfig(),
+        per_type={
+            "html": ExtractionConfig(enable_table_structure=False),
+            "docx": ExtractionConfig(
+                enable_table_structure=False,
+                enable_figure_extraction=False,
+            ),
+        },
+    )
+    table = [["k", "v"], ["lang", "en"], ["source", "s"]]
+
+    pdf_rows = extract_rows_py(
+        "u1", synth_pdf_table_payload("body text here", "en", "s"),
+        config=matrix,
+    )
+    assert pdf_rows[0]["tables"]  # default config: tables on
+
+    html_rows = extract_rows_py(
+        "u2", synth_html_table_payload("body text here", "en", "s"),
+        config=matrix,
+    )
+    assert html_rows[0]["status"] == "success"
+    assert html_rows[0]["tables"] == []  # html override: tables off
+
+    docx_rows = extract_rows_py(
+        "u3", write_docx(["body text"], tables=[table]), config=matrix
+    )
+    assert docx_rows[0]["status"] == "success"
+    assert docx_rows[0]["tables"] == []
+
+
+def test_config_matrix_output_format_per_type():
+    """The renderer knob also rides the matrix: markdown for pdf only."""
+    matrix = ConfigMatrix(
+        per_type={"pdf": ExtractionConfig(output_format="markdown")}
+    )
+    rows = extract_rows_py("u", PDF, config=matrix)
+    assert rows[0]["content"].startswith("# Page 1\n\n")
+
+
+def test_content_invariance_under_structure_flags():
+    """Structure flags must never change content bytes (golden guard)."""
+    on = extract_rows_py("u", PDF, config=ExtractionConfig())
+    off = extract_rows_py(
+        "u",
+        PDF,
+        config=ExtractionConfig(
+            enable_table_structure=False, enable_figure_extraction=False
+        ),
+    )
+    assert [r["content"] for r in on] == [r["content"] for r in off]
