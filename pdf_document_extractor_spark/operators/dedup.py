@@ -186,22 +186,33 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
     cluster_id = min doc_id in the component (the canonical keeper).
 
     Pair output alone under-deduplicates: A~B and B~C must collapse to ONE
-    keeper even when A~C missed the threshold. Iterative min-label
-    propagation (the simplified large-star/small-star layout): each round
-    every node takes the min label among itself and its neighbors; rounds
-    needed = component diameter (tiny for near-dup clusters). Each round is
-    one shuffle join on ~|edges| rows of (long, long) — no text moves.
-    ``localCheckpoint`` truncates the growing lineage so round N's plan
-    does not replay rounds 1..N-1.
+    keeper even when A~C missed the threshold. Min-label propagation with
+    POINTER JUMPING: each round every node takes the min label over
+    (itself, its neighbors), then label <- label(label) — the path-halving
+    step that makes rounds O(log diameter) instead of O(diameter). Every
+    round moves only (long, long) rows — no text.
+
+    Cost discipline (the 100-TB shape AND the bench win):
+    - ``sym`` is localCheckpoint'ed ONCE: without it, every action of every
+      round replays the upstream edge plan (for near-dup input that is the
+      whole shingle inverted-index join — the single biggest cost of the
+      old loop).
+    - one action per round: the changed-count rides the checkpointed frame
+      as a flag column, so convergence detection is a count over already-
+      materialized partitions, not a second derivation.
     """
     edges = pairs.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
-    sym = edges.unionByName(
-        edges.select(
-            F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+    sym = (
+        edges.unionByName(
+            edges.select(
+                F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
+            )
         )
-    ).distinct()
+        .distinct()
+        .localCheckpoint(eager=True)  # edges are re-joined every round
+    )
     labels = (
         sym.select(F.col("id_a").alias("id"))
         .distinct()
@@ -215,24 +226,45 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
             .groupBy("id_a")
             .agg(F.min("label").alias("neighbor_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels["id"] == neighbor_min["id_a"], "left")
-            .select(
-                labels["id"],
-                F.least(
-                    labels["label"],
-                    F.coalesce("neighbor_label", labels["label"]),
-                ).alias("label"),
+        prop = labels.join(
+            neighbor_min, labels["id"] == neighbor_min["id_a"], "left"
+        ).select(
+            labels["id"],
+            F.least(
+                labels["label"],
+                F.coalesce("neighbor_label", labels["label"]),
+            ).alias("label"),
+            labels["label"].alias("_old"),
+        )
+        # pointer jump: label <- min(label, label's current label). Labels
+        # are node ids, so every label has a row; left join for safety.
+        jumped = (
+            prop.alias("a")
+            .join(
+                prop.select(
+                    F.col("id").alias("_jid"), F.col("label").alias("_jlabel")
+                ).alias("b"),
+                F.col("a.label") == F.col("b._jid"),
+                "left",
             )
-            .localCheckpoint(eager=True)
+            .select(
+                F.col("a.id").alias("id"),
+                F.least(
+                    F.col("a.label"),
+                    F.coalesce(F.col("b._jlabel"), F.col("a.label")),
+                ).alias("label"),
+                (
+                    F.least(
+                        F.col("a.label"),
+                        F.coalesce(F.col("b._jlabel"), F.col("a.label")),
+                    )
+                    != F.col("a._old")
+                ).alias("_changed"),
+            )
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = new_labels.filter(F.col("_changed")).count()
+        labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
             break
