@@ -365,8 +365,12 @@ def ivf_topk(
 # radius: radius r probes sum_{i<=r} C(6,i) of the 64 buckets. Measured on
 # the sandbox's near-orthogonal synthetic vectors (hardest case — top-1
 # cosine ~0.5): radius 1 -> recall 0.16 (~11% scanned), radius 2 -> 0.62
-# (~34%), radius 3 -> 0.80 (~66%). Clustered real embeddings sit far above
-# this curve. Default radius 2.
+# (~34%), radius 3 -> 0.80 (~66%). On a CLUSTERED corpus (the realistic
+# regime; 8 gaussian clusters, noise sigma=0.6 of center scale): radius 1
+# -> 0.94, radius 2 -> 1.00 — gated at >= 0.8 by
+# tests/test_similarity.py::test_lsh_recall_gate_clustered (IVF likewise
+# measures 1.00 at the default nprobe=4/16, gated at >= 0.8). Default
+# radius 2.
 N_PLANES = 6
 
 

@@ -60,6 +60,56 @@ def test_ivf_recall_and_determinism(spark):
     assert full == exact
 
 
+def _clustered_corpus(spark, dim=16, k_clust=8, n=400, noise=0.6):
+    """Deterministic clustered embeddings — the REALISTIC recall regime
+    (real text/image embeddings cluster; the sf* parquet vectors are
+    near-orthogonal, the adversarial worst case)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    centers = rng.randn(k_clust, dim) * 3
+    rows = []
+    for i in range(n):
+        c = centers[i % k_clust]
+        rows.append(
+            (i + 10, (c + rng.randn(dim) * noise).astype("float32").tolist())
+        )
+    for q in range(10):
+        c = centers[q % k_clust]
+        rows.append(
+            (q, (c + rng.randn(dim) * noise).astype("float32").tolist())
+        )
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_lsh_recall_gate_clustered(spark):
+    """RECALL GATE: sign-LSH at the default multiprobe radius (2 flips)
+    must reach >= 0.8 recall@5 vs brute force on clustered embeddings
+    (measured 1.00 at the pinned seed; near-orthogonal worst case is
+    documented at ~0.62 in the module docstring)."""
+    emb = _clustered_corpus(spark)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_bucketed_topk(emb, dim=16).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
+def test_ivf_recall_gate_clustered(spark):
+    """RECALL GATE: IVF at the default nprobe=4/16 must reach >= 0.8
+    recall@5 vs brute force on clustered embeddings (measured 1.00 at the
+    pinned seed)."""
+    emb = _clustered_corpus(spark)
+    exact = {(r.query_id, r.neighbor_id) for r in brute_force_topk(emb).collect()}
+    approx = {
+        (r.query_id, r.neighbor_id) for r in ivf_topk(emb, dim=16).collect()
+    }
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.8, recall
+
+
 def test_lsh_topk_shape(spark):
     emb = _emb(spark)
     dim = len(emb.select("embedding").first()["embedding"])
