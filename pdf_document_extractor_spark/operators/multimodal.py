@@ -2,10 +2,13 @@
 
 Images/audio/video ride as ``binary`` columns with a typed header; all
 Spark-side plumbing (schema, Arrow batch shape, partitioning, UDF
-signatures) is real and tested. The actual codec work (JPEG decode, resample,
-frame extraction) is STUBBED behind import-tries because this container has
-no image/audio libraries — each stub raises ``NotImplementedError`` with the
-production dependency named, per the round-1 contract.
+signatures) is real and tested, and so are the fake-container decode/probe/
+resize paths. Real JPEG/PNG codecs go through an OPTIONAL Pillow import
+(reference asset_storage_service.py:196-239, :643-658): when Pillow is
+installed the same functions decode/probe/resize real images with the
+pixel-dimension bomb guard applied first (image_validator.py:13-14 caps);
+``NotImplementedError`` is raised only when the codec is genuinely absent
+(this container). Tests for the PIL paths skip-if-no-PIL.
 
 Fake deterministic container (so tests/oracles can verify the plumbing):
 
@@ -208,41 +211,130 @@ def media_features(
     )
 
 
-def decode_image_pixels(blob: bytes):
-    """Real image decode — production path requires Pillow; stubbed here."""
+# Decompression-bomb guard (M12/D6 pixel dimension caps — reference
+# src/utils/image_validator.py:13-14: 100 MP total, 8192 px per side).
+MAX_IMAGE_PIXELS = 100_000_000
+MAX_IMAGE_DIMENSION = 8192
+
+
+def _pil():
+    """Optional Pillow import: None in this container, the real module in
+    production (reference image handling at asset_storage_service.py:
+    196-239 get_image, :643-658 size probe)."""
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def validate_image_dims(width: int, height: int) -> None:
+    """Pixel-dimension bomb guard (reference image_validator.py:36-150):
+    a 40-byte zip-bombed PNG can claim 2^31 px; cap BEFORE full decode."""
+    from ..core.taxonomy import OversizeDocumentError
+
+    if width > MAX_IMAGE_DIMENSION or height > MAX_IMAGE_DIMENSION:
+        raise OversizeDocumentError(
+            f"image dimension {width}x{height} exceeds "
+            f"{MAX_IMAGE_DIMENSION}px cap"
+        )
+    if width * height > MAX_IMAGE_PIXELS:
+        raise OversizeDocumentError(
+            f"image {width}x{height} exceeds {MAX_IMAGE_PIXELS}px cap"
+        )
+
+
+def probe_image_size(blob: bytes) -> tuple[int, int]:
+    """Header-only size probe (M12, reference asset_storage_service.py:
+    643-658): fake container reads its 10-byte header; real codecs use
+    PIL's lazy open (header parse, no pixel decode). Raises
+    NotImplementedError only when the codec is genuinely unavailable."""
+    blob = blob or b""
+    if blob[:5] == IMG_MAGIC and len(blob) >= 10:
+        w, h, _c = struct.unpack(">HHB", blob[5:10])
+        return w, h
+    image_mod = _pil()
+    if image_mod is None:
         raise NotImplementedError(
-            "real image decode requires Pillow (not in this container); "
-            "the fake-container metadata path above exercises the full "
-            "Spark plumbing"
-        ) from exc
-    raise NotImplementedError("wire PIL.Image.open here in production")
+            "size probe for real codecs requires Pillow (absent in this "
+            "container); the fake-container path above is the tested shape"
+        )
+    import io
+
+    with image_mod.open(io.BytesIO(blob)) as im:
+        return im.size
+
+
+def decode_image_pixels(blob: bytes):
+    """Full pixel decode (M11) -> numpy uint8 array (h, w, c).
+
+    Fake containers decode deterministically without any codec (payload
+    bytes tiled to the declared dims — the tested shape); real JPEG/PNG
+    go through Pillow when installed. Both apply the bomb guard BEFORE
+    materializing pixels."""
+    import numpy as np
+
+    blob = blob or b""
+    if blob[:5] == IMG_MAGIC and len(blob) >= 10:
+        w, h, c = struct.unpack(">HHB", blob[5:10])
+        validate_image_dims(w, h)
+        payload = np.frombuffer(blob[10:], dtype=np.uint8)
+        if payload.size == 0:
+            payload = np.zeros(1, dtype=np.uint8)
+        return np.resize(payload, (h, w, c))
+    image_mod = _pil()
+    if image_mod is None:
+        raise NotImplementedError(
+            "real image decode requires Pillow (absent in this container); "
+            "the fake-container path above exercises the full plumbing"
+        )
+    import io
+
+    with image_mod.open(io.BytesIO(blob)) as im:
+        validate_image_dims(*im.size)
+        return np.asarray(im.convert("RGB"))
 
 
 def resize_images(df: "DataFrame", target: tuple[int, int]) -> "DataFrame":
-    """Resize plumbing: schema/batching real, codec stubbed.
+    """Resize over a binary media column -> (doc_id, resized binary).
 
-    Emits (doc_id, resized binary) where the stub 're-encodes' the fake
-    container with the target dims (deterministic), proving the binary
-    round-trip through Arrow; a production build swaps the body for a
-    Pillow/libvips call with identical signature."""
+    Fake containers 're-encode' with the target dims (deterministic,
+    proves the binary Arrow round-trip); real images resize through
+    Pillow when installed and re-emit PNG bytes. Undecodable rows emit
+    NULL."""
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         w, h = target
+        image_mod = _pil()
         for batch in batches:
             out = []
             for i, b in zip(batch["doc_id"].to_numpy(),
                             batch["media"].to_numpy()):
-                meta = decode_media_meta(int(i), b or b"")
+                b = b or b""
+                meta = decode_media_meta(int(i), b)
                 if meta["kind"] == "image":
                     out.append(
                         {"doc_id": int(i), "resized": encode_fake_image(
                             w, h, meta["channels"])}
                     )
-                else:
-                    out.append({"doc_id": int(i), "resized": None})
+                    continue
+                if image_mod is not None:
+                    import io
+
+                    try:
+                        with image_mod.open(io.BytesIO(b)) as im:
+                            validate_image_dims(*im.size)
+                            buf = io.BytesIO()
+                            im.convert("RGB").resize((w, h)).save(
+                                buf, format="PNG"
+                            )
+                            out.append(
+                                {"doc_id": int(i), "resized": buf.getvalue()}
+                            )
+                            continue
+                    except Exception:  # noqa: BLE001 — junk rows -> NULL
+                        pass
+                out.append({"doc_id": int(i), "resized": None})
             yield pd.DataFrame(out)
 
     return df.select("doc_id", "media").mapInPandas(

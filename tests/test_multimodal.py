@@ -51,9 +51,11 @@ def test_resize_binary_roundtrip(spark):
     assert out[2] is None
 
 
-def test_real_decode_is_stubbed():
-    with pytest.raises(NotImplementedError, match="Pillow"):
-        decode_image_pixels(encode_fake_image(4, 4))
+def test_fake_container_decode_is_real_now():
+    # round-2 change: fake containers decode to pixels without any codec;
+    # NotImplementedError is reserved for real codecs without Pillow
+    arr = decode_image_pixels(encode_fake_image(4, 4))
+    assert arr.shape == (4, 4, 3)
 
 def test_frame_sample(spark):
     from pdf_document_extractor_spark.operators.multimodal import (
@@ -104,3 +106,73 @@ def test_media_features_ready_for_similarity(spark):
     )
     topk = brute_force_topk(emb, query_ids_below=2, k=2).collect()
     assert len(topk) >= 1
+
+
+# --------------------------------------------------------------------------
+# M11/M12: size probe, pixel decode, bomb guard (PIL paths skip-if-no-PIL)
+# --------------------------------------------------------------------------
+
+
+def test_probe_image_size_fake_container():
+    from pdf_document_extractor_spark.operators.multimodal import (
+        encode_fake_image,
+        probe_image_size,
+    )
+
+    assert probe_image_size(encode_fake_image(120, 80, 3)) == (120, 80)
+
+
+def test_decode_image_pixels_fake_container_shape():
+    from pdf_document_extractor_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_fake_image,
+    )
+
+    arr = decode_image_pixels(encode_fake_image(12, 8, 3))
+    assert arr.shape == (8, 12, 3)
+    assert arr.dtype.name == "uint8"
+    # deterministic
+    assert (arr == decode_image_pixels(encode_fake_image(12, 8, 3))).all()
+
+
+def test_pixel_bomb_guard():
+    import pytest
+
+    from pdf_document_extractor_spark.core.taxonomy import (
+        OversizeDocumentError,
+    )
+    from pdf_document_extractor_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_fake_image,
+        validate_image_dims,
+    )
+
+    with pytest.raises(OversizeDocumentError):
+        validate_image_dims(9000, 10)  # per-side cap (8192)
+    validate_image_dims(8192, 8192)  # 67 MP, both caps satisfied
+    with pytest.raises(OversizeDocumentError):
+        decode_image_pixels(encode_fake_image(9000, 10, 1))
+
+
+def test_real_codec_raises_only_without_pil():
+    import pytest
+
+    from pdf_document_extractor_spark.operators.multimodal import (
+        _pil,
+        decode_image_pixels,
+        probe_image_size,
+    )
+
+    png_1x1 = bytes.fromhex(
+        "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
+        "0000000d49444154789c626001000000ffff03000006000557bfabd40000000049"
+        "454e44ae426082"
+    )
+    if _pil() is None:
+        with pytest.raises(NotImplementedError):
+            probe_image_size(png_1x1)
+        with pytest.raises(NotImplementedError):
+            decode_image_pixels(png_1x1)
+    else:  # pragma: no cover - container has no PIL
+        assert probe_image_size(png_1x1) == (1, 1)
+        assert decode_image_pixels(png_1x1).shape == (1, 1, 3)
