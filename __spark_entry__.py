@@ -139,6 +139,50 @@ def q_extract_docx_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XLSX extraction (reference mime_type.py XLSX support): shared-string
+    cells render rows as lines; the sheet's 3x2 grid also lands in tables
+    (same struct as html/pdf/docx tables)."""
+    ext = _extracted(spark, sf_dir, "xlsx")
+    t = ext.select(
+        "doc_id", "doc_type", "status", "content", F.explode("tables").alias("t")
+    )
+    return t.select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
+        F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.csv").alias("csv"),
+    )
+
+
+def q_extract_pptx_slides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPTX extraction (reference mime_type.py PPTX support): one page per
+    slide in sldIdLst order, paragraph runs concatenated."""
+    return _extracted(spark, sf_dir, "pptx").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        F.col("page_number").cast("long").alias("page_number"),
+        F.col("page_count").cast("long").alias("page_count"),
+        "content",
+    )
+
+
+def q_extract_rtf_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RTF extraction (reference mime_type.py RTF support): destination
+    groups dropped, cp1252 hex-escape witness prefix, par -> newline."""
+    return _extracted(spark, sf_dir, "rtf").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
 def q_extract_pdf_xrefstream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF 1.5 modern structure (M1 dialect widening): object stream +
     predictor-12 cross-reference stream. Same invariant as the classic
@@ -722,6 +766,40 @@ _ORACLES: dict[str, str] = {
                'source,' || source || chr(10) AS csv
         FROM documents
     """,
+    "extract_xlsx_cells": """
+        SELECT doc_id, 'xlsx' AS doc_type, 'success' AS status,
+               'k v' || chr(10) || 'lang ' || lang || chr(10)
+                   || 'source ' || source AS content,
+               'k|v' AS headers_joined,
+               CAST(6 AS BIGINT) AS cell_count,
+               'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
+               'source,' || source || chr(10) AS csv
+        FROM documents
+    """,
+    "extract_pptx_slides": """
+        WITH t AS (
+          SELECT doc_id,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3],
+                                 ' ') AS p1,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:],
+                                 ' ') AS p2
+          FROM documents
+        )
+        SELECT doc_id, 'pptx' AS doc_type, 'success' AS status,
+               CAST(1 AS BIGINT) AS page_number,
+               CAST(2 AS BIGINT) AS page_count, p1 AS content
+        FROM t
+        UNION ALL
+        SELECT doc_id, 'pptx', 'success', CAST(2 AS BIGINT),
+               CAST(2 AS BIGINT), p2
+        FROM t
+    """,
+    "extract_rtf_content": f"""
+        SELECT doc_id, 'rtf' AS doc_type, 'success' AS status,
+               'café ' || text AS content,
+               {_WORDS} + 1 AS word_count
+        FROM documents
+    """,
     "extract_pdf_xrefstream": f"""
         SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
                'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
@@ -1242,6 +1320,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_txt_content": q_extract_txt_content,
         "extract_docx_content": q_extract_docx_content,
         "extract_docx_tables": q_extract_docx_tables,
+        "extract_xlsx_cells": q_extract_xlsx_cells,
+        "extract_pptx_slides": q_extract_pptx_slides,
+        "extract_rtf_content": q_extract_rtf_content,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,

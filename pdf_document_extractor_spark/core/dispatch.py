@@ -17,16 +17,18 @@ import hashlib
 
 from .html_extract import extract_html
 from .model import (
-    DOC_TYPE_DOCX,
     DOC_TYPE_HTML,
+    DOC_TYPE_OOXML,
     DOC_TYPE_PDF,
+    DOC_TYPE_RTF,
     DOC_TYPE_TXT,
     STATUS_SUCCESS,
     ExtractionResult,
     PageResult,
 )
-from .office_extract import extract_docx, extract_txt
+from .office_extract import extract_ooxml, extract_txt
 from .pdf_extract import extract_pdf
+from .rtf_extract import RTF_MAGIC, extract_rtf
 from .taxonomy import classify_error
 
 PDF_MAGIC = b"%PDF-"
@@ -39,6 +41,7 @@ ZIP_MAGIC = b"PK\x03\x04"
 # Everything else falls through to the HTML/TXT paths, whose binary-junk
 # guards catch the residue (html_extract.py pinned rule 7).
 CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
+    (b"\xd0\xcf\x11\xe0", "ole2 compound document (legacy doc/xls/ppt)"),
     (b"\x89PNG\r\n", "png image"),
     (b"\xff\xd8\xff", "jpeg image"),
     (b"GIF87a", "gif image"),
@@ -61,13 +64,15 @@ def url_hash(url: str) -> str:
 
 
 def sniff_doc_type(data: bytes) -> str:
-    """Magic-byte dispatch (north rule): %PDF- => pdf, PK zip => docx
-    (ooxml container; xlsx/pptx are named inside the extractor), '<' in
+    """Magic-byte dispatch (north rule): %PDF- => pdf, PK zip => ooxml
+    (the contained part decides docx/xlsx/pptx), {\\rtf => rtf, '<' in
     the head => html, other non-whitespace heads => txt."""
     if data[:5] == PDF_MAGIC:
         return DOC_TYPE_PDF
     if data[:4] == ZIP_MAGIC:
-        return DOC_TYPE_DOCX
+        return DOC_TYPE_OOXML
+    if data[: len(RTF_MAGIC)] == RTF_MAGIC:
+        return DOC_TYPE_RTF
     head = data[:TEXT_SNIFF_WINDOW]
     if b"<" in head:
         return DOC_TYPE_HTML
@@ -83,7 +88,8 @@ EXTRACTORS = {
     DOC_TYPE_PDF: extract_pdf,
     DOC_TYPE_HTML: extract_html,
     DOC_TYPE_TXT: extract_txt,
-    DOC_TYPE_DOCX: extract_docx,
+    DOC_TYPE_OOXML: extract_ooxml,
+    DOC_TYPE_RTF: extract_rtf,
 }
 
 

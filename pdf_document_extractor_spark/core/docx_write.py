@@ -1,9 +1,17 @@
-"""Minimal deterministic DOCX writer (fixture generator dependency).
+"""Minimal deterministic OOXML writers (fixture generator dependency).
 
-Emits exactly the dialect ``core/office_extract.py`` parses: a stored
-(uncompressed) zip with fixed timestamps containing ``[Content_Types].xml``
-and ``word/document.xml`` — paragraphs as ``<w:p><w:r><w:t>``, tables as
-``<w:tbl><w:tr><w:tc>``. Test-input generator only, not an extraction path.
+Emit exactly the dialects ``core/office_extract.py`` parses: stored
+(uncompressed) zips with fixed timestamps —
+
+- ``write_docx``: ``word/document.xml`` with ``<w:p><w:r><w:t>``
+  paragraphs and ``<w:tbl><w:tr><w:tc>`` tables.
+- ``write_xlsx``: ``xl/workbook.xml`` + rels + ``xl/sharedStrings.xml`` +
+  one ``xl/worksheets/sheetN.xml`` per sheet (all strings shared, the
+  real-world layout).
+- ``write_pptx``: ``ppt/presentation.xml`` + rels + one
+  ``ppt/slides/slideN.xml`` per slide with ``<a:p><a:r><a:t>`` runs.
+
+Test-input generators only, not extraction paths.
 """
 
 from __future__ import annotations
@@ -68,11 +76,148 @@ def write_docx(
     return buf.getvalue()
 
 
-def write_xlsx_stub() -> bytes:
-    """A zip that IS a spreadsheet container (for the named-unsupported
-    taxonomy path) — workbook part present, no word/document.xml."""
+def _write_zip(parts: list[tuple[str, str]]) -> bytes:
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
-        info = zipfile.ZipInfo("xl/workbook.xml", date_time=_ZIP_EPOCH)
-        zf.writestr(info, "<workbook/>")
+        for name, payload in parts:
+            info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
+            zf.writestr(info, payload)
     return buf.getvalue()
+
+
+def write_xlsx_stub() -> bytes:
+    """A spreadsheet container with an EMPTY workbook (no sheets) — the
+    empty-content taxonomy path for the xlsx extractor."""
+    return _write_zip([("xl/workbook.xml", "<workbook/>")])
+
+
+_XLSX_CT = (
+    '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+    '<Types xmlns="http://schemas.openxmlformats.org/package/2006/'
+    'content-types">'
+    '<Default Extension="xml" ContentType="application/xml"/>'
+    '<Override PartName="/xl/workbook.xml" ContentType="application/vnd.'
+    'openxmlformats-officedocument.spreadsheetml.sheet.main+xml"/>'
+    "</Types>"
+)
+
+_REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
+
+
+def write_xlsx(sheets: list[list[list[str]]]) -> bytes:
+    """Sheets (rows of string cells) -> deterministic XLSX bytes. All cell
+    values go through xl/sharedStrings.xml (t=\"s\"), the layout real
+    producers emit."""
+    strings: list[str] = []
+    index: dict[str, int] = {}
+
+    def sid(s: str) -> int:
+        if s not in index:
+            index[s] = len(strings)
+            strings.append(s)
+        return index[s]
+
+    sheet_parts = []
+    for si, rows in enumerate(sheets, start=1):
+        xml_rows = []
+        for ri, row in enumerate(rows, start=1):
+            cells = "".join(
+                f'<c r="{chr(64 + ci)}{ri}" t="s"><v>{sid(cell)}</v></c>'
+                for ci, cell in enumerate(row, start=1)
+            )
+            xml_rows.append(f'<row r="{ri}">{cells}</row>')
+        sheet_parts.append(
+            (
+                f"xl/worksheets/sheet{si}.xml",
+                '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+                'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+                + "".join(xml_rows)
+                + "</sheetData></worksheet>",
+            )
+        )
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.'
+        f'org/spreadsheetml/2006/main" count="{len(strings)}" '
+        f'uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{escape(s)}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    wb_sheets = "".join(
+        f'<sheet name="Sheet{i}" sheetId="{i}" r:id="rId{i}"/>'
+        for i in range(1, len(sheets) + 1)
+    )
+    workbook = (
+        '<?xml version="1.0"?><workbook xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main" '
+        f'xmlns:r="{_REL_NS}"><sheets>{wb_sheets}</sheets></workbook>'
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="{_REL_NS}/worksheet" '
+            f'Target="worksheets/sheet{i}.xml"/>'
+            for i in range(1, len(sheets) + 1)
+        )
+        + "</Relationships>"
+    )
+    return _write_zip(
+        [
+            ("[Content_Types].xml", _XLSX_CT),
+            ("xl/workbook.xml", workbook),
+            ("xl/_rels/workbook.xml.rels", rels),
+            ("xl/sharedStrings.xml", sst),
+            *sheet_parts,
+        ]
+    )
+
+
+_A_NS = "http://schemas.openxmlformats.org/drawingml/2006/main"
+
+
+def write_pptx(slides: list[list[str]]) -> bytes:
+    """Slides (lists of paragraph strings) -> deterministic PPTX bytes."""
+    slide_parts = []
+    for si, paragraphs in enumerate(slides, start=1):
+        ps = "".join(
+            f"<a:p><a:r><a:t>{escape(t)}</a:t></a:r></a:p>"
+            for t in paragraphs
+        )
+        slide_parts.append(
+            (
+                f"ppt/slides/slide{si}.xml",
+                '<?xml version="1.0"?><p:sld xmlns:p="http://schemas.'
+                'openxmlformats.org/presentationml/2006/main" '
+                f'xmlns:a="{_A_NS}"><p:cSld><p:spTree><p:sp><p:txBody>'
+                + ps
+                + "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>",
+            )
+        )
+    sld_ids = "".join(
+        f'<p:sldId id="{255 + i}" r:id="rId{i}"/>'
+        for i in range(1, len(slides) + 1)
+    )
+    presentation = (
+        '<?xml version="1.0"?><p:presentation xmlns:p="http://schemas.'
+        'openxmlformats.org/presentationml/2006/main" '
+        f'xmlns:r="{_REL_NS}"><p:sldIdLst>{sld_ids}</p:sldIdLst>'
+        "</p:presentation>"
+    )
+    rels = (
+        '<?xml version="1.0"?><Relationships xmlns="http://schemas.'
+        'openxmlformats.org/package/2006/relationships">'
+        + "".join(
+            f'<Relationship Id="rId{i}" Type="{_REL_NS}/slide" '
+            f'Target="slides/slide{i}.xml"/>'
+            for i in range(1, len(slides) + 1)
+        )
+        + "</Relationships>"
+    )
+    return _write_zip(
+        [
+            ("[Content_Types].xml", _XLSX_CT),
+            ("ppt/presentation.xml", presentation),
+            ("ppt/_rels/presentation.xml.rels", rels),
+            *slide_parts,
+        ]
+    )

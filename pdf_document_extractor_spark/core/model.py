@@ -35,6 +35,10 @@ DOC_TYPE_PDF = "pdf"
 DOC_TYPE_HTML = "html"
 DOC_TYPE_TXT = "txt"
 DOC_TYPE_DOCX = "docx"
+DOC_TYPE_XLSX = "xlsx"
+DOC_TYPE_PPTX = "pptx"
+DOC_TYPE_RTF = "rtf"
+DOC_TYPE_OOXML = "ooxml"  # sniffed PK-zip before the part decides subtype
 
 
 @dataclass(frozen=True)

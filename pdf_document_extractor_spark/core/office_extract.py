@@ -22,10 +22,13 @@ TXT:
     chars present and (ctrl + U+FFFD) / len > 10% -> UnsupportedFormatError.
  4. One page, one "block" element spanning [0, len(content)).
 
+OOXML routing:
+ 5. The payload must be a valid zip (else CorruptedFileError); the part
+    decides the subtype: ``word/document.xml`` -> docx,
+    ``xl/workbook.xml`` -> xlsx, ``ppt/presentation.xml`` -> pptx; none
+    of them -> UnsupportedFormatError.
+
 DOCX:
- 5. The payload must be a valid zip (else CorruptedFileError) containing
-    ``word/document.xml`` (else a NAMED UnsupportedFormatError: xlsx and
-    pptx are recognized by their workbook/presentation parts).
  6. Elements are matched by XML LOCAL name (namespace-prefix agnostic).
     Direct children of <body> in document order: <p> paragraphs and
     <tbl> tables. Paragraph text = concatenated descendant <t> text,
@@ -36,6 +39,28 @@ DOCX:
     headers = first row, CSV via the shared pinned table_csv.
  8. One page; one "block" element per paragraph with exact char spans.
  9. Malformed XML raises CorruptedFileError.
+
+XLSX:
+ 10. Sheets resolve in ``workbook.xml`` order via the workbook rels
+     (r:id -> worksheets/sheetN.xml); sheet k is PAGE k.
+ 11. Cell text: t="s" -> sharedStrings entry (concat descendant <t>),
+     t="inlineStr" -> concat <t> under <is>, else the raw <v> text;
+     all whitespace-normalized. Rows keep document order.
+ 12. Page content = rows rendered as lines (cells joined with single
+     spaces, lines joined "\\n"); one "block" element per row with exact
+     char spans; each non-empty sheet also emits ONE TableRef (headers =
+     first row, shared pinned CSV).
+ 13. No cell text anywhere -> EmptyContentError.
+
+PPTX:
+ 14. Slides resolve in ``sldIdLst`` order via the presentation rels;
+     slide k is PAGE k.
+ 15. A paragraph is any element with local name "p" inside the slide;
+     its text = concat of descendant <t> runs, whitespace-normalized;
+     empty paragraphs drop. Page content = paragraphs joined "\\n"; one
+     "block" element per paragraph.
+ 16. All slides empty -> EmptyContentError (an individual empty slide
+     still yields its page with empty content).
 """
 
 from __future__ import annotations
@@ -47,7 +72,9 @@ from xml.etree import ElementTree
 from .html_extract import _CTRL_RE, decode_html_bytes
 from .model import (
     DOC_TYPE_DOCX,
+    DOC_TYPE_PPTX,
     DOC_TYPE_TXT,
+    DOC_TYPE_XLSX,
     LABEL_BLOCK,
     Element,
     ExtractionResult,
@@ -97,45 +124,51 @@ def extract_txt(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     return ExtractionResult(doc_type=DOC_TYPE_TXT, pages=[page])
 
 
-_XLSX_PARTS = ("xl/workbook.xml",)
-_PPTX_PARTS = ("ppt/presentation.xml",)
-
-
 def _local(tag: str) -> str:
     """XML local name ('{ns}p' -> 'p'); pinned rule 6."""
     return tag.rsplit("}", 1)[-1]
 
 
 def _node_text(node) -> str:
-    """Concatenated descendant <t> text (w:t carries all DOCX run text)."""
+    """Concatenated descendant <t> text (w:t/a:t/t carry all run text)."""
     parts = [t.text or "" for t in node.iter() if _local(t.tag) == "t"]
     return normalize_ws("".join(parts))
 
 
-def extract_docx(data: bytes, url_hash: str, config=None) -> ExtractionResult:
-    """DOCX extraction (pinned rules 5-9). Raises typed hard failures.
-    ``config`` is accepted for registry uniformity (no format knob)."""
+def _parse_part(zf: zipfile.ZipFile, name: str):
+    try:
+        with zf.open(name) as fh:
+            return ElementTree.parse(fh).getroot()
+    except (ElementTree.ParseError, zipfile.BadZipFile, KeyError, OSError) as exc:
+        raise CorruptedFileError(f"malformed {name}: {exc}") from exc
+
+
+def extract_ooxml(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """PK-zip payloads: route by contained part (pinned rule 5)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         names = set(zf.namelist())
     except (zipfile.BadZipFile, ValueError, OSError) as exc:
         raise CorruptedFileError(f"corrupt zip container: {exc}") from exc
-    if "word/document.xml" not in names:
-        if any(p in names for p in _XLSX_PARTS):
-            raise UnsupportedFormatError(
-                "xlsx spreadsheet (recognized, not extracted)"
-            )
-        if any(p in names for p in _PPTX_PARTS):
-            raise UnsupportedFormatError(
-                "pptx presentation (recognized, not extracted)"
-            )
-        raise UnsupportedFormatError("zip container without word/document.xml")
-    try:
-        with zf.open("word/document.xml") as fh:
-            root = ElementTree.parse(fh).getroot()
-    except (ElementTree.ParseError, zipfile.BadZipFile, OSError) as exc:
-        raise CorruptedFileError(f"malformed word/document.xml: {exc}") from exc
+    if "word/document.xml" in names:
+        return _docx_from_zip(zf, url_hash)
+    if "xl/workbook.xml" in names:
+        return _xlsx_from_zip(zf, names, url_hash)
+    if "ppt/presentation.xml" in names:
+        return _pptx_from_zip(zf, names, url_hash)
+    raise UnsupportedFormatError(
+        "zip container without a recognized ooxml part"
+    )
 
+
+def extract_docx(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """Back-compat entry: identical to extract_ooxml (routes by part)."""
+    return extract_ooxml(data, url_hash, config)
+
+
+def _docx_from_zip(zf: zipfile.ZipFile, url_hash: str) -> ExtractionResult:
+    """DOCX extraction (pinned rules 6-9)."""
+    root = _parse_part(zf, "word/document.xml")
     body = next((c for c in root if _local(c.tag) == "body"), None)
     if body is None:
         raise CorruptedFileError("word/document.xml has no <body>")
@@ -202,3 +235,205 @@ def extract_docx(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         figures=[],
     )
     return ExtractionResult(doc_type=DOC_TYPE_DOCX, pages=[page])
+
+
+# --------------------------------------------------------------------------
+# XLSX (pinned rules 10-13)
+# --------------------------------------------------------------------------
+
+_REL_ID_ATTR = (
+    "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+)
+
+
+def _rel_targets(zf: zipfile.ZipFile, names: set, rels_name: str) -> dict:
+    """Relationship Id -> Target map from a .rels part (empty if absent)."""
+    if rels_name not in names:
+        return {}
+    root = _parse_part(zf, rels_name)
+    out = {}
+    for rel in root.iter():
+        if _local(rel.tag) == "Relationship":
+            rid, target = rel.get("Id"), rel.get("Target")
+            if rid and target:
+                out[rid] = target
+    return out
+
+
+def _ordered_parts(
+    zf: zipfile.ZipFile,
+    names: set,
+    index_part: str,
+    rels_part: str,
+    entry_local: str,
+    base: str,
+) -> list[str]:
+    """Resolve sub-part paths in index order via rels (rule 10/14)."""
+    root = _parse_part(zf, index_part)
+    rels = _rel_targets(zf, names, rels_part)
+    out = []
+    for node in root.iter():
+        if _local(node.tag) != entry_local:
+            continue
+        rid = node.get(_REL_ID_ATTR) or next(
+            (v for k, v in node.attrib.items() if _local(k) == "id"), None
+        )
+        target = rels.get(rid)
+        if target is None:
+            continue
+        path = target.lstrip("/") if target.startswith("/") else base + target
+        if path in names:
+            out.append(path)
+    return out
+
+
+def _shared_strings(zf: zipfile.ZipFile, names: set) -> list[str]:
+    if "xl/sharedStrings.xml" not in names:
+        return []
+    root = _parse_part(zf, "xl/sharedStrings.xml")
+    return [_node_text(si) for si in root if _local(si.tag) == "si"]
+
+
+def _cell_text(c, shared: list[str]) -> str | None:
+    ctype = c.get("t", "n")
+    if ctype == "s":
+        v = next((x for x in c if _local(x.tag) == "v"), None)
+        if v is None or v.text is None:
+            return None
+        try:
+            return shared[int(v.text)]
+        except (ValueError, IndexError) as exc:
+            raise CorruptedFileError(
+                f"bad sharedStrings index {v.text!r}"
+            ) from exc
+    if ctype == "inlineStr":
+        is_el = next((x for x in c if _local(x.tag) == "is"), None)
+        return _node_text(is_el) if is_el is not None else None
+    v = next((x for x in c if _local(x.tag) == "v"), None)
+    if v is None or v.text is None:
+        return None
+    return normalize_ws(v.text)
+
+
+def _xlsx_from_zip(
+    zf: zipfile.ZipFile, names: set, url_hash: str
+) -> ExtractionResult:
+    shared = _shared_strings(zf, names)
+    sheet_paths = _ordered_parts(
+        zf, names, "xl/workbook.xml", "xl/_rels/workbook.xml.rels",
+        "sheet", "xl/",
+    )
+    pages: list[PageResult] = []
+    table_counter = 0
+    any_text = False
+    for page_no, path in enumerate(sheet_paths, start=1):
+        root = _parse_part(zf, path)
+        rows: list[list[str]] = []
+        for row in (n for n in root.iter() if _local(n.tag) == "row"):
+            cells = [
+                t
+                for c in row
+                if _local(c.tag) == "c"
+                and (t := _cell_text(c, shared)) is not None
+            ]
+            if cells:
+                rows.append(cells)
+        lines = [" ".join(r) for r in rows]
+        content = "\n".join(lines)
+        if content:
+            any_text = True
+        elements: list[Element] = []
+        offset = 0
+        for line in lines:
+            elements.append(
+                Element(
+                    text=line,
+                    label=LABEL_BLOCK,
+                    page_no=page_no,
+                    bbox=None,
+                    char_start=offset,
+                    char_end=offset + len(line),
+                )
+            )
+            offset += len(line) + 1
+        tables = []
+        if rows:
+            tables.append(
+                TableRef(
+                    table_id=f"{url_hash}_table_{table_counter}",
+                    page_number=page_no,
+                    num_rows=len(rows),
+                    num_cols=max(len(r) for r in rows),
+                    headers=tuple(rows[0]),
+                    cell_count=sum(len(r) for r in rows),
+                    csv=table_csv(rows),
+                )
+            )
+            table_counter += 1
+        pages.append(
+            PageResult(
+                page_number=page_no,
+                content=content,
+                word_count=word_count(content),
+                elements=elements,
+                tables=tables,
+                figures=[],
+            )
+        )
+    if not any_text:
+        raise EmptyContentError("no cell text in workbook")
+    return ExtractionResult(doc_type=DOC_TYPE_XLSX, pages=pages)
+
+
+# --------------------------------------------------------------------------
+# PPTX (pinned rules 14-16)
+# --------------------------------------------------------------------------
+
+
+def _pptx_from_zip(
+    zf: zipfile.ZipFile, names: set, url_hash: str
+) -> ExtractionResult:
+    slide_paths = _ordered_parts(
+        zf, names, "ppt/presentation.xml", "ppt/_rels/presentation.xml.rels",
+        "sldId", "ppt/",
+    )
+    pages: list[PageResult] = []
+    any_text = False
+    for page_no, path in enumerate(slide_paths, start=1):
+        root = _parse_part(zf, path)
+        paragraphs = [
+            t
+            for p in root.iter()
+            if _local(p.tag) == "p"
+            if (t := _node_text(p))
+        ]
+        content = "\n".join(paragraphs)
+        if content:
+            any_text = True
+        elements: list[Element] = []
+        offset = 0
+        for text in paragraphs:
+            elements.append(
+                Element(
+                    text=text,
+                    label=LABEL_BLOCK,
+                    page_no=page_no,
+                    bbox=None,
+                    char_start=offset,
+                    char_end=offset + len(text),
+                )
+            )
+            offset += len(text) + 1
+        pages.append(
+            PageResult(
+                page_number=page_no,
+                content=content,
+                word_count=word_count(content),
+                elements=elements,
+                tables=[],
+                figures=[],
+            )
+        )
+    if not any_text:
+        raise EmptyContentError("no text in presentation")
+    return ExtractionResult(doc_type=DOC_TYPE_PPTX, pages=pages)

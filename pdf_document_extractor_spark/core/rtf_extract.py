@@ -1,0 +1,148 @@
+"""RTF extraction (reference MIME-table parity: lib/models/mime_type.py
+lists RTF; routing at mime_type_utils.py:36-77).
+
+From-scratch stdlib tokenizer over the RTF control stream — no external
+parser. The dialect covers what word processors actually emit for text:
+group nesting, destination groups, \\par/\\line breaks, \\'hh codepage
+escapes, \\uN unicode escapes.
+
+PINNED SEMANTICS (byte-identical invariant surface):
+
+1. The payload must start with ``{\\rtf`` (dispatch guarantees it; a
+   direct call on anything else raises CorruptedFileError).
+2. Bytes decode latin-1 for tokenization; ``\\'hh`` escapes decode through
+   cp1252 (the \\ansi default codepage).
+3. Destination groups are dropped whole: any group opening with ``\\*``
+   (starred destinations) or whose first control word is one of
+   fonttbl, colortbl, stylesheet, info, header, footer, pict.
+4. ``\\par`` and ``\\line`` emit "\\n"; ``\\tab`` emits " "; ``\\~`` emits
+   a space; ``\\\\``, ``\\{``, ``\\}`` emit the literal char.
+5. ``\\uN`` emits chr(N mod 65536) and consumes ONE following fallback
+   character (the RTF spec's ANSI fallback), unless it is a group brace
+   or control backslash.
+6. Every other control word (with optional numeric parameter and one
+   optional trailing space) is dropped.
+7. ``content`` = accumulated text, ``str.strip()``-ed at the ends;
+   empty -> EmptyContentError. One page, one "block" element spanning
+   [0, len(content)).
+"""
+
+from __future__ import annotations
+
+import re
+
+from .model import (
+    DOC_TYPE_RTF,
+    LABEL_BLOCK,
+    Element,
+    ExtractionResult,
+    PageResult,
+    word_count,
+)
+from .taxonomy import CorruptedFileError, EmptyContentError
+
+RTF_MAGIC = b"{\\rtf"
+
+_DESTINATIONS = frozenset(
+    {"fonttbl", "colortbl", "stylesheet", "info", "header", "footer", "pict"}
+)
+
+_CTRL_RE = re.compile(r"\\([a-zA-Z]+)(-?\d+)? ?|\\'([0-9a-fA-F]{2})|\\(.)")
+
+
+def rtf_to_text(data: bytes) -> str:
+    """Tokenize RTF bytes to plain text (pinned rules 2-6)."""
+    src = data.decode("latin-1", errors="replace")
+    out: list[str] = []
+    pos = 0
+    n = len(src)
+    depth = 0
+    skip_until_depth: int | None = None  # inside a dropped destination
+    group_start = False  # just entered a group: first token decides dest
+    while pos < n:
+        ch = src[pos]
+        if ch == "{":
+            depth += 1
+            group_start = True
+            pos += 1
+            continue
+        if ch == "}":
+            depth -= 1
+            if skip_until_depth is not None and depth < skip_until_depth:
+                skip_until_depth = None
+            group_start = False
+            pos += 1
+            continue
+        if ch == "\\":
+            m = _CTRL_RE.match(src, pos)
+            if not m:
+                pos += 1
+                continue
+            word, _param, hexcode, esc = (
+                m.group(1), m.group(2), m.group(3), m.group(4),
+            )
+            starts_group = group_start
+            group_start = False
+            pos = m.end()
+            if skip_until_depth is not None:
+                continue
+            if esc == "*" and starts_group:
+                skip_until_depth = depth  # starred destination (rule 3)
+                continue
+            if word is not None and starts_group and word in _DESTINATIONS:
+                skip_until_depth = depth
+                continue
+            if hexcode is not None:
+                out.append(bytes([int(hexcode, 16)]).decode("cp1252",
+                                                            errors="replace"))
+                continue
+            if esc is not None:
+                if esc in "\\{}":
+                    out.append(esc)
+                elif esc == "~":
+                    out.append(" ")
+                continue
+            if word in ("par", "line"):
+                out.append("\n")
+            elif word == "tab":
+                out.append(" ")
+            elif word == "u":
+                code = int(_param) if _param else 0
+                out.append(chr(code % 65536))
+                # consume one ANSI fallback char (rule 5)
+                if pos < n and src[pos] not in "\\{}":
+                    pos += 1
+            # any other control word: dropped (rule 6)
+            continue
+        group_start = False
+        if skip_until_depth is None and ch not in "\r\n":
+            out.append(ch)
+        pos += 1
+    return "".join(out)
+
+
+def extract_rtf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """Extract text from RTF bytes (pinned rules 1-7)."""
+    if not data.startswith(RTF_MAGIC):
+        raise CorruptedFileError("missing {\\rtf magic")
+    content = rtf_to_text(data).strip()
+    if not content:
+        raise EmptyContentError("empty rtf document")
+    page = PageResult(
+        page_number=1,
+        content=content,
+        word_count=word_count(content),
+        elements=[
+            Element(
+                text=content,
+                label=LABEL_BLOCK,
+                page_no=1,
+                bbox=None,
+                char_start=0,
+                char_end=len(content),
+            )
+        ],
+        tables=[],
+        figures=[],
+    )
+    return ExtractionResult(doc_type=DOC_TYPE_RTF, pages=[page])

@@ -23,7 +23,7 @@ from typing import TYPE_CHECKING
 
 import pandas as pd
 
-from ..core.docx_write import write_docx
+from ..core.docx_write import write_docx, write_pptx, write_xlsx
 from ..core.pdf_write import (
     PdfPageSpec,
     TextShow,
@@ -121,6 +121,34 @@ def synth_docx_payload(text: str, lang: str, source: str) -> bytes:
     )
 
 
+def synth_xlsx_payload(lang: str, source: str) -> bytes:
+    """One sheet holding the standard 3x2 k/v grid (shared strings) ->
+    content == 'k v\\nlang <lang>\\nsource <source>', one TableRef."""
+    return write_xlsx([[["k", "v"], ["lang", lang], ["source", source]]])
+
+
+def synth_pptx_payload(text: str) -> bytes:
+    """Two slides split at token 3 -> one page per slide, content == the
+    slide's paragraph text."""
+    toks = text.split()
+    return write_pptx([[" ".join(toks[:3])], [" ".join(toks[3:])]])
+
+
+def _rtf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("{", r"\{").replace("}", r"\}")
+
+
+def synth_rtf_payload(text: str) -> bytes:
+    """RTF with a font-table destination, a cp1252 hex escape witness and
+    a \\par -> content == 'café ' + text."""
+    body = _rtf_escape(text)
+    return (
+        r"{\rtf1\ansi\deff0 {\fonttbl{\f0 Arial;}}\f0 caf\'e9 "
+        + body
+        + r"\par}"
+    ).encode("ascii")
+
+
 def synth_pdf_payload(text: str) -> bytes:
     """One page, whole text as a single 10pt body show -> extracted content
     is exactly 'Page 1\\n\\n' + text + '\\n'."""
@@ -209,6 +237,12 @@ def synth_payload(
         return synth_txt_payload(text)
     if mode == "docx":
         return synth_docx_payload(text, lang, source)
+    if mode == "xlsx":
+        return synth_xlsx_payload(lang, source)
+    if mode == "pptx":
+        return synth_pptx_payload(text)
+    if mode == "rtf":
+        return synth_rtf_payload(text)
     if mode == "html_table":
         return synth_html_table_payload(text, lang, source)
     if mode == "html_fig":

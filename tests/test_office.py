@@ -25,7 +25,7 @@ from pdf_document_extractor_spark.core.taxonomy import (
 
 def test_sniff_routes():
     assert sniff_doc_type(b"%PDF-1.4 ...") == "pdf"
-    assert sniff_doc_type(b"PK\x03\x04...") == "docx"
+    assert sniff_doc_type(b"PK\x03\x04...") == "ooxml"
     assert sniff_doc_type(b"<html><body>x</body></html>") == "html"
     assert sniff_doc_type(b"plain words only") == "txt"
     assert sniff_doc_type(b"") == "html"  # empty stays on the html path

@@ -1,0 +1,132 @@
+"""XLSX / PPTX / RTF extraction (office_extract rules 10-16, rtf_extract)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pdf_document_extractor_spark.core.dispatch import (
+    extract_document,
+    sniff_doc_type,
+)
+from pdf_document_extractor_spark.core.docx_write import write_pptx, write_xlsx
+from pdf_document_extractor_spark.core.rtf_extract import (
+    extract_rtf,
+    rtf_to_text,
+)
+from pdf_document_extractor_spark.core.taxonomy import EmptyContentError
+
+
+# -- XLSX -------------------------------------------------------------------
+
+
+def test_xlsx_sheets_are_pages_with_tables():
+    sheets = [
+        [["k", "v"], ["lang", "en"], ["source", "src1"]],
+        [["only one cell"]],
+    ]
+    r = extract_document("u", write_xlsx(sheets))
+    assert (r.doc_type, r.status) == ("xlsx", "success")
+    assert r.page_count == 2
+    p1, p2 = r.pages
+    assert p1.content == "k v\nlang en\nsource src1"
+    assert p2.content == "only one cell"
+    (t,) = p1.tables
+    assert t.headers == ("k", "v")
+    assert (t.num_rows, t.num_cols, t.cell_count) == (3, 2, 6)
+    assert t.csv == "k,v\nlang,en\nsource,src1\n"
+    assert t.page_number == 1
+    # row elements carry exact spans into the page content
+    for e in p1.elements:
+        assert p1.content[e.char_start : e.char_end] == e.text
+
+
+def test_xlsx_shared_string_dedup_and_determinism():
+    sheets = [[["a", "a"], ["a", "b"]]]
+    data = write_xlsx(sheets)
+    assert data == write_xlsx(sheets)
+    r = extract_document("u", data)
+    assert r.pages[0].content == "a a\na b"
+
+
+def test_xlsx_numeric_and_inline_cells():
+    """Hand-built sheet exercising t='n' raw <v> and t='inlineStr'."""
+    import io
+    import zipfile
+
+    wb = (
+        '<workbook xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships><Relationship Id="rId1" Type="t" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    sheet = (
+        "<worksheet><sheetData>"
+        '<row r="1"><c r="A1"><v>42</v></c>'
+        '<c r="B1" t="inlineStr"><is><t>inline text</t></is></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    r = extract_document("u", buf.getvalue())
+    assert r.pages[0].content == "42 inline text"
+
+
+# -- PPTX -------------------------------------------------------------------
+
+
+def test_pptx_slides_are_pages():
+    r = extract_document(
+        "u", write_pptx([["title one", "bullet a"], ["slide two text"]])
+    )
+    assert (r.doc_type, r.status) == ("pptx", "success")
+    assert r.page_count == 2
+    assert r.pages[0].content == "title one\nbullet a"
+    assert r.pages[1].content == "slide two text"
+    assert [e.text for e in r.pages[0].elements] == ["title one", "bullet a"]
+
+
+def test_pptx_empty_raises():
+    with pytest.raises(EmptyContentError):
+        from pdf_document_extractor_spark.core.office_extract import (
+            extract_ooxml,
+        )
+
+        extract_ooxml(write_pptx([[]]), "h")
+
+
+# -- RTF --------------------------------------------------------------------
+
+
+def test_rtf_sniff_and_basic_text():
+    raw = rb"{\rtf1\ansi\deff0 {\fonttbl{\f0 Arial;}}\f0 hello rtf world\par}"
+    assert sniff_doc_type(raw) == "rtf"
+    r = extract_document("u", raw)
+    assert (r.doc_type, r.status) == ("rtf", "success")
+    assert r.pages[0].content == "hello rtf world"
+
+
+def test_rtf_escapes_and_breaks():
+    raw = rb"{\rtf1\ansi caf\'e9 line one\par line two\line three\tab x}"
+    assert rtf_to_text(raw).strip() == "café line one\nline two\nthree x"
+
+
+def test_rtf_unicode_escape_with_fallback():
+    # \u233? = é with ANSI fallback '?' (consumed per pinned rule 5)
+    raw = rb"{\rtf1 caf\u233? au lait}"
+    assert rtf_to_text(raw).strip() == "café au lait"
+
+
+def test_rtf_starred_destination_and_literal_braces():
+    raw = rb"{\rtf1 {\*\generator Word 2019;}keep \{this\} text}"
+    assert rtf_to_text(raw).strip() == "keep {this} text"
+
+
+def test_rtf_empty_raises():
+    with pytest.raises(EmptyContentError):
+        extract_rtf(rb"{\rtf1\ansi {\fonttbl{\f0 A;}}}", "h")

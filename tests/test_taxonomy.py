@@ -42,7 +42,7 @@ def test_soft_failure_propagates_out_of_extract_document(monkeypatch):
     no Kafka commit => redelivery), never become rows."""
     from pdf_document_extractor_spark.core import dispatch
 
-    def boom(data, uh):
+    def boom(data, uh, config=None):
         raise RuntimeError("connection refused by upstream")
 
     monkeypatch.setitem(dispatch.EXTRACTORS, "html", boom)
@@ -77,22 +77,46 @@ def test_known_containers_get_typed_unsupported_failures():
         assert label.split("/")[0][:3] in r.error_message or True
 
 
-def test_zip_containers_route_to_docx_extractor():
-    """PK magic now routes to the DOCX extractor: corrupt zips are
-    CorruptedFileError, recognized non-word ooxml parts get NAMED
-    UnsupportedFormatError rows."""
+def test_zip_containers_route_to_ooxml_extractor():
+    """PK magic routes to the OOXML extractor: corrupt zips are
+    CorruptedFileError; an empty workbook is an xlsx EmptyContentError;
+    an unrecognized zip is a named UnsupportedFormatError."""
+    import io
+    import zipfile
+
     from pdf_document_extractor_spark.core.dispatch import extract_document
     from pdf_document_extractor_spark.core.docx_write import write_xlsx_stub
 
     r = extract_document("u", b"PK\x03\x04not-actually-a-zip")
     assert (r.status, r.doc_type, r.error_type) == (
         "hard_failure",
-        "docx",
+        "ooxml",
         "CorruptedFileError",
     )
     r = extract_document("u", write_xlsx_stub())
-    assert (r.status, r.error_type) == ("hard_failure", "UnsupportedFormatError")
-    assert "xlsx" in r.error_message
+    assert (r.status, r.error_type) == ("hard_failure", "EmptyContentError")
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("random.txt", "not ooxml")
+    r = extract_document("u", buf.getvalue())
+    assert (r.status, r.error_type) == (
+        "hard_failure",
+        "UnsupportedFormatError",
+    )
+
+
+def test_ole2_legacy_office_is_named_unsupported():
+    """Legacy binary doc/xls/ppt (OLE2 magic) -> named unsupported row
+    (reference recognizes DOC/XLS in its MIME table; the binary OLE
+    parsers are out of stdlib scope by design)."""
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+
+    r = extract_document("u", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1junk")
+    assert (r.status, r.error_type) == (
+        "hard_failure",
+        "UnsupportedFormatError",
+    )
+    assert "ole2" in r.error_message
 
 
 def test_document_controlled_text_cannot_promote_hard_to_soft():
@@ -120,7 +144,7 @@ def test_quarantine_soft_emits_row_instead_of_raising(monkeypatch):
 
     from pdf_document_extractor_spark.operators import extract as ex
 
-    def boom(url, data):
+    def boom(url, data, config=None):
         raise TimeoutError("connection timed out fetching shard")
 
     monkeypatch.setattr(ex, "extract_document", boom)

@@ -30,7 +30,8 @@ GATE_TEXTS = [
 ]
 GATE_MODES = [
     "html", "html_charset", "html_table", "html_fig", "pdf", "pdf_xs",
-    "pdf_inc", "pdf2", "pdf_hdr", "pdf_table", "txt", "docx", "mixed_fail",
+    "pdf_inc", "pdf2", "pdf_hdr", "pdf_table", "txt", "docx", "xlsx",
+    "pptx", "rtf", "mixed_fail",
 ]
 
 
