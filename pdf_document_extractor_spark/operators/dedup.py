@@ -119,11 +119,28 @@ def _pair_jaccard(sh: "DataFrame", candidates: "DataFrame" = None) -> "DataFrame
 
 
 def ngram_jaccard_pairs(
-    docs: "DataFrame", tau_pct: int = 80, n: int = 3
+    docs: "DataFrame", tau_pct: int = 80, n: int = 3,
+    max_df: int | None = None,
 ) -> "DataFrame":
     """Exact n-gram Jaccard near-dup pairs: jaccard >= tau_pct/100, compared
-    as 100*inter >= tau_pct*(size_a+size_b-inter) (integer exact)."""
+    as 100*inter >= tau_pct*(size_a+size_b-inter) (integer exact).
+
+    ``max_df``: the inverted-index self-join is O(sum_s df(s)^2) — one
+    boilerplate shingle shared by 10^6 docs explodes it at 100 TB. Setting
+    max_df drops shingles with document frequency > max_df from the JOIN
+    side only (a standard near-dup mitigation: ubiquitous shingles carry
+    no pair signal, they only connect everything to everything). Sizes and
+    intersections then both count the surviving shingles, so the estimate
+    stays internally consistent. Default None = exact (the oracle path)."""
     sh = shingles(docs, n)
+    if max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     pairs = _pair_jaccard(sh)
     return pairs.filter(
         100 * F.col("inter")

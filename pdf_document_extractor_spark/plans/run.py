@@ -66,6 +66,7 @@ def run_extraction_job(
     hot_fraction: float = 0.05,
     salt_buckets: int = 16,
     quarantine_soft: bool = False,
+    config=None,
 ) -> RunResult:
     t0 = time.time()
     extracted_tbl = SnapshotTable(warehouse, "extracted")
@@ -97,10 +98,13 @@ def run_extraction_job(
     )
     light, heavy = split_heavy(placed, heavy_bytes)
 
-    ext_light = extract_pages(light, quarantine_soft=quarantine_soft)
+    ext_light = extract_pages(
+        light, config=config, quarantine_soft=quarantine_soft
+    )
     # heavy pass: spread big payloads thin (more, smaller partitions)
     ext_heavy = extract_pages(
         heavy.repartition(num_partitions, "url"),
+        config=config,
         quarantine_soft=quarantine_soft,
     )
     extracted = ext_light.unionByName(ext_heavy)
@@ -168,6 +172,13 @@ def main() -> None:
     ap.add_argument("--heavy-bytes", type=int, default=HEAVY_BYTES_DEFAULT)
     ap.add_argument("--num-partitions", type=int, default=None)
     ap.add_argument(
+        "--output-format",
+        default="text",
+        help="content renderer for the PDF path: text (default, the "
+        "byte-identity surface), markdown, or any other value for the "
+        "bare newline-join fallback (M4, core/config.py)",
+    )
+    ap.add_argument(
         "--quarantine-soft",
         action="store_true",
         help="salvage pass: commit transient failures as soft_failure rows "
@@ -175,6 +186,10 @@ def main() -> None:
         "resume anti-join feeds it only the still-unextracted urls)",
     )
     args = ap.parse_args()
+
+    from ..core.config import ExtractionConfig
+
+    config = ExtractionConfig(output_format=args.output_format)
 
     builder = SparkSession.builder.appName(f"extract-{args.run_id}")
     for key, value in RECOMMENDED_CONF.items():
@@ -189,6 +204,7 @@ def main() -> None:
         num_partitions=args.num_partitions,
         heavy_bytes=args.heavy_bytes,
         quarantine_soft=args.quarantine_soft,
+        config=config,
     )
     print(
         f"run_id={res.run_id} docs_in={res.docs_in} committed={res.committed} "
