@@ -87,8 +87,14 @@ from .model import (
 from .taxonomy import (
     CorruptedFileError,
     EmptyContentError,
+    OversizeDocumentError,
     UnsupportedFormatError,
 )
+
+# Zip-bomb guard: cap the DECLARED decompressed size of any part we parse
+# (a 42 KB bomb can declare 4 GB of document.xml; at 10^12 docs one such
+# page must cost a failure row, not an executor OOM).
+MAX_PART_BYTES = 256 << 20
 
 
 def extract_txt(data: bytes, url_hash: str, config=None) -> ExtractionResult:
@@ -137,9 +143,18 @@ def _node_text(node) -> str:
 
 def _parse_part(zf: zipfile.ZipFile, name: str):
     try:
+        if zf.getinfo(name).file_size > MAX_PART_BYTES:
+            raise OversizeDocumentError(
+                f"{name} declares {zf.getinfo(name).file_size} bytes "
+                f"(> {MAX_PART_BYTES} cap) — zip bomb guard"
+            )
         with zf.open(name) as fh:
             return ElementTree.parse(fh).getroot()
-    except (ElementTree.ParseError, zipfile.BadZipFile, KeyError, OSError) as exc:
+    except OversizeDocumentError:
+        raise
+    except Exception as exc:  # noqa: BLE001 — encrypted members raise
+        # RuntimeError, exotic compression NotImplementedError, CRC errors
+        # BadZipFile, bad XML ParseError: ALL must become taxonomy rows
         raise CorruptedFileError(f"malformed {name}: {exc}") from exc
 
 
@@ -148,7 +163,7 @@ def extract_ooxml(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         names = set(zf.namelist())
-    except (zipfile.BadZipFile, ValueError, OSError) as exc:
+    except Exception as exc:  # noqa: BLE001 — any unreadable container
         raise CorruptedFileError(f"corrupt zip container: {exc}") from exc
     if "word/document.xml" in names:
         return _docx_from_zip(zf, url_hash)

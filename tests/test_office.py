@@ -116,3 +116,43 @@ def test_docx_malformed_xml_is_corrupt():
 
 def test_docx_determinism():
     assert write_docx(["a", "b"]) == write_docx(["a", "b"])
+
+
+def test_encrypted_zip_member_is_corrupt_row():
+    """Password-protected docx (common on the web): RuntimeError from
+    zipfile must land in the taxonomy, not escape the UDF."""
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("word/document.xml", "<d/>")
+    raw = bytearray(buf.getvalue())
+    # set the encryption flag bit on the local + central headers
+    idx = raw.find(b"PK\x03\x04")
+    raw[idx + 6] |= 1
+    idx = raw.find(b"PK\x01\x02")
+    raw[idx + 8] |= 1
+    r = extract_document("u", bytes(raw))
+    assert (r.status, r.error_type) == ("hard_failure", "CorruptedFileError")
+
+
+def test_zip_bomb_declared_size_guard():
+    """A part declaring > MAX_PART_BYTES must fail BEFORE decompression."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core import office_extract as oe
+    from pdf_document_extractor_spark.core.taxonomy import (
+        OversizeDocumentError,
+    )
+
+    data = write_docx(["real paragraph"])
+    zf2 = zipfile.ZipFile(io.BytesIO(data))
+    zf2.getinfo("word/document.xml").file_size = oe.MAX_PART_BYTES + 1
+    with _pytest.raises(OversizeDocumentError):
+        oe._parse_part(zf2, "word/document.xml")
+    r = extract_document("u", data)
+    assert r.status == "success"  # un-tampered doc still parses

@@ -85,3 +85,58 @@ def test_rows_match_result_invariants(text):
             assert (
                 row["content"][el["char_start"]:el["char_end"]] == el["text"]
             )
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=1024))
+def test_extract_total_on_zip_magic_prefixed_garbage(data):
+    res = extract_document("https://h.example/x", b"PK\x03\x04" + data)
+    assert res.status in ALLOWED
+    if res.status == STATUS_HARD_FAILURE:
+        assert res.error_type
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=1024))
+def test_extract_total_on_rtf_magic_prefixed_garbage(data):
+    res = extract_document("https://h.example/x", b"{\\rtf" + data)
+    assert res.status in ALLOWED
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.binary(min_size=50, max_size=400),
+    st.integers(min_value=0, max_value=2000),
+    st.integers(min_value=1, max_value=64),
+)
+def test_extract_total_on_corrupted_xref_stream_pdf(junk, pos, length):
+    """Splice junk anywhere into a PDF 1.5 (ObjStm + predictor xref
+    stream) document: binary xref entries, predictor rows, and object
+    stream headers must all fail CLASSIFIED, never crash."""
+    from pdf_document_extractor_spark.core.pdf_write import write_pdf_15
+
+    pdf = write_pdf_15(
+        [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "hello world")])],
+        predictor=True,
+    )
+    pos = pos % len(pdf)
+    mutated = pdf[:pos] + junk[:length] + pdf[pos + length:]
+    res = extract_document("https://h.example/x", mutated)
+    assert res.status in ALLOWED
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.binary(min_size=20, max_size=200),
+    st.integers(min_value=0, max_value=1000),
+)
+def test_extract_total_on_corrupted_docx(junk, pos):
+    """Splice junk into a valid DOCX: zip CRC errors, truncated XML, and
+    bad central directories must all land in the taxonomy."""
+    from pdf_document_extractor_spark.core.docx_write import write_docx
+
+    doc = write_docx(["some paragraph text here", "another one"])
+    pos = pos % len(doc)
+    mutated = doc[:pos] + junk + doc[pos + len(junk):]
+    res = extract_document("https://h.example/x", mutated)
+    assert res.status in ALLOWED
