@@ -64,10 +64,20 @@ from .model import (
     table_csv,
     word_count,
 )
-from .taxonomy import CorruptedFileError, EmptyContentError, UnsupportedFormatError
+from .taxonomy import (
+    CorruptedFileError,
+    EmptyContentError,
+    OversizeDocumentError,
+    UnsupportedFormatError,
+)
 
 HEADER_SIZE_MIN = 14.0  # pinned rule 3
 PAGE_HEIGHT_DEFAULT = 792.0
+
+# Flate-bomb guard: cap the DECODED size of any single stream (a 1 MB
+# Flate payload can inflate to ~1 GB; at 10^12 docs one such page must
+# cost a failure row, not an executor OOM).
+MAX_DECODED_STREAM = 256 << 20
 
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
@@ -139,6 +149,13 @@ class _Objects:
         ``/Type /ObjStm``: header of N (num, offset) int pairs, then the
         serialized objects at ``/First`` + offset)."""
         if stm_num not in self._objstm_cache:
+            # an ObjStm must itself be a top-level (type-1) object: a
+            # type-2 entry here would recurse (self- or mutually-nested
+            # object streams — spec-invalid, crafted-input territory)
+            if isinstance(self.offsets.get(stm_num), tuple):
+                raise CorruptedFileError(
+                    f"ObjStm {stm_num} is itself inside an object stream"
+                )
             stm = self.get(stm_num)
             if not isinstance(stm, _Stream) or stm.dict.get("Type") != "ObjStm":
                 raise CorruptedFileError(
@@ -186,7 +203,13 @@ class _Stream:
         for i, f in enumerate(filters):
             if f == "FlateDecode":
                 try:
-                    data = zlib.decompress(data)
+                    d = zlib.decompressobj()
+                    data = d.decompress(data, MAX_DECODED_STREAM)
+                    if d.unconsumed_tail:
+                        raise OversizeDocumentError(
+                            f"stream inflates past {MAX_DECODED_STREAM} "
+                            "bytes — flate bomb guard"
+                        )
                 except zlib.error as exc:
                     raise CorruptedFileError(f"flate decode failed: {exc}") from exc
                 parms = parms_list[i] if i < len(parms_list) else None

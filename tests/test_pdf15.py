@@ -218,3 +218,34 @@ def test_objstm_stream_roundtrip_is_flate():
     s = re.search(rb"stream\n", data[m.start() :])
     start = m.start() + s.end()
     zlib.decompress(data[start : start + 10_000])
+
+
+def test_flate_bomb_guard(monkeypatch):
+    """A stream inflating past the cap must raise OversizeDocumentError
+    (classified), not materialize gigabytes."""
+    from pdf_document_extractor_spark.core import pdf_extract as pe
+    from pdf_document_extractor_spark.core.taxonomy import (
+        OversizeDocumentError,
+    )
+
+    monkeypatch.setattr(pe, "MAX_DECODED_STREAM", 1024)
+    payload = zlib.compress(b"A" * 10_000)
+    stream = pe._Stream({"Filter": "FlateDecode"}, payload)
+    with pytest.raises(OversizeDocumentError):
+        stream.decoded()
+    # under the cap: decodes fine
+    monkeypatch.setattr(pe, "MAX_DECODED_STREAM", 1 << 20)
+    assert stream.decoded() == b"A" * 10_000
+
+
+def test_objstm_inside_objstm_is_corrupt():
+    """Spec-invalid self-nested object streams must fail classified, not
+    recurse."""
+    from pdf_document_extractor_spark.core.pdf_extract import _Objects
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+    )
+
+    objs = _Objects(b"", {7: ("objstm", 7, 0), 1: ("objstm", 7, 1)})
+    with pytest.raises(CorruptedFileError, match="inside an object stream"):
+        objs.get(1)
