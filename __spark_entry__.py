@@ -658,6 +658,88 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(kept).select("text_md5", "keeper_id", "dup_count")
 
 
+def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global exact-line dedup (Raffel et al. 2020 §2.2): corpus
+    of two-line docs + copies sharing line 2 — the copy keeps only its
+    unique first line; first occurrence by (doc_id, line_idx) wins."""
+    from pdf_document_extractor_spark.operators.cleaning import (
+        line_dedup_c4,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    two_line = docs.select(
+        "doc_id",
+        F.concat(
+            F.array_join(F.slice(toks, 1, 5), " "),
+            F.lit("\n"),
+            F.array_join(F.slice(toks, 6, 1 << 20), " "),
+        ).alias("text"),
+    )
+    copies = two_line.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(
+            F.lit("copy intro "),
+            F.col("doc_id").cast("string"),
+            F.lit("\n"),
+            F.element_at(F.split("text", "\n"), 2),
+        ).alias("text"),
+    )
+    return line_dedup_c4(two_line.unionByName(copies))
+
+
+def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails / IPv4 / card-shaped digit runs) — pure
+    Catalyst regexp_replace chain, no shuffle."""
+    from pdf_document_extractor_spark.operators.cleaning import redact_pii
+
+    docs = _docs(spark, sf_dir)
+    dirty = docs.select(
+        "doc_id",
+        F.concat(
+            "text",
+            F.lit(" contact bob"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("@mail.example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" card 4111111111111111 end"),
+        ).alias("text"),
+    )
+    return redact_pii(dirty).select("doc_id", "redacted")
+
+
+def q_filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-host + word blocklist flags (C4/RefinedWeb cleanup step):
+    broadcast dimension joins, corpus scanned once, flags kept for
+    removal-rate auditing."""
+    from pdf_document_extractor_spark.operators.cleaning import (
+        blocklist_filter,
+    )
+
+    docs = _docs(spark, sf_dir)
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www.example"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".com/p/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    hosts = spark.createDataFrame(
+        [("example0.com",), ("example3.com",)], "host string"
+    )
+    words = spark.createDataFrame([("the",), ("el",)], "word string")
+    out = blocklist_filter(with_url, hosts, words)
+    return out.select(
+        "doc_id",
+        "host",
+        F.col("host_blocked").cast("long").alias("host_blocked"),
+        F.col("word_blocked").cast("long").alias("word_blocked"),
+        F.col("keep").cast("long").alias("keep"),
+    )
+
+
 def q_mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata decode of binary media columns.
 
@@ -1286,6 +1368,66 @@ _ORACLES["pipeline_training_corpus"] = f"""
     FROM q GROUP BY md5(text)
 """
 
+_ORACLES["dedup_lines"] = f"""
+    WITH two AS (
+      SELECT doc_id,
+             array_to_string(toks[1:5], ' ') || chr(10)
+                 || array_to_string(toks[6:], ' ') AS text
+      FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+    ),
+    corpus AS (
+      SELECT doc_id, text FROM two
+      UNION ALL
+      SELECT doc_id + 100000,
+             'copy intro ' || CAST(doc_id AS VARCHAR) || chr(10)
+                 || regexp_split_to_array(text, chr(10))[2]
+      FROM two WHERE doc_id % 4 = 0
+    ),
+    lines AS (
+      SELECT doc_id,
+             unnest(regexp_split_to_array(text, chr(10))) AS line,
+             unnest(range(1, len(regexp_split_to_array(text, chr(10))) + 1))
+                 AS idx
+      FROM corpus
+    ),
+    ranked AS (
+      SELECT doc_id, line, idx,
+             (line = '' OR row_number() OVER (
+                 PARTITION BY line ORDER BY doc_id, idx) = 1) AS keep
+      FROM lines
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY idx) FILTER (WHERE keep) AS text,
+           CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS kept_lines,
+           CAST(count(*) - count(*) FILTER (WHERE keep) AS BIGINT)
+               AS dropped_lines
+    FROM ranked GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE keep) > 0
+"""
+
+_ORACLES["text_redact_pii"] = """
+    SELECT doc_id,
+           text || ' contact <EMAIL> or <IP> card <NUM> end' AS redacted
+    FROM documents
+"""
+
+_ORACLES["filter_blocklist"] = f"""
+    WITH t AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 IN (0, 3) THEN 1 ELSE 0 END AS hb,
+             CASE WHEN len(list_intersect(list_distinct({_TOKS}),
+                  ['the', 'el'])) > 0 THEN 1 ELSE 0 END AS wb
+      FROM documents
+    )
+    SELECT doc_id,
+           'example' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host,
+           CAST(hb AS BIGINT) AS host_blocked,
+           CAST(wb AS BIGINT) AS word_blocked,
+           CAST(CASE WHEN hb = 0 AND wb = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS keep
+    FROM t
+"""
+
 _ORACLES["mm_media_metadata"] = """
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1350,6 +1492,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_text_quality_scores,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "dedup_lines": q_dedup_lines,
+        "text_redact_pii": q_text_redact_pii,
+        "filter_blocklist": q_filter_blocklist,
         "mm_media_metadata": q_mm_media_metadata,
         "pipeline_training_corpus": q_pipeline_training_corpus,
         "url_canonicalize": q_url_canonicalize,
