@@ -194,6 +194,56 @@ def main() -> None:
         )
     )
 
+    # -- blocklist filter: dimension joins must broadcast --------------------
+    from pdf_document_extractor_spark.operators.cleaning import (
+        blocklist_filter,
+        redact_pii,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn(
+            "url",
+            F.concat(F.lit("https://h"), (F.col("doc_id") % 7).cast("string"),
+                     F.lit(".com/p")),
+        )
+    )
+    hosts = spark.createDataFrame([("h0.com",)], "host string")
+    words = spark.createDataFrame([("the",)], "word string")
+    bl_plan = capture(blocklist_filter(docs, hosts, words))
+    assert "BroadcastHashJoin" in bl_plan and "SortMergeJoin" not in bl_plan, (
+        "blocklist dimension joins must broadcast, never sort-merge"
+    )
+    print(f"{'blocklist dims broadcast (no SMJ)':45s} OK")
+    SECTIONS.append(
+        (
+            "blocklist dims broadcast (no SMJ)",
+            bl_plan,
+            ["BroadcastHashJoin", "NO SortMergeJoin"],
+            "Host and word blocklists are dimension tables: both joins "
+            "broadcast (LeftSemi), so the 100 TB corpus is scanned once "
+            "and never shuffled on a blocklist key.",
+        )
+    )
+
+    # -- PII redaction: pure codegen, zero exchange --------------------------
+    red_plan = capture(redact_pii(docs))
+    assert "Exchange" not in red_plan and "codegen id" in red_plan, (
+        "redaction must stay inside codegen with no shuffle"
+    )
+    print(f"{'pii redaction stays in codegen, no shuffle':45s} OK")
+    SECTIONS.append(
+        (
+            "pii redaction stays in codegen, no shuffle",
+            red_plan,
+            ["codegen id", "NO Exchange"],
+            "The regexp_replace chain compiles into one whole-stage-"
+            "codegen span over the scan: redaction adds zero shuffles "
+            "and zero Python crossings.",
+        )
+    )
+
     md = ["# EXPLAIN — physical-plan audit (scale-critical properties)\n"]
     md.append(
         "Regenerate with `python tools/explain_audit.py` (asserts each "
