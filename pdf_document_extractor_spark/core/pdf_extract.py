@@ -79,6 +79,11 @@ PAGE_HEIGHT_DEFAULT = 792.0
 # cost a failure row, not an executor OOM).
 MAX_DECODED_STREAM = 256 << 20
 
+# Show-event bomb guard: a crafted content stream of millions of tiny
+# Tj ops would balloon the per-page element list far past the stream's
+# own byte size; cap events per page (real pages run ~10^2-10^4).
+MAX_SHOWS_PER_PAGE = 200_000
+
 _WS = b"\x00\t\n\x0c\r "
 _DELIM = b"()<>[]{}/%"
 
@@ -783,6 +788,11 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
                 blob += s.decoded()
                 blob += b"\n"
         shows = _shows_from_content(bytes(blob))
+        if len(shows) > MAX_SHOWS_PER_PAGE:
+            raise OversizeDocumentError(
+                f"page {page_no} has {len(shows)} text shows "
+                f"(> {MAX_SHOWS_PER_PAGE} cap)"
+            )
         lines = _group_lines(shows)
         table_spans = _find_tables(lines)
         in_table_rows: dict[int, int] = {}  # line idx -> table idx (local)

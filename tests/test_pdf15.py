@@ -249,3 +249,21 @@ def test_objstm_inside_objstm_is_corrupt():
     objs = _Objects(b"", {7: ("objstm", 7, 0), 1: ("objstm", 7, 1)})
     with pytest.raises(CorruptedFileError, match="inside an object stream"):
         objs.get(1)
+
+
+def test_show_event_bomb_guard(monkeypatch):
+    from pdf_document_extractor_spark.core import pdf_extract as pe
+    from pdf_document_extractor_spark.core.taxonomy import (
+        OversizeDocumentError,
+    )
+
+    monkeypatch.setattr(pe, "MAX_SHOWS_PER_PAGE", 10)
+    many = PdfPageSpec(
+        shows=[TextShow(72.0, 720.0 - i, 10.0, "x") for i in range(11)]
+    )
+    with pytest.raises(OversizeDocumentError):
+        extract_pdf(write_pdf([many]), "h")
+    ok = PdfPageSpec(
+        shows=[TextShow(72.0, 720.0 - i, 10.0, "x") for i in range(10)]
+    )
+    assert extract_pdf(write_pdf([ok]), "h").pages[0].word_count > 0
