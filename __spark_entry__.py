@@ -486,6 +486,18 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash64(_docs(spark, sf_dir))
 
 
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup PAIRS via 4x15-bit pigeonhole banding — exact for
+    hamming <= 3 (3 differing bits cannot touch all 4 chunks), so unlike
+    the ANN queries this has a true equality oracle: DuckDB recomputes the
+    simhashes and takes all pairs with bit_count(xor) <= 3."""
+    from pdf_document_extractor_spark.operators.dedup import (
+        simhash_near_pairs,
+    )
+
+    return simhash_near_pairs(_docs_with_exact_copies(spark, sf_dir))
+
+
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.similarity import brute_force_topk
 
@@ -1160,6 +1172,30 @@ _ORACLES["dedup_simhash"] = f"""
     FROM h GROUP BY doc_id
 """
 
+_ORACLES["dedup_simhash_pairs"] = f"""
+    WITH base AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w
+      FROM base
+    ),
+    h AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hv FROM tok
+    ),
+    sims AS (
+      SELECT doc_id, CAST({_SIMHASH_TERMS} AS BIGINT) AS simhash
+      FROM h GROUP BY doc_id
+    )
+    SELECT CAST(a.doc_id AS BIGINT) AS id_a,
+           CAST(b.doc_id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
 _DOT = (
     "list_sum(list_transform(range(1, len({a}.embedding) + 1), "
     "i -> CAST({a}.embedding[i] AS DOUBLE) * CAST({b}.embedding[i] AS DOUBLE)))"
@@ -1482,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
         "sim_topk_cosine": q_sim_topk_cosine,
         "sim_embedding_neardup": q_sim_embedding_neardup,

@@ -359,7 +359,9 @@ def simhash_near_pairs(docs: "DataFrame", max_hamming: int = 3) -> "DataFrame":
         chunks.append(
             F.struct(
                 F.lit(c).alias("chunk"),
-                ((F.col("simhash") >> (c * 15)) % (1 << 15)).alias("key"),
+                (
+                    F.shiftright(F.col("simhash"), c * 15) % F.lit(1 << 15)
+                ).alias("key"),
             )
         )
     banded = sim.select(
