@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -40,6 +41,12 @@ class Snapshot:
     run_id: str
     committed_at: float
     n_files: int
+    # maintenance metadata (defaults keep old manifests loadable):
+    # kind: "append" (a job's delta) | "compact" (a rewrite of prior data)
+    kind: str = "append"
+    # expired: data files removed by compaction/expiry; the ENTRY stays so
+    # committed_run_ids keeps its idempotency guarantee forever
+    expired: bool = False
 
 
 class SnapshotTable:
@@ -97,9 +104,9 @@ class SnapshotTable:
     def read(
         self, spark: "SparkSession", as_of: int | None = None
     ) -> "DataFrame | None":
-        """Union of all committed snapshots (optionally up to ``as_of``).
-        Returns None for an empty table."""
-        snaps = self.snapshots()
+        """Union of all live committed snapshots (optionally up to
+        ``as_of``). Returns None for an empty table."""
+        snaps = [s for s in self.snapshots() if not s.expired]
         if as_of is not None:
             snaps = [s for s in snaps if s.snapshot_id <= as_of]
         if not snaps:
@@ -110,19 +117,31 @@ class SnapshotTable:
         """Read exactly one snapshot's files (the incremental-read analog)."""
         for s in self.snapshots():
             if s.snapshot_id == snapshot_id:
+                if s.expired:
+                    raise KeyError(
+                        f"snapshot {snapshot_id} expired by compaction — "
+                        "time travel past the retention horizon"
+                    )
                 return spark.read.parquet(self._snap_path(s))
         raise KeyError(f"snapshot {snapshot_id} not found")
 
     def read_since(
         self, spark: "SparkSession", after_snapshot_id: int
     ) -> "DataFrame | None":
-        """Incremental read: union of snapshots committed AFTER the given
-        id (Iceberg incremental-scan analog; replaces the reference's
+        """Incremental read: union of APPEND snapshots committed after the
+        given id (Iceberg incremental-scan analog; replaces the reference's
         consume-from-committed-offset, kafka_background_service.py:60-92).
         A downstream consumer persists the last snapshot id it processed
-        and calls this to get exactly the delta."""
+        and calls this to get exactly the delta. ``compact`` snapshots are
+        skipped — they rewrite already-delivered rows, not new data; run
+        compaction only after downstream consumers have passed the expired
+        ids (standard retention discipline)."""
         snaps = [
-            s for s in self.snapshots() if s.snapshot_id > after_snapshot_id
+            s
+            for s in self.snapshots()
+            if s.snapshot_id > after_snapshot_id
+            and s.kind == "append"
+            and not s.expired
         ]
         if not snaps:
             return None
@@ -131,3 +150,51 @@ class SnapshotTable:
     def current_snapshot_id(self) -> int:
         snaps = self.snapshots()
         return snaps[-1].snapshot_id if snaps else 0
+
+    # -- maintenance (Iceberg rewrite_data_files / expire_snapshots /
+    # remove_orphan_files analogs) -----------------------------------------
+    def compact(self, spark: "SparkSession") -> Snapshot | None:
+        """Rewrite all live data into ONE snapshot and expire the olds —
+        the small-files maintenance a 10^12-row table needs (thousands of
+        incremental commits otherwise degrade every scan's planning and
+        open-file cost). Old ENTRIES stay in the manifest (expired=True):
+        committed_run_ids never forgets, so a replayed old run_id is still
+        a no-op after compaction. Time travel to expired ids raises."""
+        entries = self.snapshots()
+        live = [s for s in entries if not s.expired]
+        if len(live) <= 1:
+            return None
+        df = spark.read.parquet(*[self._snap_path(s) for s in live])
+        snapshot_id = entries[-1].snapshot_id + 1
+        run_id = f"compact-{snapshot_id}"
+        out_dir = self.data_dir / f"snap-{snapshot_id:06d}-{run_id}"
+        df.write.mode("overwrite").parquet(str(out_dir))
+        snap = Snapshot(
+            snapshot_id=snapshot_id,
+            run_id=run_id,
+            committed_at=time.time(),
+            n_files=len(list(out_dir.glob("*.parquet"))),
+            kind="compact",
+        )
+        for s in live:
+            s.expired = True
+        self._write_manifest(entries + [snap])  # visibility flip FIRST
+        for s in live:  # then reclaim the expired data dirs
+            shutil.rmtree(self._snap_path(s), ignore_errors=True)
+        return snap
+
+    def remove_orphans(self) -> list[str]:
+        """Delete data dirs no manifest entry references — the leftovers of
+        commits that died before their manifest flip (invisible by design;
+        this reclaims the space, Iceberg remove_orphan_files analog)."""
+        referenced = {
+            Path(self._snap_path(s)).name
+            for s in self.snapshots()
+            if not s.expired
+        }
+        removed: list[str] = []
+        for d in sorted(self.data_dir.iterdir()):
+            if d.is_dir() and d.name not in referenced:
+                shutil.rmtree(d, ignore_errors=True)
+                removed.append(d.name)
+        return removed
