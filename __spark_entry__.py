@@ -593,6 +593,23 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified mixture sampling (training-mix builder): keep 100% of
+    src0, 50% of src1, 25% of src2, drop the rest — all hash-deterministic,
+    scan-level, no shuffle."""
+    from pdf_document_extractor_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    out = stratified_sample(
+        docs, "doc_id", "source", {"src0": 100, "src1": 50, "src2": 25}
+    )
+    return out.select("doc_id", "source")
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: flag corpus docs sharing >= 8 word
     3-grams with the benchmark set (docs with doc_id%50==0 stand in as
@@ -1328,6 +1345,13 @@ _ORACLES["sample_split"] = f"""
     FROM documents
 """
 
+_ORACLES["sample_stratified"] = f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_H64.format(expr="'strat' || CAST(doc_id AS VARCHAR)")} % 100
+          < CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                        WHEN 'src2' THEN 25 ELSE 0 END
+"""
+
 _ORACLES["decontaminate"] = f"""
     WITH tok AS (
       SELECT doc_id, {_TOKS} AS toks FROM documents
@@ -1537,6 +1561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canonicalize": q_url_canonicalize,
         "text_chunking": q_text_chunking,
         "sample_split": q_sample_split,
+        "sample_stratified": q_sample_stratified,
         "decontaminate": q_decontaminate,
     }
 

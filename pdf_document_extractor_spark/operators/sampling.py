@@ -43,6 +43,28 @@ def train_val_split(
     )
 
 
+def stratified_sample(
+    df: "DataFrame",
+    key_col: str,
+    strata_col: str,
+    fractions: dict[str, int],
+    default_pct: int = 0,
+    salt: str = "strat",
+) -> "DataFrame":
+    """Per-stratum deterministic sampling — the training-MIX builder
+    (e.g. keep 100% of curated source A, 25% of crawl source B): keep a
+    row iff h64(salt || key) % 100 < fractions[stratum] (``default_pct``
+    for unlisted strata). The hash keys on the ROW, not the stratum, so
+    changing one stratum's rate never reshuffles another's sample —
+    rates are independently tunable across reruns. Scan-level filter,
+    no shuffle, oracle-expressible."""
+    bucket = h64(F.concat(F.lit(salt), F.col(key_col).cast("string"))) % 100
+    pct = F.lit(default_pct)
+    for value, p in sorted(fractions.items()):
+        pct = F.when(F.col(strata_col) == value, F.lit(p)).otherwise(pct)
+    return df.filter(bucket < pct)
+
+
 def contamination_flags(
     docs: "DataFrame",
     benchmark: "DataFrame",

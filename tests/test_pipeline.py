@@ -263,3 +263,25 @@ def test_chunk_reassembly_roundtrip(spark):
             by_doc[r.doc_id].extend(toks[5:])
     for doc_id, text in rows:
         assert by_doc[doc_id] == text.split(), doc_id
+
+
+def test_stratified_sample_rates_are_independent(spark):
+    """Changing one stratum's rate must not reshuffle another stratum's
+    sample (the hash keys on the row, not the stratum) — the property
+    that makes mixture rates independently tunable across reruns."""
+    from pdf_document_extractor_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source"
+    )
+    a = stratified_sample(docs, "doc_id", "source", {"src0": 50, "src1": 50})
+    b = stratified_sample(docs, "doc_id", "source", {"src0": 50, "src1": 90})
+    src0_a = {r.doc_id for r in a.filter("source = 'src0'").collect()}
+    src0_b = {r.doc_id for r in b.filter("source = 'src0'").collect()}
+    assert src0_a == src0_b
+    # and raising a rate only ADDS rows within that stratum (nested samples)
+    src1_a = {r.doc_id for r in a.filter("source = 'src1'").collect()}
+    src1_b = {r.doc_id for r in b.filter("source = 'src1'").collect()}
+    assert src1_a <= src1_b and len(src1_b) > len(src1_a)
