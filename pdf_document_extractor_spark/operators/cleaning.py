@@ -53,19 +53,25 @@ def line_dedup_c4(docs: "DataFrame") -> "DataFrame":
 
     Plan shape: posexplode (narrow) -> ONE window shuffle keyed on the
     line text -> ONE groupBy(doc_id) reassembly shuffle. No text moves
-    twice. At 100 TB the window key is skewed by boilerplate lines —
-    exactly the lines the op exists to kill; AQE skew-split handles the
-    straggler partitions (they reduce to a min, not a materialization).
+    twice. Blank lines never enter the window (rule 2 says they always
+    survive, and at 10^12 docs the "" key would be the single worst skew
+    partition — it is excluded by construction, not by AQE luck); the
+    remaining boilerplate-line skew reduces to a min, not a
+    materialization, and AQE skew-split absorbs it.
     Output: (doc_id, text, kept_lines, dropped_lines).
     """
     lines = docs.select(
         "doc_id",
         F.posexplode(F.split("text", "\n")).alias("line_idx", "line"),
     )
+    blanks = lines.filter(F.col("line") == "").withColumn(
+        "keep", F.lit(True)
+    )
     w = Window.partitionBy("line").orderBy("doc_id", "line_idx")
-    ranked = lines.withColumn(
-        "keep",
-        (F.col("line") == "") | (F.row_number().over(w) == 1),
+    ranked = (
+        lines.filter(F.col("line") != "")
+        .withColumn("keep", F.row_number().over(w) == 1)
+        .unionByName(blanks)
     )
     return (
         ranked.groupBy("doc_id")
