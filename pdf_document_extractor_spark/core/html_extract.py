@@ -293,14 +293,117 @@ def _table_csv(rows: list[list[str]]) -> str | None:
     return table_csv(rows)  # shared pinned implementation (model.py)
 
 
+# --------------------------------------------------------------------------
+# Fast tag scanner (performance-only; semantics delegated)
+# --------------------------------------------------------------------------
+#
+# html.parser's event loop costs ~100us/doc; for the STRICT well-formed
+# subset below, a single-regex scanner produces a byte-identical event
+# stream into the same _BlockCollector at ~4x the speed. ANY construct
+# whose html.parser behavior is not trivially mirrored falls back to
+# html.parser — the fast path changes performance, never semantics
+# (pinned by golden byte-identity plus a differential hypothesis fuzz).
+#
+# Fallback triggers: charrefs ('&'), markup declarations/PIs ('<!', '<?'),
+# CDATA-mode elements (script/style), any bare '<' that does not open a
+# well-formed tag, quotes-with-angle-bracket attribute soup, unterminated
+# trailing tags.
+
+_FAST_REJECT = re.compile(r"&|<[!?]|</?(?:script|style)\b", re.IGNORECASE)
+_FAST_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)([^<>]*)>")
+_FAST_ATTRS = re.compile(
+    r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s\"'<>/]*))?)*\s*(/?)"
+)
+_ATTR_PAIR = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s\"'<>/]*)))?"
+)
+
+
+class _FallBack(Exception):
+    pass
+
+
+def _fast_events(text: str) -> list[tuple]:
+    """('start', tag, attrs, selfclose) / ('end', tag) / ('data', s) events
+    for the strict subset; raises _FallBack outside it."""
+    if _FAST_REJECT.search(text):
+        raise _FallBack
+    events: list[tuple] = []
+    pos = 0
+    for m in _FAST_TAG.finditer(text):
+        seg = text[pos : m.start()]
+        if "<" in seg:
+            raise _FallBack  # bare '<' — html.parser has quirky recovery
+        if seg:
+            events.append(("data", seg))
+        closing, name, body = m.group(1), m.group(2), m.group(3)
+        name = name.lower()
+        if closing:
+            if body.strip():
+                raise _FallBack  # attributes on an end tag
+            events.append(("end", name))
+        else:
+            am = _FAST_ATTRS.fullmatch(body)
+            if am is None:
+                raise _FallBack
+            attrs = None
+            if name == "img":  # the only tag whose attrs the collector reads
+                attrs = [
+                    (
+                        pm.group(1).lower(),
+                        next(
+                            (g for g in pm.group(2, 3, 4) if g is not None),
+                            None,
+                        ),
+                    )
+                    for pm in _ATTR_PAIR.finditer(body)
+                ]
+            events.append(("start", name, attrs or [], am.group(1) == "/"))
+        pos = m.end()
+    tail = text[pos:]
+    if "<" in tail:
+        raise _FallBack  # unterminated trailing tag
+    if tail:
+        events.append(("data", tail))
+    return events
+
+
+def _collect(text: str) -> _BlockCollector:
+    """Run the block collector over ``text`` — fast scanner when the input
+    is inside the verified subset, html.parser otherwise."""
+    try:
+        events = _fast_events(text)
+    except _FallBack:
+        parser = _BlockCollector()
+        parser.feed(text)
+        parser.close()
+        return parser
+    parser = _BlockCollector()
+    for ev in events:
+        kind = ev[0]
+        if kind == "data":
+            parser.handle_data(ev[1])
+        elif kind == "start":
+            _k, name, attrs, selfclose = ev
+            parser.handle_starttag(name, attrs)
+            if selfclose:
+                # html.parser: handle_startendtag -> starttag + endtag
+                # (for void tags too — event identity over tag taxonomy)
+                parser.handle_endtag(name)
+        else:
+            parser.handle_endtag(ev[1])
+    parser._flush()
+    return parser
+
+
 def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     """Extract main content from HTML bytes. Raises typed hard failures.
     ``config`` is accepted for registry uniformity; the HTML path has no
     format knob (reference's API extraction path returns one text body)."""
     text = decode_html_bytes(data)
-    parser = _BlockCollector()
-    parser.feed(text)
-    parser.close()
+    parser = _collect(text)
 
     kept = [(t, ld) for t, ld in parser.blocks if ld <= LINK_DENSITY_MAX]
     content = "\n".join(t for t, _ in kept)

@@ -210,3 +210,117 @@ def test_charset_absent_still_utf8_replace():
     html = b"<html><body><p>bad \xff byte</p></body></html>"
     r = extract_document("u", html)
     assert r.pages[0].content == "bad � byte"
+
+
+# --------------------------------------------------------------------------
+# Fast-scanner differential guarantee: wherever the fast path engages it
+# must be EVENT-IDENTICAL to html.parser; everything else falls back.
+# --------------------------------------------------------------------------
+
+
+def _both_paths(text):
+    from pdf_document_extractor_spark.core.html_extract import (
+        _BlockCollector,
+        _collect,
+        _fast_events,
+        _FallBack,
+    )
+
+    try:
+        _fast_events(text)
+    except _FallBack:
+        return None  # fell back: nothing to compare
+    fast = _collect(text)
+    ref = _BlockCollector()
+    ref.feed(text)
+    ref.close()
+    return fast, ref
+
+
+def _state(c):
+    return (c.blocks, c.tables_raw, c.figures_raw)
+
+
+def test_fast_scanner_differential_handcases():
+    cases = [
+        "<html><body><p>plain</p></body></html>",
+        "<HTML><BODY><P>upper tags</P></BODY></HTML>",
+        "<body><p>self closing<br/>here</p><img src='/x' alt='cap'/></body>",
+        "<body><p>bare attr <img alt></p></body>",
+        "<body><table><tr><th>h1</th><th>h2</th></tr>"
+        "<tr><td>a</td><td>b</td></tr></table><p>after</p></body>",
+        "<body><p><a href='/x'>link text</a> plus body words here</p></body>",
+        "<body><p>unclosed <a href='/y'>anchor</p><p>next block</p></body>",
+        "<body><div><ul><li>one</li><li>two</li></ul></div></body>",
+        "text before any tag <p>then a block</p> text after",
+        "<body><p>whitespace   runs\t\tand\nnewlines</p></body>",
+        "<body><img src='/a.png' alt='fig one'><img src='/b.png'></body>",
+        "<p>nested <span>inline <b>bold</b></span> tail</p>",
+        "<p id='x' class=\"y\" data-z>attr soup</p>",
+    ]
+    for text in cases:
+        res = _both_paths(text)
+        assert res is not None, f"expected fast path to engage: {text!r}"
+        fast, ref = res
+        assert _state(fast) == _state(ref), text
+
+
+def test_fast_scanner_fallback_cases():
+    from pdf_document_extractor_spark.core.html_extract import (
+        _FallBack,
+        _fast_events,
+    )
+    import pytest as _pytest
+
+    for text in [
+        "<p>a &amp; b</p>",            # charref
+        "<!DOCTYPE html><p>x</p>",      # markup declaration
+        "<!-- comment --><p>x</p>",     # comment
+        "<script>var a = 1 < 2;</script><p>x</p>",  # CDATA element
+        "<p>3 < 4 bare less-than</p>",  # bare '<'
+        "<p>trailing unterminated <div",
+        "<p foo='a>b'>quoted angle soup</p>",
+        "</p extra>end tag with attrs",
+    ]:
+        with _pytest.raises(_FallBack):
+            _fast_events(text)
+
+
+def test_fast_scanner_differential_fuzz():
+    """Random tag soup: wherever the fast path accepts, its collector state
+    must equal html.parser's, fragment for fragment."""
+    import random
+
+    rng = random.Random(42)
+    tags = ["p", "div", "a", "b", "img", "li", "ul", "table", "tr", "td",
+            "nav", "article", "footer", "br", "span", "h1"]
+    words = ["alpha", "bravo", "link", "text", "words", "x<y", "z&w", "50%"]
+
+    def gen():
+        parts = []
+        for _ in range(rng.randint(1, 30)):
+            r = rng.random()
+            t = rng.choice(tags)
+            if r < 0.35:
+                attr = rng.choice(
+                    ["", " href='/x'", ' alt="cap"', " alt", " class=c"]
+                )
+                parts.append(f"<{t}{attr}{'/' if rng.random() < 0.2 else ''}>")
+            elif r < 0.6:
+                parts.append(f"</{t}>")
+            else:
+                parts.append(" ".join(
+                    rng.choice(words) for _ in range(rng.randint(1, 5))
+                ))
+        return "".join(parts)
+
+    engaged = 0
+    for _ in range(400):
+        text = gen()
+        res = _both_paths(text)
+        if res is None:
+            continue
+        engaged += 1
+        fast, ref = res
+        assert _state(fast) == _state(ref), text
+    assert engaged >= 40  # the fuzz must actually exercise the fast path
