@@ -50,6 +50,7 @@ from __future__ import annotations
 import re
 import zlib
 from dataclasses import dataclass
+from typing import NamedTuple
 
 from .model import (
     DOC_TYPE_PDF,
@@ -286,6 +287,8 @@ def _unpredict(data: bytes, parms: dict) -> bytes:
 
 
 def _skip_ws(buf: bytes, pos: int) -> int:
+    # byte loop beats a regex here: runs are typically ONE space, where
+    # match-object construction costs more than the containment test
     n = len(buf)
     while pos < n:
         c = buf[pos]
@@ -299,9 +302,12 @@ def _skip_ws(buf: bytes, pos: int) -> int:
     return pos
 
 
-_NUM_RE = re.compile(rb"[+-]?(?:\d+\.\d*|\.\d+|\d+)")
 _NAME_RE = re.compile(rb"/([^\x00\t\n\x0c\r ()<>\[\]{}/%]*)")
-_REF_RE = re.compile(rb"(\d+)\s+(\d+)\s+R\b")
+# one attempt for the two most common scalar shapes (ref first — a ref's
+# prefix also matches the number pattern)
+_REF_OR_NUM_RE = re.compile(
+    rb"(\d+)\s+(\d+)\s+R\b|([+-]?(?:\d+\.\d*|\.\d+|\d+))"
+)
 
 
 def _parse_object(buf: bytes, pos: int):
@@ -343,12 +349,11 @@ def _parse_object(buf: bytes, pos: int):
         return False, pos + 5
     if buf.startswith(b"null", pos):
         return None, pos + 4
-    m = _REF_RE.match(buf, pos)
+    m = _REF_OR_NUM_RE.match(buf, pos)
     if m:
-        return _Ref((int(m.group(1)), int(m.group(2)))), m.end()
-    m = _NUM_RE.match(buf, pos)
-    if m:
-        tok = m.group(0)
+        if m.group(1) is not None:
+            return _Ref((int(m.group(1)), int(m.group(2)))), m.end()
+        tok = m.group(3)
         val = float(tok) if b"." in tok else int(tok)
         return val, m.end()
     raise CorruptedFileError(f"unparseable object at offset {pos}")
@@ -583,8 +588,10 @@ def _page_objects(objs: _Objects, trailer: dict) -> list[dict]:
 # --------------------------------------------------------------------------
 
 
-@dataclass(frozen=True)
-class _Show:
+class _Show(NamedTuple):
+    # NamedTuple, not frozen dataclass: created once per text-show op in
+    # the hottest loop; frozen-dataclass __init__ pays object.__setattr__
+    # per field
     x: float
     y: float
     size: float
