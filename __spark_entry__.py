@@ -769,6 +769,44 @@ def q_filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SECOND flagship composition — the cleaning half of the engine in
+    one plan: corpus-with-PII-and-duplicates -> synthesize pages -> fused
+    extract -> PII redaction (codegen) -> C4 global line dedup. Duplicate
+    documents lose their only line and disappear; survivors carry the
+    redacted text. Two mapInPandas stages + the two line-dedup shuffles."""
+    from pdf_document_extractor_spark.operators.cleaning import (
+        line_dedup_c4,
+        redact_pii,
+    )
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.sources.pages import synthesize_pages
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    dirty = docs.withColumn(
+        "text",
+        F.concat(
+            "text",
+            F.lit(" contact bob"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit("@mail.example.com now"),
+        ),
+    )
+    copies = dirty.filter(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text", "lang", "source"
+    )
+    corpus = dirty.unionByName(copies)
+    pages = synthesize_pages(corpus, mode="html")
+    extracted = extract_pages(pages).withColumn("doc_id", _doc_id())
+    as_docs = extracted.select("doc_id", F.col("content").alias("text"))
+    red = redact_pii(as_docs).select(
+        "doc_id", F.col("redacted").alias("text")
+    )
+    return line_dedup_c4(red)
+
+
 def q_mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata decode of binary media columns.
 
@@ -1488,6 +1526,26 @@ _ORACLES["filter_blocklist"] = f"""
     FROM t
 """
 
+_ORACLES["pipeline_clean_corpus"] = """
+    WITH red AS (
+      SELECT doc_id,
+             text || ' contact <EMAIL> now' AS text
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text || ' contact <EMAIL> now'
+      FROM documents WHERE doc_id % 4 = 0
+    ),
+    ranked AS (
+      SELECT doc_id, text,
+             row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+      FROM red
+    )
+    SELECT doc_id, text,
+           CAST(1 AS BIGINT) AS kept_lines,
+           CAST(0 AS BIGINT) AS dropped_lines
+    FROM ranked WHERE rn = 1
+"""
+
 _ORACLES["mm_media_metadata"] = """
     SELECT doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -1558,6 +1616,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_blocklist": q_filter_blocklist,
         "mm_media_metadata": q_mm_media_metadata,
         "pipeline_training_corpus": q_pipeline_training_corpus,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
         "url_canonicalize": q_url_canonicalize,
         "text_chunking": q_text_chunking,
         "sample_split": q_sample_split,
