@@ -47,9 +47,11 @@ class ExtractionConfig:
 @dataclass(frozen=True)
 class ConfigMatrix:
     """Per-document-type tuning (D4) — the reference keys tuned configs by
-    MIME type (processing_config_manager.py:88-237); here by sniffed
-    doc_type ('pdf' | 'html' | 'txt' | 'docx'). Unlisted types fall back
-    to ``default``. Duck-typed with ExtractionConfig via ``for_type``."""
+    MIME type (processing_config_manager.py:88-237); here by RESULT
+    doc_type: 'pdf' | 'html' | 'txt' | 'rtf' | 'docx' | 'xlsx' | 'pptx'
+    (never 'ooxml' — the container subtype is resolved inside
+    extract_ooxml before any knob applies). Unlisted types fall back to
+    ``default``. Duck-typed with ExtractionConfig via ``for_type``."""
 
     default: ExtractionConfig = ExtractionConfig()
     per_type: dict = field(default_factory=dict)

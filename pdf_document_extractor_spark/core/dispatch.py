@@ -114,7 +114,11 @@ def extract_document(url: str, data: bytes, config=None) -> ExtractionResult:
                 pages=[],
             )
     doc_type = sniff_doc_type(data)
-    cfg = config.for_type(doc_type) if config is not None else None
+    # ConfigMatrix keys are RESULT doc_types; the ooxml subtype is known
+    # only after the container opens, so extract_ooxml resolves its own
+    cfg = config
+    if config is not None and doc_type != DOC_TYPE_OOXML:
+        cfg = config.for_type(doc_type)
     try:
         return EXTRACTORS[doc_type](data, uh, config=cfg)
     except BaseException as exc:  # noqa: BLE001 — taxonomy decides

@@ -162,6 +162,12 @@ def detect_charset(data: bytes) -> tuple[str, int]:
     m = _META_CHARSET_RE.search(data[:SNIFF_WINDOW])
     if m:
         label = m.group(1).decode("ascii", errors="replace").strip().lower()
+        # WHATWG prescan rule: a meta label READABLE in the byte stream
+        # proves the document is not utf-16 — mislabeled pages are legion;
+        # honoring the label would decode ASCII byte-pairs as CJK garbage
+        # that even the junk guard can't catch
+        if label.replace("-", "").replace("_", "").startswith("utf16"):
+            return "utf-8", 0
         try:
             codecs.lookup(label)
         except LookupError:

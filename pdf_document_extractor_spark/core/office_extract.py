@@ -159,21 +159,36 @@ def _parse_part(zf: zipfile.ZipFile, name: str):
 
 
 def extract_ooxml(data: bytes, url_hash: str, config=None) -> ExtractionResult:
-    """PK-zip payloads: route by contained part (pinned rule 5)."""
+    """PK-zip payloads: route by contained part (pinned rule 5).
+
+    Receives the UNRESOLVED config (possibly a ConfigMatrix): the subtype
+    is known only after the container opens, so per-type resolution
+    happens here — matrix keys are always the RESULT doc_types
+    ('docx'/'xlsx'/'pptx'), never 'ooxml'. No office extractor consumes a
+    config knob today; the resolution exists so future knobs key
+    consistently with the structure-flag gating in operators/extract.py."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         names = set(zf.namelist())
     except Exception as exc:  # noqa: BLE001 — any unreadable container
         raise CorruptedFileError(f"corrupt zip container: {exc}") from exc
     if "word/document.xml" in names:
-        return _docx_from_zip(zf, url_hash)
-    if "xl/workbook.xml" in names:
-        return _xlsx_from_zip(zf, names, url_hash)
-    if "ppt/presentation.xml" in names:
-        return _pptx_from_zip(zf, names, url_hash)
-    raise UnsupportedFormatError(
-        "zip container without a recognized ooxml part"
-    )
+        subtype = DOC_TYPE_DOCX
+        extractor = _docx_from_zip
+    elif "xl/workbook.xml" in names:
+        subtype = DOC_TYPE_XLSX
+        extractor = _xlsx_from_zip
+    elif "ppt/presentation.xml" in names:
+        subtype = DOC_TYPE_PPTX
+        extractor = _pptx_from_zip
+    else:
+        raise UnsupportedFormatError(
+            "zip container without a recognized ooxml part"
+        )
+    _cfg = config.for_type(subtype) if config is not None else None
+    if extractor is _docx_from_zip:
+        return extractor(zf, url_hash)
+    return extractor(zf, names, url_hash)
 
 
 def extract_docx(data: bytes, url_hash: str, config=None) -> ExtractionResult:
@@ -316,7 +331,10 @@ def _cell_text(c, shared: list[str]) -> str | None:
         if v is None or v.text is None:
             return None
         try:
-            return shared[int(v.text)]
+            idx = int(v.text)
+            if idx < 0:  # Python negative indexing would silently
+                raise IndexError(idx)  # return the WRONG entry
+            return shared[idx]
         except (ValueError, IndexError) as exc:
             raise CorruptedFileError(
                 f"bad sharedStrings index {v.text!r}"

@@ -216,6 +216,13 @@ class _Stream:
                             f"stream inflates past {MAX_DECODED_STREAM} "
                             "bytes — flate bomb guard"
                         )
+                    if not d.eof:
+                        # bounded decompressobj does NOT raise on truncation
+                        # the way zlib.decompress does — restore that
+                        # behavior or partial text would commit as success
+                        raise CorruptedFileError(
+                            "truncated FlateDecode stream"
+                        )
                 except zlib.error as exc:
                     raise CorruptedFileError(f"flate decode failed: {exc}") from exc
                 parms = parms_list[i] if i < len(parms_list) else None
@@ -534,19 +541,27 @@ def _parse_xref(buf: bytes) -> tuple[dict[int, object], dict]:
             sec_offsets, sec_trailer = _parse_classic_section(buf, pos)
         else:
             sec_offsets, sec_trailer = _parse_xref_stream_section(buf, pos)
-        for k, v in sec_offsets.items():
-            offsets.setdefault(k, v)  # newest-first: first write wins
         for k, v in sec_trailer.items():
             trailer.setdefault(k, v)
         # hybrid-reference file: classic trailer points at a parallel xref
-        # stream holding the objstm entries; it shares this section's age
-        # (consulted before /Prev but after the table itself)
+        # stream holding the objstm entries. Per PDF 32000 7.5.8.4 the
+        # stream SUPPLEMENTS the table within this generation: objects the
+        # table marks FREE (deliberately, to hide compressed objects from
+        # pre-1.5 readers) resolve through the stream — so merge the two
+        # BEFORE the global newest-first setdefault, letting stream entries
+        # fill the table's tombstones while real table offsets keep
+        # priority.
         xs = sec_trailer.get("XRefStm")
         if isinstance(xs, int) and xs not in seen and xs < len(buf):
             seen.add(xs)
             s_off, _s_tr = _parse_xref_stream_section(buf, _skip_ws(buf, xs))
-            for k, v in s_off.items():
-                offsets.setdefault(k, v)
+            merged = dict(s_off)
+            for k, v in sec_offsets.items():
+                if v is not None or k not in merged:
+                    merged[k] = v
+            sec_offsets = merged
+        for k, v in sec_offsets.items():
+            offsets.setdefault(k, v)  # newest section first: first write wins
         prev = sec_trailer.get("Prev")
         if isinstance(prev, int):
             queue.append(prev)
@@ -643,7 +658,11 @@ def _tokenize_content(data: bytes):
 
 
 def _shows_from_content(data: bytes) -> list[_Show]:
-    """Interpret the text operators of one page's content stream(s)."""
+    """Interpret the text operators of one page's content stream(s).
+
+    The show-event bomb cap is enforced INSIDE the loop: a 256 MB stream
+    of tiny Tj ops must fail before materializing millions of records,
+    not after."""
     shows: list[_Show] = []
     stack: list = []  # operand stack (numbers, strings, names, arrays)
     in_array: list | None = None
@@ -689,10 +708,18 @@ def _shows_from_content(data: bytes) -> list[_Show]:
         elif op == "Tj":
             if stack and isinstance(stack[-1], str):
                 shows.append(_Show(x, y, size, stack[-1]))
+                if len(shows) > MAX_SHOWS_PER_PAGE:
+                    raise OversizeDocumentError(
+                        f"page exceeds {MAX_SHOWS_PER_PAGE} text shows"
+                    )
         elif op == "TJ":
             if stack and isinstance(stack[-1], list):
                 text = "".join(t for t in stack[-1] if isinstance(t, str))
                 shows.append(_Show(x, y, size, text))
+                if len(shows) > MAX_SHOWS_PER_PAGE:
+                    raise OversizeDocumentError(
+                        f"page exceeds {MAX_SHOWS_PER_PAGE} text shows"
+                    )
         # ET and any other operator: no state change needed
         stack.clear()
     return shows
@@ -794,12 +821,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
             if isinstance(s, _Stream):
                 blob += s.decoded()
                 blob += b"\n"
-        shows = _shows_from_content(bytes(blob))
-        if len(shows) > MAX_SHOWS_PER_PAGE:
-            raise OversizeDocumentError(
-                f"page {page_no} has {len(shows)} text shows "
-                f"(> {MAX_SHOWS_PER_PAGE} cap)"
-            )
+        shows = _shows_from_content(bytes(blob))  # cap enforced in-loop
         lines = _group_lines(shows)
         table_spans = _find_tables(lines)
         in_table_rows: dict[int, int] = {}  # line idx -> table idx (local)

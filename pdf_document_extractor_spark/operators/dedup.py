@@ -243,15 +243,22 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
             .groupBy("id_a")
             .agg(F.min("label").alias("neighbor_label"))
         )
-        prop = labels.join(
-            neighbor_min, labels["id"] == neighbor_min["id_a"], "left"
-        ).select(
-            labels["id"],
-            F.least(
-                labels["label"],
-                F.coalesce("neighbor_label", labels["label"]),
-            ).alias("label"),
-            labels["label"].alias("_old"),
+        prop = (
+            labels.join(
+                neighbor_min, labels["id"] == neighbor_min["id_a"], "left"
+            )
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"],
+                    F.coalesce("neighbor_label", labels["label"]),
+                ).alias("label"),
+                labels["label"].alias("_old"),
+            )
+            # both sides of the pointer-jump self-join below reference this
+            # plan: without a cache the propagation shuffle runs TWICE per
+            # round (persist is lazy — still one action per round)
+            .persist()
         )
         # pointer jump: label <- min(label, label's current label). Labels
         # are node ids, so every label has a row; left join for safety.
@@ -280,6 +287,7 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
             )
         )
         new_labels = jumped.localCheckpoint(eager=True)
+        prop.unpersist()
         changed = new_labels.filter(F.col("_changed")).count()
         labels = new_labels.drop("_changed")
         if changed == 0:

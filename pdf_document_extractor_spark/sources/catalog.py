@@ -105,9 +105,18 @@ class SnapshotTable:
         self, spark: "SparkSession", as_of: int | None = None
     ) -> "DataFrame | None":
         """Union of all live committed snapshots (optionally up to
-        ``as_of``). Returns None for an empty table."""
-        snaps = [s for s in self.snapshots() if not s.expired]
+        ``as_of``). Returns None for an empty table. Time-traveling to an
+        ``as_of`` older than a compaction raises (same contract as
+        read_snapshot) — silently returning None would be
+        indistinguishable from an empty table."""
+        all_snaps = self.snapshots()
+        snaps = [s for s in all_snaps if not s.expired]
         if as_of is not None:
+            if any(s.expired and s.snapshot_id <= as_of for s in all_snaps):
+                raise KeyError(
+                    f"as_of={as_of} reaches snapshots expired by "
+                    "compaction — time travel past the retention horizon"
+                )
             snaps = [s for s in snaps if s.snapshot_id <= as_of]
         if not snaps:
             return None
@@ -183,18 +192,29 @@ class SnapshotTable:
             shutil.rmtree(self._snap_path(s), ignore_errors=True)
         return snap
 
-    def remove_orphans(self) -> list[str]:
+    def remove_orphans(self, min_age_seconds: float = 86400.0) -> list[str]:
         """Delete data dirs no manifest entry references — the leftovers of
         commits that died before their manifest flip (invisible by design;
-        this reclaims the space, Iceberg remove_orphan_files analog)."""
+        this reclaims the space, Iceberg remove_orphan_files analog).
+
+        ``min_age_seconds`` guards the commit race exactly like Iceberg's
+        mandatory older-than timestamp: a commit IN FLIGHT has written its
+        data dir but not yet flipped the manifest — deleting young dirs
+        would destroy it. Only dirs untouched for at least this long are
+        reclaimed (default 24h)."""
         referenced = {
             Path(self._snap_path(s)).name
             for s in self.snapshots()
             if not s.expired
         }
+        cutoff = time.time() - min_age_seconds
         removed: list[str] = []
         for d in sorted(self.data_dir.iterdir()):
-            if d.is_dir() and d.name not in referenced:
+            if (
+                d.is_dir()
+                and d.name not in referenced
+                and d.stat().st_mtime < cutoff
+            ):
                 shutil.rmtree(d, ignore_errors=True)
                 removed.append(d.name)
         return removed

@@ -69,6 +69,28 @@ def test_remove_orphans_only_touches_unreferenced_dirs(spark, tmp_path):
     orphan.mkdir()
     (orphan / "part-000.parquet").write_bytes(b"junk")
     before = {(r.k, r.v) for r in tbl.read(spark).collect()}
-    removed = tbl.remove_orphans()
+    removed = tbl.remove_orphans(min_age_seconds=0)
     assert removed == ["snap-000099-crashed"]
     assert {(r.k, r.v) for r in tbl.read(spark).collect()} == before
+
+
+def test_read_as_of_past_retention_raises(spark, tmp_path):
+    tbl = SnapshotTable(str(tmp_path), "t")
+    _commit_three(spark, tbl)
+    tbl.compact(spark)
+    with pytest.raises(KeyError, match="retention"):
+        tbl.read(spark, as_of=2)
+    # un-travelled read still fine
+    assert tbl.read(spark).count() == 12
+
+
+def test_remove_orphans_age_guard(spark, tmp_path):
+    """A YOUNG unreferenced dir may be an in-flight commit (data written,
+    manifest not yet flipped) — only dirs older than min_age_seconds go."""
+    tbl = SnapshotTable(str(tmp_path), "t")
+    _commit_three(spark, tbl)
+    orphan = tbl.data_dir / "snap-000099-inflight"
+    orphan.mkdir()
+    assert tbl.remove_orphans() == []  # default 24h guard: kept
+    assert orphan.exists()
+    assert tbl.remove_orphans(min_age_seconds=0) == ["snap-000099-inflight"]

@@ -324,3 +324,15 @@ def test_fast_scanner_differential_fuzz():
         fast, ref = res
         assert _state(fast) == _state(ref), text
     assert engaged >= 40  # the fuzz must actually exercise the fast path
+
+
+def test_charset_utf16_meta_label_is_ignored():
+    """WHATWG prescan: a readable utf-16 meta label proves the page is NOT
+    utf-16 — honoring it would decode ASCII byte-pairs as CJK garbage."""
+    for label in ("utf-16", "UTF-16LE", "utf_16be"):
+        html = (
+            f'<html><head><meta charset="{label}"></head>'
+            "<body><p>ascii body text</p></body></html>"
+        ).encode("ascii")
+        r = extract_document("u", html)
+        assert r.pages[0].content == "ascii body text", label

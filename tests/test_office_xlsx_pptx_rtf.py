@@ -130,3 +130,33 @@ def test_rtf_starred_destination_and_literal_braces():
 def test_rtf_empty_raises():
     with pytest.raises(EmptyContentError):
         extract_rtf(rb"{\rtf1\ansi {\fonttbl{\f0 A;}}}", "h")
+
+
+def test_xlsx_negative_shared_string_index_is_corrupt():
+    """<v>-1</v> must be a classified failure — Python negative indexing
+    would silently return the WRONG shared string."""
+    import io
+    import zipfile
+
+    wb = (
+        '<workbook xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        '<sheet name="S" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships><Relationship Id="rId1" Type="t" '
+        'Target="worksheets/sheet1.xml"/></Relationships>'
+    )
+    sst = "<sst><si><t>first</t></si><si><t>last</t></si></sst>"
+    sheet = (
+        '<worksheet><sheetData><row r="1">'
+        '<c r="A1" t="s"><v>-1</v></c></row></sheetData></worksheet>'
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", wb)
+        zf.writestr("xl/_rels/workbook.xml.rels", rels)
+        zf.writestr("xl/sharedStrings.xml", sst)
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    r = extract_document("u", buf.getvalue())
+    assert (r.status, r.error_type) == ("hard_failure", "CorruptedFileError")

@@ -267,3 +267,39 @@ def test_show_event_bomb_guard(monkeypatch):
         shows=[TextShow(72.0, 720.0 - i, 10.0, "x") for i in range(10)]
     )
     assert extract_pdf(write_pdf([ok]), "h").pages[0].word_count > 0
+
+
+def test_hybrid_free_tombstones_resolve_through_xrefstm():
+    """Real hybrid-reference PDFs mark ObjStm-packed objects FREE in the
+    classic table (hiding them from pre-1.5 readers, PDF 32000 7.5.8.4);
+    the parallel /XRefStm must fill those tombstones."""
+    base = write_pdf_15(PAGES)
+    m = None
+    for m in re.finditer(rb"startxref\s+(\d+)", base[-2048:]):
+        pass
+    xref_stream_pos = int(m.group(1))
+    hybrid = bytearray(base)
+    table_pos = len(hybrid)
+    # classic section marking the packed objects (1..5) FREE — the
+    # standard Acrobat hybrid-save shape
+    hybrid += b"xref\n1 5\n" + b"0000000000 65535 f \n" * 5
+    hybrid += (
+        f"trailer\n<< /Size 10 /Root 1 0 R /XRefStm "
+        f"{xref_stream_pos} >>\nstartxref\n{table_pos}\n%%EOF\n"
+    ).encode()
+    assert _snapshot(extract_pdf(bytes(hybrid), "h")) == _snapshot(
+        extract_pdf(base, "h")
+    )
+
+
+def test_truncated_flate_stream_is_corrupt_not_partial():
+    """A truncated FlateDecode stream must raise (hard-failure row), never
+    return partial text that would commit as success."""
+    import zlib as _zlib
+
+    from pdf_document_extractor_spark.core.pdf_extract import _Stream
+
+    payload = _zlib.compress(b"A" * 5000)
+    broken = _Stream({"Filter": "FlateDecode"}, payload[:-10])
+    with pytest.raises(CorruptedFileError, match="truncated"):
+        broken.decoded()
