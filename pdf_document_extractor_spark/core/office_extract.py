@@ -162,33 +162,25 @@ def extract_ooxml(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     """PK-zip payloads: route by contained part (pinned rule 5).
 
     Receives the UNRESOLVED config (possibly a ConfigMatrix): the subtype
-    is known only after the container opens, so per-type resolution
-    happens here — matrix keys are always the RESULT doc_types
-    ('docx'/'xlsx'/'pptx'), never 'ooxml'. No office extractor consumes a
-    config knob today; the resolution exists so future knobs key
-    consistently with the structure-flag gating in operators/extract.py."""
+    is known only after the container opens, so matrix keys are always the
+    RESULT doc_types ('docx'/'xlsx'/'pptx'), never 'ooxml'. No office
+    extractor consumes a config knob today — when one grows a knob,
+    resolve ``config.for_type(subtype)`` at the dispatch below (structure
+    flags are already gated per result doc_type in operators/extract.py)."""
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         names = set(zf.namelist())
     except Exception as exc:  # noqa: BLE001 — any unreadable container
         raise CorruptedFileError(f"corrupt zip container: {exc}") from exc
     if "word/document.xml" in names:
-        subtype = DOC_TYPE_DOCX
-        extractor = _docx_from_zip
-    elif "xl/workbook.xml" in names:
-        subtype = DOC_TYPE_XLSX
-        extractor = _xlsx_from_zip
-    elif "ppt/presentation.xml" in names:
-        subtype = DOC_TYPE_PPTX
-        extractor = _pptx_from_zip
-    else:
-        raise UnsupportedFormatError(
-            "zip container without a recognized ooxml part"
-        )
-    _cfg = config.for_type(subtype) if config is not None else None
-    if extractor is _docx_from_zip:
-        return extractor(zf, url_hash)
-    return extractor(zf, names, url_hash)
+        return _docx_from_zip(zf, url_hash)
+    if "xl/workbook.xml" in names:
+        return _xlsx_from_zip(zf, names, url_hash)
+    if "ppt/presentation.xml" in names:
+        return _pptx_from_zip(zf, names, url_hash)
+    raise UnsupportedFormatError(
+        "zip container without a recognized ooxml part"
+    )
 
 
 def extract_docx(data: bytes, url_hash: str, config=None) -> ExtractionResult:
@@ -212,8 +204,11 @@ def _docx_from_zip(zf: zipfile.ZipFile, url_hash: str) -> ExtractionResult:
             if text:
                 paragraphs.append(text)
         elif kind == "tbl":
+            # DIRECT children only: a table nested inside a cell must not
+            # flatten its rows into the outer TableRef (its text already
+            # rides in the containing cell via _node_text)
             rows = []
-            for tr in (n for n in child.iter() if _local(n.tag) == "tr"):
+            for tr in (n for n in child if _local(n.tag) == "tr"):
                 cells = [
                     _node_text(tc)
                     for tc in tr

@@ -821,6 +821,14 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
             if isinstance(s, _Stream):
                 blob += s.decoded()
                 blob += b"\n"
+                if len(blob) > MAX_DECODED_STREAM:
+                    # the per-stream flate cap is bypassable via a
+                    # /Contents ARRAY of many at-cap streams — the page
+                    # total gets the same ceiling
+                    raise OversizeDocumentError(
+                        f"page {page_no} content streams exceed "
+                        f"{MAX_DECODED_STREAM} bytes combined"
+                    )
         shows = _shows_from_content(bytes(blob))  # cap enforced in-loop
         lines = _group_lines(shows)
         table_spans = _find_tables(lines)

@@ -17,9 +17,12 @@ PINNED SEMANTICS (byte-identical invariant surface):
    fonttbl, colortbl, stylesheet, info, header, footer, pict.
 4. ``\\par`` and ``\\line`` emit "\\n"; ``\\tab`` emits " "; ``\\~`` emits
    a space; ``\\\\``, ``\\{``, ``\\}`` emit the literal char.
-5. ``\\uN`` emits chr(N mod 65536) and consumes ONE following fallback
-   character (the RTF spec's ANSI fallback), unless it is a group brace
-   or control backslash.
+5. ``\\uN`` emits chr(N mod 65536) and skips the following ANSI fallback
+   per the spec's ``\\ucN`` skip count (group-scoped, default 1): each
+   skipped unit is one raw character or one ``\\'hh`` escape — the two
+   shapes real writers emit (Word: ``\\uN\\'hh``; TextEdit: ``\\uc0\\uN``
+   with no fallback). Skipping stops early at group braces or any other
+   control sequence.
 6. Every other control word (with optional numeric parameter and one
    optional trailing space) is dropped.
 7. ``content`` = accumulated text, ``str.strip()``-ed at the ends;
@@ -59,11 +62,16 @@ def rtf_to_text(data: bytes) -> str:
     depth = 0
     skip_until_depth: int | None = None  # inside a dropped destination
     group_start = False  # just entered a group: first token decides dest
+    uc = 1  # \ucN skip count, group-scoped (rule 5)
+    uc_stack: list[int] = []
+    pending_skip = 0  # fallback units still to swallow after a \uN
     while pos < n:
         ch = src[pos]
         if ch == "{":
             depth += 1
             group_start = True
+            uc_stack.append(uc)
+            pending_skip = 0
             pos += 1
             continue
         if ch == "}":
@@ -71,6 +79,8 @@ def rtf_to_text(data: bytes) -> str:
             if skip_until_depth is not None and depth < skip_until_depth:
                 skip_until_depth = None
             group_start = False
+            uc = uc_stack.pop() if uc_stack else 1
+            pending_skip = 0
             pos += 1
             continue
         if ch == "\\":
@@ -93,15 +103,23 @@ def rtf_to_text(data: bytes) -> str:
                 skip_until_depth = depth
                 continue
             if hexcode is not None:
+                if pending_skip:  # Word's \uN\'hh ANSI fallback shape
+                    pending_skip -= 1
+                    continue
                 out.append(bytes([int(hexcode, 16)]).decode("cp1252",
                                                             errors="replace"))
                 continue
             if esc is not None:
+                pending_skip = 0  # skipping stops at other escapes
                 if esc in "\\{}":
                     out.append(esc)
                 elif esc == "~":
                     out.append(" ")
                 continue
+            if word == "uc":
+                uc = int(_param) if _param else 1
+                continue
+            pending_skip = 0  # any other control word ends the skip
             if word in ("par", "line"):
                 out.append("\n")
             elif word == "tab":
@@ -109,12 +127,14 @@ def rtf_to_text(data: bytes) -> str:
             elif word == "u":
                 code = int(_param) if _param else 0
                 out.append(chr(code % 65536))
-                # consume one ANSI fallback char (rule 5)
-                if pos < n and src[pos] not in "\\{}":
-                    pos += 1
+                pending_skip = uc  # swallow the ANSI fallback (rule 5)
             # any other control word: dropped (rule 6)
             continue
         group_start = False
+        if pending_skip and skip_until_depth is None:
+            pending_skip -= 1  # raw fallback character after \uN
+            pos += 1
+            continue
         if skip_until_depth is None and ch not in "\r\n":
             out.append(ch)
         pos += 1

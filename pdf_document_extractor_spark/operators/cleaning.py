@@ -117,42 +117,39 @@ def blocklist_filter(
     """Host + word blocklist flags (pinned rules 8-10).
 
     ``blocked_hosts``: one column ``host``; ``blocked_words``: one column
-    ``word``. Both are dimension-sized -> broadcast left-semi-ish joins;
-    the corpus is scanned once. Output keeps all rows with the flags, so
-    callers can audit removal rates before filtering (the C4 paper
-    reports them)."""
+    ``word``. Plan shape: the corpus is scanned ONCE with zero fact-side
+    shuffles — hosts flag via one broadcast left join on the host key
+    (host blocklists run to millions of rows), words flag via an
+    ``arrays_overlap`` against a collected literal array (word blocklists
+    are hundreds of entries; same driver-side-dimension pattern as
+    skew.hot_hosts). Output keeps all rows with the flags, so callers can
+    audit removal rates before filtering (the C4 paper reports them)."""
     from ..functions.url import registered_host
 
-    with_host = docs.withColumn("_host", registered_host(F.col("url")))
-    host_hit = (
-        with_host.join(
-            F.broadcast(blocked_hosts.withColumnRenamed("host", "_host")),
-            "_host",
-            "left_semi",
-        )
-        .select("doc_id")
-        .withColumn("_hb", F.lit(True))
-    )
-    tokens = docs.select(
-        "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word")
-    )
+    words = [r["word"] for r in blocked_words.select("word").collect()]
     word_hit = (
-        tokens.join(F.broadcast(blocked_words), "word", "left_semi")
-        .select("doc_id")
-        .distinct()
-        .withColumn("_wb", F.lit(True))
+        F.arrays_overlap(
+            F.split(F.trim("text"), r"\s+"),
+            F.array(*[F.lit(w) for w in words]),
+        )
+        if words
+        else F.lit(False)
     )
-    out = (
-        with_host.join(host_hit, "doc_id", "left")
-        .join(word_hit, "doc_id", "left")
+    hosts_dim = F.broadcast(
+        blocked_hosts.select(
+            F.col("host").alias("_host"), F.lit(True).alias("_hb")
+        )
+    )
+    return (
+        docs.withColumn("_host", registered_host(F.col("url")))
+        .join(hosts_dim, "_host", "left")
         .select(
             "doc_id",
             F.col("_host").alias("host"),
             F.coalesce("_hb", F.lit(False)).alias("host_blocked"),
-            F.coalesce("_wb", F.lit(False)).alias("word_blocked"),
+            word_hit.alias("word_blocked"),
         )
-    )
-    return out.withColumn(
-        "keep",
-        ~(F.col("host_blocked") | F.col("word_blocked")),
+        .withColumn(
+            "keep", ~(F.col("host_blocked") | F.col("word_blocked"))
+        )
     )

@@ -270,8 +270,10 @@ def extract_pages(
 
     Projects to (url, html) FIRST so column pruning reaches the scan, then
     runs the single fused mapInPandas extraction stage. ``config``
-    (core.config.ExtractionConfig) gates structure outputs; content is
-    config-invariant.
+    (ExtractionConfig or per-type ConfigMatrix): STRUCTURE flags never
+    change content bytes, but ``output_format`` selects the PDF content
+    renderer — only the default 'text' format is the golden byte-identity
+    surface (core/config.py).
     """
     return pages_df.select("url", "html").mapInPandas(
         _make_extract_batches(config, quarantine_soft),

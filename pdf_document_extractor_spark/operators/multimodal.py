@@ -321,6 +321,8 @@ def resize_images(df: "DataFrame", target: tuple[int, int]) -> "DataFrame":
                 if image_mod is not None:
                     import io
 
+                    from ..core.taxonomy import OversizeDocumentError
+
                     try:
                         with image_mod.open(io.BytesIO(b)) as im:
                             validate_image_dims(*im.size)
@@ -332,6 +334,8 @@ def resize_images(df: "DataFrame", target: tuple[int, int]) -> "DataFrame":
                                 {"doc_id": int(i), "resized": buf.getvalue()}
                             )
                             continue
+                    except OversizeDocumentError:
+                        raise  # bomb guard must SURFACE, not become NULL
                     except Exception:  # noqa: BLE001 — junk rows -> NULL
                         pass
                 out.append({"doc_id": int(i), "resized": None})

@@ -112,11 +112,26 @@ class SnapshotTable:
         all_snaps = self.snapshots()
         snaps = [s for s in all_snaps if not s.expired]
         if as_of is not None:
-            if any(s.expired and s.snapshot_id <= as_of for s in all_snaps):
-                raise KeyError(
-                    f"as_of={as_of} reaches snapshots expired by "
-                    "compaction — time travel past the retention horizon"
+            # the view at as_of is reconstructible iff every expired
+            # snapshot <= as_of is REPRESENTED by a compaction rewrite
+            # that is itself <= as_of (the rewrite contains its rows);
+            # an expired snapshot whose covering compaction lies beyond
+            # as_of puts the view past the retention horizon
+            compact_ids = sorted(
+                s.snapshot_id for s in all_snaps if s.kind == "compact"
+            )
+            for s in all_snaps:
+                if not s.expired or s.snapshot_id > as_of:
+                    continue
+                cover = next(
+                    (c for c in compact_ids if c > s.snapshot_id), None
                 )
+                if cover is None or cover > as_of:
+                    raise KeyError(
+                        f"as_of={as_of} reaches snapshot {s.snapshot_id}, "
+                        "expired by a later compaction — time travel past "
+                        "the retention horizon"
+                    )
             snaps = [s for s in snaps if s.snapshot_id <= as_of]
         if not snaps:
             return None

@@ -94,3 +94,19 @@ def test_remove_orphans_age_guard(spark, tmp_path):
     assert tbl.remove_orphans() == []  # default 24h guard: kept
     assert orphan.exists()
     assert tbl.remove_orphans(min_age_seconds=0) == ["snap-000099-inflight"]
+
+
+def test_read_as_of_at_or_after_compaction_is_fine(spark, tmp_path):
+    """Time travel to views at/after a compaction stays available: the
+    rewrite represents the expired snapshots' rows."""
+    tbl = SnapshotTable(str(tmp_path), "t")
+    _commit_three(spark, tbl)
+    before = {(r.k, r.v) for r in tbl.read(spark).collect()}
+    snap = tbl.compact(spark)
+    df = spark.createDataFrame([(100, "new")], "k long, v string")
+    tbl.commit(df, "run-new")
+    got_at_compact = {(r.k, r.v)
+                      for r in tbl.read(spark, as_of=snap.snapshot_id).collect()}
+    assert got_at_compact == before
+    got_head = {(r.k, r.v) for r in tbl.read(spark, as_of=5).collect()}
+    assert got_head == before | {(100, "new")}

@@ -160,3 +160,60 @@ def test_xlsx_negative_shared_string_index_is_corrupt():
         zf.writestr("xl/worksheets/sheet1.xml", sheet)
     r = extract_document("u", buf.getvalue())
     assert (r.status, r.error_type) == ("hard_failure", "CorruptedFileError")
+
+
+def test_rtf_word_style_unicode_with_hex_fallback():
+    """MS Word writes \\uN\\'hh — the hex escape is the ANSI fallback and
+    must be swallowed, not emitted as a second character."""
+    raw = rb"{\rtf1\ansi hello \u8364\'80 world\par}"
+    assert rtf_to_text(raw).strip() == "hello € world"
+
+
+def test_rtf_uc0_textedit_form():
+    """Apple TextEdit emits \\uc0 (no fallback bytes): the character after
+    \\uN is REAL content and must survive (the control word's trailing
+    space is its delimiter, never content)."""
+    raw = rb"{\rtf1\uc0\u8364?x y}"
+    assert rtf_to_text(raw).strip() == "€?x y"
+
+
+def test_rtf_uc_is_group_scoped():
+    raw = rb"{\rtf1 {\uc0\u8364?a}\u8364?b}"
+    # inner group: uc=0 -> '?a' kept; outer group: uc back to 1 -> '?' eaten
+    assert rtf_to_text(raw).strip() == "€?a€b"
+
+
+def test_docx_nested_table_rows_not_flattened():
+    """A table inside a cell must not inflate the outer TableRef."""
+    import io
+    import zipfile
+
+    from pdf_document_extractor_spark.core.docx_write import (
+        _CONTENT_TYPES,
+        _W_NS,
+    )
+
+    inner = (
+        "<w:tbl><w:tr><w:tc><w:p><w:r><w:t>inner</w:t></w:r></w:p>"
+        "</w:tc></w:tr></w:tbl>"
+    )
+    doc = (
+        f'<w:document xmlns:w="{_W_NS}"><w:body>'
+        "<w:p><w:r><w:t>body</w:t></w:r></w:p>"
+        "<w:tbl>"
+        "<w:tr><w:tc><w:p><w:r><w:t>h1</w:t></w:r></w:p></w:tc>"
+        "<w:tc><w:p><w:r><w:t>h2</w:t></w:r></w:p></w:tc></w:tr>"
+        f"<w:tr><w:tc>{inner}</w:tc>"
+        "<w:tc><w:p><w:r><w:t>plain</w:t></w:r></w:p></w:tc></w:tr>"
+        "</w:tbl></w:body></w:document>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("[Content_Types].xml", _CONTENT_TYPES)
+        zf.writestr("word/document.xml", doc)
+    r = extract_document("u", buf.getvalue())
+    (t,) = r.pages[0].tables
+    assert t.num_rows == 2  # inner table's row NOT counted as an outer row
+    assert t.headers == ("h1", "h2")
+    # inner text rides the containing cell exactly once
+    assert t.csv == "h1,h2\ninner,plain\n"

@@ -303,3 +303,20 @@ def test_truncated_flate_stream_is_corrupt_not_partial():
     broken = _Stream({"Filter": "FlateDecode"}, payload[:-10])
     with pytest.raises(CorruptedFileError, match="truncated"):
         broken.decoded()
+
+
+def test_page_cumulative_stream_cap(monkeypatch):
+    """The flate cap is per stream; the page total gets the same ceiling
+    (a /Contents array of many at-cap streams must not accumulate)."""
+    from pdf_document_extractor_spark.core import pdf_extract as pe
+    from pdf_document_extractor_spark.core.taxonomy import (
+        OversizeDocumentError,
+    )
+
+    body = PdfPageSpec(
+        shows=[TextShow(72.0, 720.0, 10.0, "word " * 40)]
+    )
+    pdf = write_pdf([body])
+    monkeypatch.setattr(pe, "MAX_DECODED_STREAM", 50)
+    with pytest.raises(OversizeDocumentError, match="combined"):
+        extract_pdf(pdf, "h")
