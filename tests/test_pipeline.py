@@ -285,3 +285,29 @@ def test_stratified_sample_rates_are_independent(spark):
     src1_a = {r.doc_id for r in a.filter("source = 'src1'").collect()}
     src1_b = {r.doc_id for r in b.filter("source = 'src1'").collect()}
     assert src1_a <= src1_b and len(src1_b) > len(src1_a)
+
+
+def test_job_threads_output_format_to_extraction(spark, tmp_path):
+    """The D4/M4 knob rides the job config end-to-end: a markdown run
+    commits '# Page' content for PDFs while html content is untouched."""
+    from pdf_document_extractor_spark.core.config import ExtractionConfig
+
+    pages = pages_df_from_fixtures(spark, gen_scale_corpus(30))
+    res = run_extraction_job(
+        spark,
+        pages,
+        str(tmp_path / "wh"),
+        "md-run",
+        config=ExtractionConfig(output_format="markdown"),
+    )
+    assert res.committed
+    rows = SnapshotTable(str(tmp_path / "wh"), "extracted").read(spark)
+    pdf_rows = rows.filter("doc_type = 'pdf' AND status = 'success'")
+    assert pdf_rows.count() > 0
+    assert all(
+        r.content.startswith("# Page ") for r in pdf_rows.collect()
+    )
+    html_rows = rows.filter("doc_type = 'html' AND status = 'success'")
+    assert not any(
+        r.content.startswith("# Page") for r in html_rows.collect()
+    )
