@@ -336,3 +336,40 @@ def test_charset_utf16_meta_label_is_ignored():
         ).encode("ascii")
         r = extract_document("u", html)
         assert r.pages[0].content == "ascii body text", label
+
+
+def test_fast_scanner_differential_hypothesis():
+    """Property form of the differential guarantee with shrinking: any
+    composition of fragments the scanner accepts must produce collector
+    state identical to html.parser's."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    fragment = st.one_of(
+        st.sampled_from(
+            [
+                "<p>", "</p>", "<div>", "</div>", "<a href='/x'>", "</a>",
+                "<img alt='c'/>", "<img alt>", "<br/>", "<br>", "<table>",
+                "</table>", "<tr>", "</tr>", "<td>", "</td>", "<nav>",
+                "</nav>", "<P CLASS=u>", "</P >", "<span id='s' data-x>",
+                "</span>", "<li>", "</li>", "<hr/>",
+                # fallback-forcing fragments (must not crash either path)
+                "&amp;", "<!--c-->", "<script>x</script>", "< p>", "<",
+                "<p foo='a>b'>", "</p junk>", "<?pi?>",
+            ]
+        ),
+        st.text(
+            alphabet="abc XY.;-_09\t\n%'\"=/", min_size=0, max_size=12
+        ),
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.lists(fragment, min_size=1, max_size=25))
+    def check(parts):
+        text = "".join(parts)
+        res = _both_paths(text)
+        if res is not None:
+            fast, ref = res
+            assert _state(fast) == _state(ref), text
+
+    check()
