@@ -687,6 +687,29 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(kept).select("text_md5", "keeper_id", "dup_count")
 
 
+def q_sketch_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch corpus bigram frequencies (the 'novel sketch'
+    operator): fixed-size mergeable state instead of shuffling the gram
+    stream. Probes = the first bigram of each doc with doc_id < 10; at
+    the gate width the sketch is collision-free, so estimates EQUAL true
+    counts and the DuckDB oracle checks them exactly."""
+    from pdf_document_extractor_spark.operators.sketch import (
+        cms_estimates_df,
+        cms_ngram_sketch,
+    )
+
+    docs = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    probes = [
+        r["probe"]
+        for r in docs.filter(F.col("doc_id") < 10)
+        .select(F.array_join(F.slice(toks, 1, 2), " ").alias("probe"))
+        .collect()
+    ]
+    sketch = cms_ngram_sketch(docs, n=2)
+    return cms_estimates_df(spark, sketch, probes)
+
+
 def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style global exact-line dedup (Raffel et al. 2020 §2.2): corpus
     of two-line docs + copies sharing line 2 — the copy keeps only its
@@ -1466,6 +1489,23 @@ _ORACLES["pipeline_training_corpus"] = f"""
     FROM q GROUP BY md5(text)
 """
 
+_ORACLES["sketch_ngram_counts"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    probes AS (
+      SELECT DISTINCT array_to_string(toks[1:2], ' ') AS term
+      FROM t WHERE doc_id < 10
+    ),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+             i -> toks[i] || ' ' || toks[i+1])) AS term
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT p.term AS term,
+           CAST(count(g.term) AS BIGINT) AS est_count
+    FROM probes p LEFT JOIN grams g ON g.term = p.term
+    GROUP BY p.term
+"""
+
 _ORACLES["dedup_lines"] = f"""
     WITH two AS (
       SELECT doc_id,
@@ -1611,6 +1651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_text_quality_scores,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "sketch_ngram_counts": q_sketch_ngram_counts,
         "dedup_lines": q_dedup_lines,
         "text_redact_pii": q_text_redact_pii,
         "filter_blocklist": q_filter_blocklist,

@@ -1,0 +1,95 @@
+"""Mergeable count-min sketch over corpus n-grams (Cormode & Muthukrishnan
+2005) — frequency estimation without shuffling a single n-gram.
+
+The 100-TB problem: corpus-wide n-gram counts via groupBy shuffle the
+full exploded gram stream (orders of magnitude larger than the corpus).
+The sketch path moves only FIXED-SIZE state: every Arrow batch folds its
+grams into a local (depth x width) counter array, partials merge by
+sketch row through one tiny groupBy (shuffle volume = partitions x depth
+rows, each a width-length array — the treeAggregate shape in DataFrame
+clothes), and the driver receives exactly ``depth`` rows.
+
+Estimates are upper bounds (min over depth rows); overestimation
+probability decays as (distinct_grams / width) ** depth. With width >>
+distinct grams the sketch is collision-free and estimates are EXACT —
+which is what makes the gate query oracle-checkable against true SQL
+counts while the pytest suite pins the >= property at adversarially
+narrow widths.
+
+Hashing is the deterministic md5 family (no seeds, no wall clock) per
+the repo determinism policy.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections import Counter
+from collections.abc import Iterator
+from typing import TYPE_CHECKING
+
+import numpy as np
+import pandas as pd
+
+if TYPE_CHECKING:
+    from pyspark.sql import DataFrame, SparkSession
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 18  # collision-free headroom for the gate corpora
+
+
+def _cell(row: int, term: str, width: int) -> int:
+    digest = hashlib.md5(f"{row}:{term}".encode("utf-8")).digest()
+    return int.from_bytes(digest[:8], "big") % width
+
+
+def _grams(text: str, n: int) -> list[str]:
+    toks = text.split()
+    return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+
+
+def cms_ngram_sketch(
+    docs: "DataFrame", n: int = 2, width: int = CMS_WIDTH,
+    depth: int = CMS_DEPTH,
+) -> np.ndarray:
+    """Build the (depth, width) sketch over every n-gram OCCURRENCE in
+    ``docs.text`` (duplicates count). Returns the merged numpy array."""
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sketch = np.zeros((depth, width), dtype=np.int64)
+        for batch in batches:
+            for text in batch["text"]:
+                counts = Counter(_grams(str(text), n))
+                for gram, c in counts.items():
+                    for d in range(depth):
+                        sketch[d, _cell(d, gram, width)] += c
+        yield pd.DataFrame(
+            {"row": list(range(depth)), "counts": list(sketch)}
+        )
+
+    parts = docs.select("text").mapInPandas(
+        partials, schema="row int, counts array<long>"
+    )
+
+    def merge_row(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        total = np.stack(pdf["counts"].to_numpy()).sum(axis=0)
+        return pd.DataFrame([{"row": int(key[0]), "counts": total}])
+
+    merged = parts.groupBy("row").applyInPandas(
+        merge_row, schema="row int, counts array<long>"
+    )
+    out = np.zeros((depth, width), dtype=np.int64)
+    for r in merged.collect():  # exactly `depth` rows reach the driver
+        out[r["row"]] = np.array(r["counts"], dtype=np.int64)
+    return out
+
+
+def cms_estimate(sketch: np.ndarray, term: str) -> int:
+    depth, width = sketch.shape
+    return int(min(sketch[d, _cell(d, term, width)] for d in range(depth)))
+
+
+def cms_estimates_df(
+    spark: "SparkSession", sketch: np.ndarray, terms: list[str]
+) -> "DataFrame":
+    rows = [(t, cms_estimate(sketch, t)) for t in sorted(set(terms))]
+    return spark.createDataFrame(rows, "term string, est_count long")
