@@ -687,6 +687,30 @@ def q_pipeline_training_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(kept).select("text_md5", "keeper_id", "dup_count")
 
 
+def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (task-statement custom-operator example): every event
+    matches the most recent 'signup' event at-or-before its timestamp per
+    user — union + ordered window, ONE shuffle, vs DuckDB's native
+    ASOF JOIN as the oracle."""
+    from pdf_document_extractor_spark.operators.asof import asof_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    dim = events.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", F.col("event_id").alias("signup_id")
+    )
+    out = asof_join(
+        events, dim, key="user_id", ts="ts", value_col="signup_id",
+        out_col="asof_signup_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("asof_signup_id").cast("long").alias("asof_signup_id"),
+    )
+
+
 def q_sketch_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch corpus bigram frequencies (the 'novel sketch'
     operator): fixed-size mergeable state instead of shuffling the gram
@@ -1489,6 +1513,19 @@ _ORACLES["pipeline_training_corpus"] = f"""
     FROM q GROUP BY md5(text)
 """
 
+_ORACLES["events_asof_join"] = """
+    WITH dim AS (
+      SELECT user_id, ts, min(event_id) AS signup_id
+      FROM events WHERE event_type = 'signup'
+      GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id,
+           CAST(d.signup_id AS BIGINT) AS asof_signup_id
+    FROM events e
+    ASOF LEFT JOIN dim d
+      ON e.user_id = d.user_id AND e.ts >= d.ts
+"""
+
 _ORACLES["sketch_ngram_counts"] = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     probes AS (
@@ -1651,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality_scores": q_text_quality_scores,
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
+        "events_asof_join": q_events_asof_join,
         "sketch_ngram_counts": q_sketch_ngram_counts,
         "dedup_lines": q_dedup_lines,
         "text_redact_pii": q_text_redact_pii,

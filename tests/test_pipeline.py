@@ -311,3 +311,35 @@ def test_job_threads_output_format_to_extraction(spark, tmp_path):
     assert not any(
         r.content.startswith("# Page") for r in html_rows.collect()
     )
+
+
+def test_asof_join_edges(spark):
+    """At-or-before tie, no-predecessor NULL, per-key isolation."""
+    from datetime import datetime
+
+    from pdf_document_extractor_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    facts = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T10:00"), 7),   # exact-ts tie with dim
+            (2, t("2024-01-01T11:00"), 7),   # between dims
+            (3, t("2024-01-01T09:00"), 7),   # before any dim -> NULL
+            (4, t("2024-01-01T12:00"), 8),   # other key, no dim -> NULL
+        ],
+        "fact_id long, ts timestamp, user_id long",
+    )
+    dim = spark.createDataFrame(
+        [
+            (100, t("2024-01-01T10:00"), 7),
+            (200, t("2024-01-01T10:30"), 7),
+        ],
+        "val long, ts timestamp, user_id long",
+    )
+    out = {
+        r.fact_id: r.asof_value
+        for r in asof_join(
+            facts, dim, key="user_id", ts="ts", value_col="val"
+        ).collect()
+    }
+    assert out == {1: 100, 2: 200, 3: None, 4: None}
