@@ -711,6 +711,34 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: every event inside [signup_ts, signup_ts+1h)
+    of the same user — bucketized equi-join + exact re-verify, vs a plain
+    SQL BETWEEN join as the oracle."""
+    from pdf_document_extractor_spark.operators.asof import range_join
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    ranges = events.filter(F.col("event_type") == "signup").select(
+        "user_id",
+        F.col("ts").alias("win_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("win_end"),
+        F.col("event_id").alias("signup_id"),
+    )
+    out = range_join(
+        events.select("event_id", "ts", "user_id"),
+        ranges,
+        key="user_id",
+        ts="ts",
+        start="win_start",
+        end="win_end",
+    )
+    return out.select(
+        "event_id", "user_id", F.col("signup_id").cast("long").alias("signup_id")
+    )
+
+
 def q_sketch_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch corpus bigram frequencies (the 'novel sketch'
     operator): fixed-size mergeable state instead of shuffling the gram
@@ -1526,6 +1554,16 @@ _ORACLES["events_asof_join"] = """
       ON e.user_id = d.user_id AND e.ts >= d.ts
 """
 
+_ORACLES["events_range_join"] = """
+    SELECT e.event_id, e.user_id, CAST(r.event_id AS BIGINT) AS signup_id
+    FROM events e
+    JOIN events r
+      ON r.event_type = 'signup'
+     AND e.user_id = r.user_id
+     AND e.ts >= r.ts
+     AND e.ts < r.ts + INTERVAL 1 HOUR
+"""
+
 _ORACLES["sketch_ngram_counts"] = f"""
     WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     probes AS (
@@ -1689,6 +1727,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "text_repetition": q_text_repetition,
         "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
         "sketch_ngram_counts": q_sketch_ngram_counts,
         "dedup_lines": q_dedup_lines,
         "text_redact_pii": q_text_redact_pii,

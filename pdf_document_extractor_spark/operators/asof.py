@@ -1,6 +1,6 @@
-"""As-of join — one of the classic operators Spark's DataFrame API lacks
-(named in the task statement's custom-operator examples; DuckDB/kdb/Pandas
-``merge_asof`` have it natively).
+"""Temporal joins Spark's DataFrame API lacks: as-of join and range
+(interval) join — both named in the task statement's custom-operator
+examples; DuckDB/kdb/Pandas have them natively.
 
 Semantics: each fact row matches the dimension row with the LARGEST
 ``ts <= fact.ts`` for the same key (NULL when none precedes it).
@@ -61,3 +61,41 @@ def asof_join(
     return carried.filter(F.col("_is_dim") == 0).drop(
         "_is_dim", "_dim_value"
     )
+
+
+def range_join(
+    facts: "DataFrame",
+    ranges: "DataFrame",
+    key: str,
+    ts: str,
+    start: str,
+    end: str,
+    bucket_seconds: int = 3600,
+) -> "DataFrame":
+    """Inner join facts to every range with ``start <= ts < end`` on the
+    same ``key`` — one output row per (fact, matching range).
+
+    Scale layout: a raw inequality join is a per-key cross product the
+    optimizer cannot index. Instead both sides BUCKETIZE time into
+    ``bucket_seconds`` cells: ranges explode to the buckets they cover
+    (narrow, fan-out = range span / bucket width), facts map to their one
+    bucket, the join is a plain equi-join on (key, bucket), and the exact
+    interval predicate re-verifies the candidates. Each (fact, range)
+    pair meets in exactly the fact's bucket, so no dedup is needed.
+    Pick ``bucket_seconds`` near the typical range span: the candidate
+    set then stays within a small constant of the true result."""
+    f_bucket = F.floor(F.unix_timestamp(F.col(ts)) / bucket_seconds)
+    r_lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds)
+    # end is exclusive: a range ending exactly on a bucket boundary does
+    # not cover that bucket
+    r_hi = F.floor(
+        (F.unix_timestamp(F.col(end)) - F.lit(1)) / bucket_seconds
+    )
+    exploded = ranges.withColumn(
+        "_bucket", F.explode(F.sequence(r_lo, F.greatest(r_hi, r_lo)))
+    )
+    tagged = facts.withColumn("_bucket", f_bucket)
+    joined = tagged.join(exploded, [key, "_bucket"]).filter(
+        (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
+    )
+    return joined.drop("_bucket")

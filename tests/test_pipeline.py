@@ -343,3 +343,36 @@ def test_asof_join_edges(spark):
         ).collect()
     }
     assert out == {1: 100, 2: 200, 3: None, 4: None}
+
+
+def test_range_join_bucket_width_is_placement_only(spark):
+    """Bucket width changes the candidate fan-out, never the result —
+    including ranges spanning many buckets and boundary exclusivity."""
+    from datetime import datetime
+
+    from pdf_document_extractor_spark.operators.asof import range_join
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    facts = spark.createDataFrame(
+        [
+            (1, t("2024-01-01T10:00"), 7),
+            (2, t("2024-01-01T12:59"), 7),
+            (3, t("2024-01-01T13:00"), 7),  # end-exclusive: no match
+            (4, t("2024-01-01T10:30"), 8),  # wrong key
+        ],
+        "fact_id long, ts timestamp, user_id long",
+    )
+    ranges = spark.createDataFrame(
+        [(50, t("2024-01-01T10:00"), t("2024-01-01T13:00"), 7)],
+        "range_id long, win_start timestamp, win_end timestamp, user_id long",
+    )
+    expect = {(1, 50), (2, 50)}
+    for width in (60, 3600, 86400):
+        got = {
+            (r.fact_id, r.range_id)
+            for r in range_join(
+                facts, ranges, key="user_id", ts="ts",
+                start="win_start", end="win_end", bucket_seconds=width,
+            ).collect()
+        }
+        assert got == expect, width
