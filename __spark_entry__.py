@@ -711,6 +711,29 @@ def q_events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup cascade (task-statement example): minute buckets
+    from raw, hour from minute, day from hour — each coarser level reads
+    60x/24x fewer rows than raw. Oracle recomputes every level directly
+    from raw, proving the cascade re-aggregation exact. Value sums stay
+    integer-exact: value is scaled to centi-units and cast long before
+    summing (float sums would drift between engines)."""
+    from pdf_document_extractor_spark.operators.asof import (
+        time_rollup_cascade,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
+    )
+    out = time_rollup_cascade(events, ts="ts", value="cents")
+    return out.select(
+        "level",
+        "bucket_ts",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("total_value").cast("long").alias("total_cents"),
+    )
+
+
 def q_events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range (interval) join: every event inside [signup_ts, signup_ts+1h)
     of the same user — bucketized equi-join + exact re-verify, vs a plain
@@ -1554,6 +1577,24 @@ _ORACLES["events_asof_join"] = """
       ON e.user_id = d.user_id AND e.ts >= d.ts
 """
 
+_ORACLES["events_rollup_cascade"] = """
+    WITH base AS (
+      SELECT ts, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+    )
+    SELECT 'minute' AS level, date_trunc('minute', ts) AS bucket_ts,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'hour', date_trunc('hour', ts),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM base GROUP BY 2
+    UNION ALL
+    SELECT 'day', date_trunc('day', ts),
+           CAST(count(*) AS BIGINT), CAST(sum(cents) AS BIGINT)
+    FROM base GROUP BY 2
+"""
+
 _ORACLES["events_range_join"] = """
     SELECT e.event_id, e.user_id, CAST(r.event_id AS BIGINT) AS signup_id
     FROM events e
@@ -1728,6 +1769,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        "events_rollup_cascade": q_events_rollup_cascade,
         "sketch_ngram_counts": q_sketch_ngram_counts,
         "dedup_lines": q_dedup_lines,
         "text_redact_pii": q_text_redact_pii,

@@ -99,3 +99,44 @@ def range_join(
         (F.col(ts) >= F.col(start)) & (F.col(ts) < F.col(end))
     )
     return joined.drop("_bucket")
+
+
+ROLLUP_LEVELS = ("minute", "hour", "day")
+
+
+def time_rollup_cascade(
+    events: "DataFrame",
+    ts: str,
+    value: str,
+    levels: tuple = ROLLUP_LEVELS,
+) -> "DataFrame":
+    """Hypertable-style continuous-aggregate cascade: the finest level
+    aggregates the raw events ONCE; every coarser level re-aggregates the
+    level below it (60x/24x fewer rows), never the raw table — the
+    TimescaleDB continuous-aggregate layout. Count and sum are cascade-
+    safe (re-aggregable); averages derive as sum/count downstream.
+    Output: (level, bucket_ts, n_events, total_value) across all levels.
+    """
+    cur = events.select(
+        F.date_trunc(levels[0], F.col(ts)).alias("bucket_ts"),
+        F.col(value).alias("_v"),
+    ).groupBy("bucket_ts").agg(
+        F.count("*").alias("n_events"),
+        F.sum("_v").alias("total_value"),
+    )
+    out = cur.withColumn("level", F.lit(levels[0]))
+    for level in levels[1:]:
+        cur = (
+            cur.select(
+                F.date_trunc(level, "bucket_ts").alias("bucket_ts"),
+                "n_events",
+                "total_value",
+            )
+            .groupBy("bucket_ts")
+            .agg(
+                F.sum("n_events").alias("n_events"),
+                F.sum("total_value").alias("total_value"),
+            )
+        )
+        out = out.unionByName(cur.withColumn("level", F.lit(level)))
+    return out.select("level", "bucket_ts", "n_events", "total_value")
