@@ -722,6 +722,10 @@ def q_events_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         time_rollup_cascade,
     )
 
+    # date_trunc follows the session TZ; the DuckDB oracle truncates naive
+    # (UTC-stored) timestamps — pin UTC so the query is host-TZ-proof even
+    # under a driver session we don't configure
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "ts", F.round(F.col("value") * 100).cast("long").alias("cents")
     )
@@ -777,7 +781,9 @@ def q_sketch_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.split(F.trim("text"), r"\s+")
     probes = [
         r["probe"]
-        for r in docs.filter(F.col("doc_id") < 10)
+        for r in docs.filter(
+            (F.col("doc_id") < 10) & F.col("text").isNotNull()
+        )
         .select(F.array_join(F.slice(toks, 1, 2), " ").alias("probe"))
         .collect()
     ]

@@ -38,15 +38,28 @@ def asof_join(
     out_col: str = "asof_value",
 ) -> "DataFrame":
     """facts + ``out_col`` = dim.``value_col`` as of facts.``ts`` per
-    ``key`` (NULL when no dimension row precedes the fact)."""
+    ``key`` (NULL when no dimension row precedes the fact).
+
+    NULL handling (pinned, matching DuckDB ASOF semantics):
+    - a NULL-ts dimension row never matches anything (it is dropped;
+      Spark's NULLS-FIRST ordering would otherwise carry it to EVERY
+      fact of its key);
+    - a dimension row whose VALUE is NULL still matches — the fact gets
+      that row's NULL, never a stale earlier value (the carried payload
+      is a non-null struct marker, so ignorenulls skips only 'no dim row
+      yet', not 'latest dim value is NULL')."""
     dim_unique = (
-        dim.groupBy(key, ts)
+        dim.filter(F.col(ts).isNotNull())
+        .groupBy(key, ts)
         .agg(F.min(value_col).alias("_dim_value"))
     )
-    fact_side = facts.withColumn("_dim_value", F.lit(None).cast(
-        dim_unique.schema["_dim_value"].dataType
-    )).withColumn("_is_dim", F.lit(0))
-    dim_side = dim_unique.withColumn("_is_dim", F.lit(1))
+    value_type = dim_unique.schema["_dim_value"].dataType.simpleString()
+    fact_side = facts.withColumn(
+        "_mark", F.lit(None).cast(f"struct<v:{value_type}>")
+    ).withColumn("_is_dim", F.lit(0))
+    dim_side = dim_unique.withColumn(
+        "_mark", F.struct(F.col("_dim_value").alias("v"))
+    ).withColumn("_is_dim", F.lit(1)).drop("_dim_value")
     unioned = fact_side.unionByName(dim_side, allowMissingColumns=True)
 
     # dim rows sort BEFORE fact rows at equal ts so 'at or before' matches
@@ -56,11 +69,9 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
-        out_col, F.last("_dim_value", ignorenulls=True).over(w)
+        out_col, F.last("_mark", ignorenulls=True).over(w)["v"]
     )
-    return carried.filter(F.col("_is_dim") == 0).drop(
-        "_is_dim", "_dim_value"
-    )
+    return carried.filter(F.col("_is_dim") == 0).drop("_is_dim", "_mark")
 
 
 def range_join(
@@ -84,13 +95,23 @@ def range_join(
     pair meets in exactly the fact's bucket, so no dedup is needed.
     Pick ``bucket_seconds`` near the typical range span: the candidate
     set then stays within a small constant of the true result."""
-    f_bucket = F.floor(F.unix_timestamp(F.col(ts)) / bucket_seconds)
-    r_lo = F.floor(F.unix_timestamp(F.col(start)) / bucket_seconds)
+    # microsecond-exact bucket math: unix_timestamp TRUNCATES sub-second
+    # precision, which silently drops true matches whenever a fractional
+    # range end crosses a bucket boundary (end 11:00:00.4 covers bucket
+    # 11 even though its truncated second does not)
+    bucket_us = F.lit(bucket_seconds * 1_000_000)
+
+    def _us(col: str):
+        # unix_micros rejects TIMESTAMP_NTZ; the cast applies the SAME
+        # session-TZ shift to both sides, so bucket boundaries move
+        # together and the exact re-verify keeps results TZ-invariant
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    f_bucket = F.floor(_us(ts) / bucket_us)
+    r_lo = F.floor(_us(start) / bucket_us)
     # end is exclusive: a range ending exactly on a bucket boundary does
     # not cover that bucket
-    r_hi = F.floor(
-        (F.unix_timestamp(F.col(end)) - F.lit(1)) / bucket_seconds
-    )
+    r_hi = F.floor((_us(end) - F.lit(1)) / bucket_us)
     exploded = ranges.withColumn(
         "_bucket", F.explode(F.sequence(r_lo, F.greatest(r_hi, r_lo)))
     )
@@ -102,6 +123,13 @@ def range_join(
 
 
 ROLLUP_LEVELS = ("minute", "hour", "day")
+
+# strictly increasing granularity order — re-truncating coarse buckets at
+# a FINER level is a silent no-op that mislabels day sums as hours
+_GRAIN_ORDER = {
+    "second": 0, "minute": 1, "hour": 2, "day": 3, "week": 4,
+    "month": 5, "quarter": 6, "year": 7,
+}
 
 
 def time_rollup_cascade(
@@ -116,7 +144,15 @@ def time_rollup_cascade(
     TimescaleDB continuous-aggregate layout. Count and sum are cascade-
     safe (re-aggregable); averages derive as sum/count downstream.
     Output: (level, bucket_ts, n_events, total_value) across all levels.
+    ``levels`` must be strictly finest-to-coarsest (validated — a coarse-
+    then-fine order would silently mislabel day sums as hours).
     """
+    grains = [_GRAIN_ORDER.get(lv) for lv in levels]
+    if None in grains or any(a >= b for a, b in zip(grains, grains[1:])):
+        raise ValueError(
+            f"levels must be strictly finest-to-coarsest from "
+            f"{sorted(_GRAIN_ORDER, key=_GRAIN_ORDER.get)}; got {levels}"
+        )
     cur = events.select(
         F.date_trunc(levels[0], F.col(ts)).alias("bucket_ts"),
         F.col(value).alias("_v"),

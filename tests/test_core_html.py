@@ -363,7 +363,8 @@ def test_fast_scanner_differential_hypothesis():
         ),
     )
 
-    @settings(max_examples=300, deadline=None)
+    @settings(max_examples=300, deadline=None, derandomize=True,
+              database=None)
     @given(st.lists(fragment, min_size=1, max_size=25))
     def check(parts):
         text = "".join(parts)

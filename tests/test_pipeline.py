@@ -376,3 +376,79 @@ def test_range_join_bucket_width_is_placement_only(spark):
             ).collect()
         }
         assert got == expect, width
+
+
+def test_asof_join_null_semantics(spark):
+    """NULL-ts dim rows never match; a NULL VALUE on the latest dim row
+    is returned as NULL, never a stale earlier value (DuckDB ASOF
+    parity)."""
+    from datetime import datetime
+
+    from pdf_document_extractor_spark.operators.asof import asof_join
+
+    t = lambda s: datetime.fromisoformat(s)  # noqa: E731
+    facts = spark.createDataFrame(
+        [(1, t("2024-01-01T10:00"), 7)],
+        "fact_id long, ts timestamp, user_id long",
+    )
+    poison = spark.createDataFrame(
+        [(999, None, 7)], "val long, ts timestamp, user_id long"
+    )
+    (row,) = asof_join(
+        facts, poison, key="user_id", ts="ts", value_col="val"
+    ).collect()
+    assert row.asof_value is None  # NULL-ts dim is not 'before everything'
+
+    stale = spark.createDataFrame(
+        [(5, t("2024-01-01T09:00"), 7), (None, t("2024-01-01T09:30"), 7)],
+        "val long, ts timestamp, user_id long",
+    )
+    (row,) = asof_join(
+        facts, stale, key="user_id", ts="ts", value_col="val"
+    ).collect()
+    assert row.asof_value is None  # latest row's NULL, not the stale 5
+
+
+def test_range_join_subsecond_boundary(spark):
+    """A fractional range end crossing a bucket boundary must still match
+    (unix-second truncation used to drop it)."""
+    from datetime import datetime
+
+    from pdf_document_extractor_spark.operators.asof import range_join
+
+    facts = spark.createDataFrame(
+        [(1, datetime.fromisoformat("2024-01-01T11:00:00.200"), 7)],
+        "fact_id long, ts timestamp, user_id long",
+    )
+    ranges = spark.createDataFrame(
+        [
+            (
+                50,
+                datetime.fromisoformat("2024-01-01T10:00:00.400"),
+                datetime.fromisoformat("2024-01-01T11:00:00.400"),
+                7,
+            )
+        ],
+        "range_id long, win_start timestamp, win_end timestamp, user_id long",
+    )
+    got = range_join(
+        facts, ranges, key="user_id", ts="ts",
+        start="win_start", end="win_end", bucket_seconds=3600,
+    ).collect()
+    assert [(r.fact_id, r.range_id) for r in got] == [(1, 50)]
+
+
+def test_rollup_rejects_misordered_levels(spark):
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.operators.asof import (
+        time_rollup_cascade,
+    )
+
+    events = spark.createDataFrame(
+        [(1,)], "x long"
+    ).selectExpr("timestamp'2024-01-01 10:30:00' as ts", "x as v")
+    with _pytest.raises(ValueError, match="finest-to-coarsest"):
+        time_rollup_cascade(events, "ts", "v", levels=("minute", "day", "hour"))
+    with _pytest.raises(ValueError, match="finest-to-coarsest"):
+        time_rollup_cascade(events, "ts", "v", levels=("minute", "fortnight"))

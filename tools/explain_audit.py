@@ -50,6 +50,7 @@ def main() -> None:
             "spark.sql.warehouse.dir",
             tempfile.mkdtemp(prefix="explain-audit-wh-"),
         )
+        .config("spark.sql.session.timeZone", "UTC")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
