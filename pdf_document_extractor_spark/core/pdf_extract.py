@@ -251,6 +251,9 @@ def _unpredict(data: bytes, parms: dict) -> bytes:
     bpp = colors  # bytes per pixel at 8 bpc
     rowlen = columns * colors
     if pred == 2:  # TIFF horizontal differencing
+        if len(data) % rowlen:  # same typed failure as the PNG branch —
+            # a silent pass-through would yield garbage xref entries
+            raise CorruptedFileError("predictor data not a whole number of rows")
         out = bytearray(data)
         for r0 in range(0, len(out) - rowlen + 1, rowlen):
             for i in range(r0 + bpp, r0 + rowlen):

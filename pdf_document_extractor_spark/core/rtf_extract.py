@@ -22,7 +22,12 @@ PINNED SEMANTICS (byte-identical invariant surface):
    skipped unit is one raw character or one ``\\'hh`` escape — the two
    shapes real writers emit (Word: ``\\uN\\'hh``; TextEdit: ``\\uc0\\uN``
    with no fallback). Skipping stops early at group braces or any other
-   control sequence.
+   control sequence. Word encodes astral-plane characters as two
+   consecutive ``\\uN`` escapes carrying a UTF-16 surrogate pair (e.g.
+   ``\\u-10179\\'3f\\u-8704\\'3f``): adjacent high+low surrogates combine
+   into the real code point; any lone surrogate becomes U+FFFD (a lone
+   surrogate is not encodable, so it would otherwise abort Arrow
+   serialization far outside the extract taxonomy).
 6. Every other control word (with optional numeric parameter and one
    optional trailing space) is dropped.
 7. ``content`` = accumulated text, ``str.strip()``-ed at the ends;
@@ -65,9 +70,13 @@ def rtf_to_text(data: bytes) -> str:
     uc = 1  # \ucN skip count, group-scoped (rule 5)
     uc_stack: list[int] = []
     pending_skip = 0  # fallback units still to swallow after a \uN
+    pending_high: str | None = None  # high surrogate awaiting its low half
     while pos < n:
         ch = src[pos]
         if ch == "{":
+            if pending_high is not None:  # group brace ends the pair (rule 5)
+                out.append("�")
+                pending_high = None
             depth += 1
             group_start = True
             uc_stack.append(uc)
@@ -75,6 +84,9 @@ def rtf_to_text(data: bytes) -> str:
             pos += 1
             continue
         if ch == "}":
+            if pending_high is not None:
+                out.append("�")
+                pending_high = None
             depth -= 1
             if skip_until_depth is not None and depth < skip_until_depth:
                 skip_until_depth = None
@@ -106,11 +118,17 @@ def rtf_to_text(data: bytes) -> str:
                 if pending_skip:  # Word's \uN\'hh ANSI fallback shape
                     pending_skip -= 1
                     continue
+                if pending_high is not None:
+                    out.append("�")
+                    pending_high = None
                 out.append(bytes([int(hexcode, 16)]).decode("cp1252",
                                                             errors="replace"))
                 continue
             if esc is not None:
                 pending_skip = 0  # skipping stops at other escapes
+                if pending_high is not None:
+                    out.append("�")
+                    pending_high = None
                 if esc in "\\{}":
                     out.append(esc)
                 elif esc == "~":
@@ -120,14 +138,35 @@ def rtf_to_text(data: bytes) -> str:
                 uc = int(_param) if _param else 1
                 continue
             pending_skip = 0  # any other control word ends the skip
+            if word == "u":
+                code = int(_param) if _param else 0
+                c = chr(code % 65536)
+                pending_skip = uc  # swallow the ANSI fallback (rule 5)
+                if "\ud800" <= c <= "\udbff":  # high surrogate: hold it
+                    if pending_high is not None:
+                        out.append("�")
+                    pending_high = c
+                elif "\udc00" <= c <= "\udfff":  # low surrogate
+                    if pending_high is not None:  # combine the pair (rule 5)
+                        out.append(chr(0x10000
+                                       + ((ord(pending_high) - 0xD800) << 10)
+                                       + (ord(c) - 0xDC00)))
+                        pending_high = None
+                    else:
+                        out.append("�")  # lone low surrogate
+                else:
+                    if pending_high is not None:
+                        out.append("�")
+                        pending_high = None
+                    out.append(c)
+                continue
+            if pending_high is not None and word in ("par", "line", "tab"):
+                out.append("�")
+                pending_high = None
             if word in ("par", "line"):
                 out.append("\n")
             elif word == "tab":
                 out.append(" ")
-            elif word == "u":
-                code = int(_param) if _param else 0
-                out.append(chr(code % 65536))
-                pending_skip = uc  # swallow the ANSI fallback (rule 5)
             # any other control word: dropped (rule 6)
             continue
         group_start = False
@@ -136,8 +175,13 @@ def rtf_to_text(data: bytes) -> str:
             pos += 1
             continue
         if skip_until_depth is None and ch not in "\r\n":
+            if pending_high is not None:
+                out.append("�")
+                pending_high = None
             out.append(ch)
         pos += 1
+    if pending_high is not None:
+        out.append("�")
     return "".join(out)
 
 

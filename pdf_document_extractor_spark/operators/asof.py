@@ -29,6 +29,19 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 
+def _reject_helper_collisions(df: "DataFrame", helpers: tuple, side: str):
+    """withColumn silently REPLACES same-named input columns, so a facts
+    table that already carries e.g. ``_bucket`` would lose it from the
+    output (and ``_is_dim``/``_mark`` collisions corrupt the join logic).
+    Fail loudly instead."""
+    clash = [c for c in df.columns if c in helpers]
+    if clash:
+        raise ValueError(
+            f"{side} input already has reserved helper column(s) {clash}; "
+            f"rename them before calling (reserved: {list(helpers)})"
+        )
+
+
 def asof_join(
     facts: "DataFrame",
     dim: "DataFrame",
@@ -47,7 +60,17 @@ def asof_join(
     - a dimension row whose VALUE is NULL still matches — the fact gets
       that row's NULL, never a stale earlier value (the carried payload
       is a non-null struct marker, so ignorenulls skips only 'no dim row
-      yet', not 'latest dim value is NULL')."""
+      yet', not 'latest dim value is NULL').
+
+    SCALE CEILING (hot keys): the window partitions by ``key`` alone, so
+    ALL facts of one key sort on one task — fine for dimension-keyed
+    workloads (hosts, tickers, sensors), but a single pathologically hot
+    key serializes. For that shape use :func:`asof_join_bucketed`, which
+    splits each key across time buckets (range_join's layout) and is
+    output-identical (pytest-pinned parity on a deliberately skewed
+    key)."""
+    _reject_helper_collisions(facts, ("_mark", "_is_dim"), "facts")
+    _reject_helper_collisions(dim, ("_mark", "_is_dim"), "dim")
     dim_unique = (
         dim.filter(F.col(ts).isNotNull())
         .groupBy(key, ts)
@@ -74,6 +97,115 @@ def asof_join(
     return carried.filter(F.col("_is_dim") == 0).drop("_is_dim", "_mark")
 
 
+def asof_join_bucketed(
+    facts: "DataFrame",
+    dim: "DataFrame",
+    key: str,
+    ts: str,
+    value_col: str,
+    out_col: str = "asof_value",
+    bucket_seconds: int = 3600,
+) -> "DataFrame":
+    """Output-identical to :func:`asof_join`, laid out for HOT KEYS: the
+    big window partitions by (key, time-bucket) instead of key alone, so
+    one key's facts spread across ``span / bucket_seconds`` tasks instead
+    of serializing onto one (range_join's bucketize layout).
+
+    Two passes:
+    1. CARRY-IN, at bucket granularity: per (key, bucket) the latest
+       dimension marker from STRICTLY earlier buckets, via one window
+       over #distinct-buckets-per-key rows (bounded by the time span,
+       independent of fact count).
+    2. IN-BUCKET: facts union the same-bucket dim rows, window over
+       (key, bucket) ordered by ts carries the latest same-bucket marker;
+       where none exists the bucket's carry-in fills in.
+
+    NULL semantics match asof_join exactly (NULL-ts dims dropped; NULL-ts
+    facts get NULL; a NULL dim VALUE still matches via the struct
+    marker). ``bucket_seconds`` is placement-only — any value yields the
+    same rows (pytest-pinned parity vs asof_join on a skewed key)."""
+    helpers = ("_mark", "_is_dim", "_bucket", "_carry")
+    _reject_helper_collisions(facts, helpers, "facts")
+    _reject_helper_collisions(dim, helpers, "dim")
+    dim_unique = (
+        dim.filter(F.col(ts).isNotNull())
+        .groupBy(key, ts)
+        .agg(F.min(value_col).alias("_dim_value"))
+    )
+    value_type = dim_unique.schema["_dim_value"].dataType.simpleString()
+    mark_type = f"struct<v:{value_type}>"
+    bucket_us = F.lit(bucket_seconds * 1_000_000)
+
+    def _bucket_of(col: str):
+        # same microsecond-exact math as range_join; NULL ts -> NULL bucket
+        return F.floor(F.unix_micros(F.col(col).cast("timestamp")) / bucket_us)
+
+    dim_b = dim_unique.withColumn("_bucket", _bucket_of(ts))
+
+    # pass 1: bucket-granularity carry-in (tiny: one row per active bucket)
+    dim_last = (
+        dim_b.groupBy(key, "_bucket")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(ts).alias("t"),
+                    F.struct(F.col("_dim_value").alias("v")).alias("m"),
+                )
+            ).alias("_lastrow")
+        )
+        .select(key, "_bucket", F.col("_lastrow")["m"].alias("_mark"))
+        .withColumn("_is_dim", F.lit(1))
+    )
+    fact_buckets = (
+        facts.select(key, _bucket_of(ts).alias("_bucket"))
+        .distinct()
+        .withColumn("_mark", F.lit(None).cast(mark_type))
+        .withColumn("_is_dim", F.lit(0))
+    )
+    # fact rows sort BEFORE dim rows at equal bucket: carry-in sees only
+    # strictly-earlier buckets (same-bucket dims are handled in pass 2)
+    w_bucket = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_bucket").asc(), F.col("_is_dim").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carryin = (
+        fact_buckets.unionByName(dim_last)
+        .withColumn("_carry", F.last("_mark", ignorenulls=True).over(w_bucket))
+        .filter(F.col("_is_dim") == 0)
+        .select(key, "_bucket", "_carry")
+    )
+
+    # pass 2: in-bucket window (hot key now split across its buckets)
+    fact_side = (
+        facts.withColumn("_bucket", _bucket_of(ts))
+        .join(carryin, [key, "_bucket"], "left")  # left: NULL-ts facts keep
+        .withColumn("_mark", F.lit(None).cast(mark_type))
+        .withColumn("_is_dim", F.lit(0))
+    )
+    dim_side = (
+        dim_b.withColumn(
+            "_mark", F.struct(F.col("_dim_value").alias("v"))
+        )
+        .withColumn("_is_dim", F.lit(1))
+        .withColumn("_carry", F.lit(None).cast(mark_type))
+        .drop("_dim_value")
+    )
+    unioned = fact_side.unionByName(dim_side, allowMissingColumns=True)
+    w = (
+        Window.partitionBy(key, "_bucket")
+        .orderBy(F.col(ts).asc(), F.col("_is_dim").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.withColumn(
+        out_col,
+        F.coalesce(F.last("_mark", ignorenulls=True).over(w), F.col("_carry"))["v"],
+    )
+    return carried.filter(F.col("_is_dim") == 0).drop(
+        "_is_dim", "_mark", "_carry", "_bucket"
+    )
+
+
 def range_join(
     facts: "DataFrame",
     ranges: "DataFrame",
@@ -95,6 +227,8 @@ def range_join(
     pair meets in exactly the fact's bucket, so no dedup is needed.
     Pick ``bucket_seconds`` near the typical range span: the candidate
     set then stays within a small constant of the true result."""
+    _reject_helper_collisions(facts, ("_bucket",), "facts")
+    _reject_helper_collisions(ranges, ("_bucket",), "ranges")
     # microsecond-exact bucket math: unix_timestamp TRUNCATES sub-second
     # precision, which silently drops true matches whenever a fractional
     # range end crosses a bucket boundary (end 11:00:00.4 covers bucket
@@ -152,6 +286,15 @@ def time_rollup_cascade(
         raise ValueError(
             f"levels must be strictly finest-to-coarsest from "
             f"{sorted(_GRAIN_ORDER, key=_GRAIN_ORDER.get)}; got {levels}"
+        )
+    # 'week' does not NEST inside month/quarter/year: date_trunc('month')
+    # over week buckets attributes a cross-month week's whole counts/sums
+    # to the month containing the week's Monday — silently wrong totals.
+    # A week level is therefore only valid as the cascade's LAST level.
+    if "week" in levels[:-1]:
+        raise ValueError(
+            "'week' does not nest inside coarser grains and is only valid "
+            f"as the final level; got {levels}"
         )
     cur = events.select(
         F.date_trunc(levels[0], F.col(ts)).alias("bucket_ts"),

@@ -217,3 +217,33 @@ def test_docx_nested_table_rows_not_flattened():
     assert t.headers == ("h1", "h2")
     # inner text rides the containing cell exactly once
     assert t.csv == "h1,h2\ninner,plain\n"
+
+
+def test_rtf_word_surrogate_pair_emoji():
+    # Word emits astral chars as two \\uN escapes carrying a UTF-16
+    # surrogate pair, each with a \\'3f ANSI fallback (ADVICE r2 high).
+    raw = (b"{\\rtf1\\ansi a \\u-10179\\'3f\\u-8704\\'3f b}")
+    text = rtf_to_text(raw).strip()
+    assert text == "a 😀 b"
+    text.encode("utf-8")  # must be Arrow/pandas-serializable
+
+
+def test_rtf_lone_surrogates_become_replacement_char():
+    # lone high, lone low, high-then-text, high-at-eof: all must map to
+    # U+FFFD so Arrow serialization can never raise outside the taxonomy.
+    cases = [
+        (b"{\\rtf1\\ansi\\uc0 x\\u-10179 y}", "x�y"),
+        (b"{\\rtf1\\ansi\\uc0 x\\u-8704 y}", "x�y"),
+        (b"{\\rtf1\\ansi\\uc0 x\\u-10179\\par y}", "x�\ny"),
+        (b"{\\rtf1\\ansi\\uc0 x\\u-10179}", "x�"),
+    ]
+    for raw, want in cases:
+        got = rtf_to_text(raw).strip()
+        assert got == want, (raw, got, want)
+        got.encode("utf-8")
+
+
+def test_rtf_surrogate_pair_extracts_through_taxonomy():
+    raw = b"{\\rtf1\\ansi hi \\u-10179\\'3f\\u-8704\\'3f}"
+    res = extract_rtf(raw, "0" * 16)
+    assert res.pages[0].content == "hi 😀"

@@ -320,3 +320,15 @@ def test_page_cumulative_stream_cap(monkeypatch):
     monkeypatch.setattr(pe, "MAX_DECODED_STREAM", 50)
     with pytest.raises(OversizeDocumentError, match="combined"):
         extract_pdf(pdf, "h")
+
+
+def test_tiff_predictor_partial_row_raises():
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import _unpredict
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    parms = {"Predictor": 2, "Columns": 4, "Colors": 1}
+    assert _unpredict(bytes(8), parms) == bytes(8)  # whole rows ok
+    with _pytest.raises(CorruptedFileError, match="whole number of rows"):
+        _unpredict(bytes(7), parms)  # trailing partial row

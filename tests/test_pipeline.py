@@ -452,3 +452,90 @@ def test_rollup_rejects_misordered_levels(spark):
         time_rollup_cascade(events, "ts", "v", levels=("minute", "day", "hour"))
     with _pytest.raises(ValueError, match="finest-to-coarsest"):
         time_rollup_cascade(events, "ts", "v", levels=("minute", "fortnight"))
+
+
+def test_rollup_rejects_nonterminal_week(spark):
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.operators.asof import (
+        time_rollup_cascade,
+    )
+
+    events = spark.createDataFrame(
+        [(1,)], "x long"
+    ).selectExpr("timestamp'2024-01-01 10:30:00' as ts", "x as v")
+    # week does not nest inside month: ('day','week','month') would
+    # attribute a cross-month week's totals to the Monday's month
+    with _pytest.raises(ValueError, match="week"):
+        time_rollup_cascade(events, "ts", "v", levels=("day", "week", "month"))
+    # terminal week is fine
+    out = time_rollup_cascade(events, "ts", "v", levels=("day", "week"))
+    assert {r.level for r in out.collect()} == {"day", "week"}
+
+
+def test_asof_helper_column_collision_raises(spark):
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.operators.asof import (
+        asof_join,
+        range_join,
+    )
+
+    facts = spark.createDataFrame(
+        [(1, 1)], "fact_id long, _bucket long"
+    ).selectExpr("fact_id", "_bucket", "timestamp'2024-01-01' as ts")
+    dim = spark.createDataFrame([(1, 2)], "fact_id long, v long").selectExpr(
+        "fact_id", "v", "timestamp'2024-01-01' as ts"
+    )
+    with _pytest.raises(ValueError, match="_bucket"):
+        range_join(facts, dim.selectExpr("fact_id", "ts as s", "ts as e"),
+                   key="fact_id", ts="ts", start="s", end="e")
+    facts2 = facts.withColumnRenamed("_bucket", "_mark")
+    with _pytest.raises(ValueError, match="_mark"):
+        asof_join(facts2, dim, key="fact_id", ts="ts", value_col="v")
+
+
+def test_asof_bucketed_parity_on_skewed_key(spark):
+    """asof_join_bucketed must be output-identical to asof_join on a
+    deliberately skewed key (90% of facts on one key) across bucket
+    widths, including NULL-ts facts, NULL dim values, exact-ts ties,
+    and facts before any dim (bucket width is placement-only)."""
+    import random
+    from datetime import datetime, timedelta
+
+    from pdf_document_extractor_spark.operators.asof import (
+        asof_join,
+        asof_join_bucketed,
+    )
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    facts_rows = []
+    for i in range(400):
+        key = "hot" if i % 10 else f"cold{i % 7}"
+        ts = None if i % 97 == 0 else base + timedelta(seconds=rng.randrange(0, 50_000))
+        facts_rows.append((i, key, ts))
+    dim_rows = []
+    for j in range(60):
+        key = "hot" if j % 3 else f"cold{j % 7}"
+        ts = base + timedelta(seconds=rng.randrange(0, 50_000))
+        val = None if j % 11 == 0 else j
+        dim_rows.append((key, ts, val))
+    # exact-tie witness: dim at exactly a fact ts
+    dim_rows.append(("hot", facts_rows[1][2], 999))
+    facts = spark.createDataFrame(facts_rows, "fact_id long, host string, ts timestamp")
+    dim = spark.createDataFrame(dim_rows, "host string, ts timestamp, v long")
+
+    want = sorted(
+        (r.fact_id, r.asof_value)
+        for r in asof_join(facts, dim, key="host", ts="ts", value_col="v").collect()
+    )
+    for width in (60, 3600, 100_000):
+        got = sorted(
+            (r.fact_id, r.asof_value)
+            for r in asof_join_bucketed(
+                facts, dim, key="host", ts="ts", value_col="v",
+                bucket_seconds=width,
+            ).collect()
+        )
+        assert got == want, f"bucket width {width} changed results"
