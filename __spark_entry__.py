@@ -210,6 +210,49 @@ def q_extract_pdf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_hexstrings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hex-string show operands (M1 text-encoding widening): <...> Tj
+    operands must decode byte-identically to the literal-string dialect
+    (content == 'Page 1\\n\\n' + text + '\\n')."""
+    return _extracted(spark, sf_dir, "pdf_hex").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("page_count").cast("long").alias("page_count"),
+    )
+
+
+def q_extract_pdf_tounicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type0/Identity-H + /ToUnicode CMap (M1 text-encoding widening, the
+    modern subset-embedded-font shape): 2-byte CIDs recoverable only
+    through the CMap's bfchar + bfrange (both forms). 'café ' prefix is
+    the non-identity witness."""
+    return _extracted(spark, sf_dir, "pdf_tounicode").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("page_count").cast("long").alias("page_count"),
+    )
+
+
+def q_extract_pdf_encdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple-font /Encoding dict (M1 text-encoding widening):
+    /BaseEncoding /WinAnsiEncoding decodes '€' (byte 0x80), /Differences
+    [129 /eacute] decodes 'é' — neither byte means that in latin-1."""
+    return _extracted(spark, sf_dir, "pdf_encdiff").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("page_count").cast("long").alias("page_count"),
+    )
+
+
 def q_extract_dispatch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte dispatch (D1/D2): even doc_id -> pdf, odd -> html."""
     return _extracted(spark, sf_dir, "mixed").select(
@@ -1066,6 +1109,29 @@ _ORACLES: dict[str, str] = {
                {_WORDS} + 2 AS word_count
         FROM documents
     """,
+    "extract_pdf_hexstrings": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
+               {_WORDS} + 2 AS word_count,
+               CAST(1 AS BIGINT) AS page_count
+        FROM documents
+    """,
+    "extract_pdf_tounicode": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || 'café ' || text || chr(10)
+                 AS content,
+               {_WORDS} + 3 AS word_count,
+               CAST(1 AS BIGINT) AS page_count
+        FROM documents
+    """,
+    "extract_pdf_encdiff": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || '€café ' || text || chr(10)
+                 AS content,
+               {_WORDS} + 3 AS word_count,
+               CAST(1 AS BIGINT) AS page_count
+        FROM documents
+    """,
     "extract_dispatch_mixed": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS doc_type,
@@ -1738,6 +1804,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_content": q_extract_pdf_content,
         "extract_pdf_xrefstream": q_extract_pdf_xrefstream,
         "extract_pdf_incremental": q_extract_pdf_incremental,
+        "extract_pdf_hexstrings": q_extract_pdf_hexstrings,
+        "extract_pdf_tounicode": q_extract_pdf_tounicode,
+        "extract_pdf_encdiff": q_extract_pdf_encdiff,
         "extract_pdf_markdown": q_extract_pdf_markdown,
         "extract_txt_content": q_extract_txt_content,
         "extract_docx_content": q_extract_docx_content,

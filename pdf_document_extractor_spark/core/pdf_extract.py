@@ -10,9 +10,14 @@ Supported dialect (FIXTURES.md): PDF 1.4-1.7 document structure —
 classic xref tables AND cross-reference streams (``/Type /XRef``, PDF 1.5+)
 with PNG/TIFF predictors, object streams (``/Type /ObjStm``), hybrid-reference
 files (``/XRefStm``), and incremental updates (``/Prev`` chains, newest
-section wins, free entries tombstone); ``/Type /Page`` tree, content streams
-raw or FlateDecode, text via ``BT/Tf/Td/TD/Tm/TL/T*/Tj/TJ/ET``, simple
-fonts. Everything outside the dialect raises
+section wins, free entries tombstone); ``/Type /Page`` tree (inherited
+``/Resources``), content streams raw or FlateDecode, text via
+``BT/Tf/Td/TD/Tm/TL/T*/Tj/TJ/ET`` with literal AND ``<...>`` hex show
+strings; fonts: simple fonts (latin-1 pinned default; ``/WinAnsiEncoding``
+/ ``/MacRomanEncoding`` bases, ``/Differences`` glyph-name overrides,
+per-code ``/ToUnicode``) and Type0/CID composite fonts (``/Identity-H|V``
++ ``/ToUnicode`` bfchar/bfrange CMaps — the subset-embedded-font shape
+modern real-web PDF producers emit). Everything outside the dialect raises
 ``CorruptedFileError``/``UnsupportedFormatError`` -> a hard-failure row,
 mirroring the reference's poison-pill taxonomy
 (docling_strategy_processor.py:527-544, 1024-1027). The reference accepts
@@ -353,6 +358,9 @@ def _parse_object(buf: bytes, pos: int):
         return m.group(1).decode("latin-1"), m.end()
     if c == 0x28:  # '('
         return _parse_string(buf, pos)
+    if c == 0x3C:  # '<' not '<<' (dict handled above): hex string
+        raw, pos = _parse_hex_string_bytes(buf, pos)
+        return raw.decode("latin-1"), pos
     if buf.startswith(b"true", pos):
         return True, pos + 4
     if buf.startswith(b"false", pos):
@@ -374,7 +382,14 @@ _OCTAL = frozenset(b"01234567")
 
 def _parse_string(buf: bytes, pos: int) -> tuple[str, int]:
     """Parse a (...) literal string with standard escapes; latin-1 decode
-    (simple-font fixture dialect)."""
+    (object-level strings; show strings decode through the current FONT —
+    see _decode_shown)."""
+    raw, pos = _parse_string_bytes(buf, pos)
+    return raw.decode("latin-1"), pos
+
+
+def _parse_string_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a (...) literal string to its raw BYTES (standard escapes)."""
     assert buf[pos] == 0x28
     pos += 1
     out = bytearray()
@@ -410,13 +425,32 @@ def _parse_string(buf: bytes, pos: int) -> tuple[str, int]:
         elif c == 0x29:
             depth -= 1
             if depth == 0:
-                return out.decode("latin-1"), pos + 1
+                return bytes(out), pos + 1
             out.append(c)
             pos += 1
         else:
             out.append(c)
             pos += 1
     raise CorruptedFileError("unterminated string literal")
+
+
+_HEX_WS_RE = re.compile(rb"[\x00\t\n\x0c\r ]+")
+_HEX_OK_RE = re.compile(rb"[0-9A-Fa-f]*\Z")
+
+
+def _parse_hex_string_bytes(buf: bytes, pos: int) -> tuple[bytes, int]:
+    """Parse a <...> hex string to raw bytes (PDF 32000 7.3.4.3): embedded
+    whitespace ignored, odd digit count padded with a trailing 0."""
+    assert buf[pos] == 0x3C
+    end = buf.find(b">", pos)
+    if end < 0:
+        raise CorruptedFileError("unterminated hex string")
+    digits = _HEX_WS_RE.sub(b"", buf[pos + 1 : end])
+    if not _HEX_OK_RE.match(digits):
+        raise CorruptedFileError("non-hex digit in hex string")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii")), end + 1
 
 
 # --------------------------------------------------------------------------
@@ -573,32 +607,299 @@ def _parse_xref(buf: bytes) -> tuple[dict[int, object], dict]:
     return offsets, trailer
 
 
-def _page_objects(objs: _Objects, trailer: dict) -> list[dict]:
+def _page_objects(objs: _Objects, trailer: dict) -> list[tuple[dict, object]]:
+    """Page dicts in tree order, each with its effective /Resources —
+    Resources is INHERITABLE (PDF 32000 7.7.3.4): a page without its own
+    entry uses the nearest ancestor's."""
     root = objs.resolve(trailer.get("Root"))
     if not isinstance(root, dict):
         raise CorruptedFileError("missing /Root catalog")
     pages_node = objs.resolve(root.get("Pages"))
     if not isinstance(pages_node, dict):
         raise CorruptedFileError("missing /Pages tree")
-    out: list[dict] = []
+    out: list[tuple[dict, object]] = []
 
-    def walk(node: dict, depth: int = 0) -> None:
+    def walk(node: dict, depth: int = 0, resources: object = None) -> None:
         if depth > 32:
             raise CorruptedFileError("page tree too deep")
+        res = node.get("Resources", resources)  # may be a _Ref; lazy
         ntype = node.get("Type")
         if ntype == "Page":
-            out.append(node)
+            out.append((node, res))
             return
         kids = objs.resolve(node.get("Kids")) or []
         for kid in kids:
             kid_node = objs.resolve(kid)
             if isinstance(kid_node, dict):
-                walk(kid_node, depth + 1)
+                walk(kid_node, depth + 1, res)
 
     walk(pages_node)
     if not out:
         raise CorruptedFileError("no pages in document")
     return out
+
+
+# --------------------------------------------------------------------------
+# Font decoders: show-string bytes -> text (PDF 32000 9.6-9.10)
+# --------------------------------------------------------------------------
+#
+# A show operand is BYTES whose meaning depends on the current font:
+# - no /Encoding, no /ToUnicode (the pinned fixture dialect): latin-1
+#   byte identity — the golden byte-identity surface, unchanged;
+# - simple fonts: base encoding (/WinAnsiEncoding, /MacRomanEncoding) +
+#   /Differences glyph-name overrides + per-code /ToUnicode overrides;
+# - Type0 composite fonts with /Identity-H|V: 2-byte CIDs through the
+#   /ToUnicode CMap (unmapped codes -> U+FFFD).
+# Decoders are cheap tuples, not classes: built once per font per doc,
+# consulted per show op in the hottest loop.
+
+_DEFAULT_DEC = ("latin1", None)
+
+_UNDEF = "�"
+
+
+def _codec_table(codec: str) -> tuple[str, ...]:
+    out = []
+    for i in range(256):
+        try:
+            out.append(bytes([i]).decode(codec))
+        except UnicodeDecodeError:  # cp1252 leaves 5 bytes undefined
+            out.append(_UNDEF)
+    return tuple(out)
+
+
+_WINANSI_TABLE = _codec_table("cp1252")
+_MACROMAN_TABLE = _codec_table("mac_roman")
+
+# Adobe Glyph List subset: the names real subset fonts put in
+# /Differences. Algorithmic uniXXXX / uXXXXXX names are handled in
+# _glyph_to_unicode; single-char names map to themselves; anything else
+# unknown becomes U+FFFD (deterministic, never a crash).
+_AGL_SUBSET = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+    # Latin-1 accents and signs (by AGL name)
+    "exclamdown": "¡", "cent": "¢", "sterling": "£", "currency": "¤",
+    "yen": "¥", "brokenbar": "¦", "section": "§", "dieresis": "¨",
+    "copyright": "©", "ordfeminine": "ª", "guillemotleft": "«",
+    "logicalnot": "¬", "registered": "®", "macron": "¯", "degree": "°",
+    "plusminus": "±", "acute": "´", "mu": "µ", "paragraph": "¶",
+    "periodcentered": "·", "cedilla": "¸", "ordmasculine": "º",
+    "guillemotright": "»", "onequarter": "¼", "onehalf": "½",
+    "threequarters": "¾", "questiondown": "¿",
+    "Agrave": "À", "Aacute": "Á", "Acircumflex": "Â", "Atilde": "Ã",
+    "Adieresis": "Ä", "Aring": "Å", "AE": "Æ", "Ccedilla": "Ç",
+    "Egrave": "È", "Eacute": "É", "Ecircumflex": "Ê", "Edieresis": "Ë",
+    "Igrave": "Ì", "Iacute": "Í", "Icircumflex": "Î", "Idieresis": "Ï",
+    "Eth": "Ð", "Ntilde": "Ñ", "Ograve": "Ò", "Oacute": "Ó",
+    "Ocircumflex": "Ô", "Otilde": "Õ", "Odieresis": "Ö", "multiply": "×",
+    "Oslash": "Ø", "Ugrave": "Ù", "Uacute": "Ú", "Ucircumflex": "Û",
+    "Udieresis": "Ü", "Yacute": "Ý", "Thorn": "Þ", "germandbls": "ß",
+    "agrave": "à", "aacute": "á", "acircumflex": "â", "atilde": "ã",
+    "adieresis": "ä", "aring": "å", "ae": "æ", "ccedilla": "ç",
+    "egrave": "è", "eacute": "é", "ecircumflex": "ê", "edieresis": "ë",
+    "igrave": "ì", "iacute": "í", "icircumflex": "î", "idieresis": "ï",
+    "eth": "ð", "ntilde": "ñ", "ograve": "ò", "oacute": "ó",
+    "ocircumflex": "ô", "otilde": "õ", "odieresis": "ö", "divide": "÷",
+    "oslash": "ø", "ugrave": "ù", "uacute": "ú", "ucircumflex": "û",
+    "udieresis": "ü", "yacute": "ý", "thorn": "þ", "ydieresis": "ÿ",
+    # typography (WinAnsi 0x80-0x9F region)
+    "Euro": "€", "quotesinglbase": "‚", "florin": "ƒ",
+    "quotedblbase": "„", "ellipsis": "…", "dagger": "†",
+    "daggerdbl": "‡", "circumflex": "ˆ", "perthousand": "‰",
+    "Scaron": "Š", "guilsinglleft": "‹", "OE": "Œ", "Zcaron": "Ž",
+    "quoteleft": "‘", "quoteright": "’",
+    "quotedblleft": "“", "quotedblright": "”",
+    "bullet": "•", "endash": "–", "emdash": "—", "tilde": "˜",
+    "trademark": "™", "scaron": "š", "guilsinglright": "›", "oe": "œ",
+    "zcaron": "ž", "Ydieresis": "Ÿ", "nbspace": " ",
+    "minus": "−", "fi": "ﬁ", "fl": "ﬂ", "dotlessi": "ı",
+}
+
+
+def _glyph_to_unicode(name: str) -> str:
+    """AGL resolution: uniXXXX / uXXXX[XX] algorithmic names, single-char
+    names, the AGL subset — unknown names become U+FFFD."""
+    if name.startswith("uni") and len(name) >= 7:
+        try:
+            return chr(int(name[3:7], 16))
+        except ValueError:
+            return _UNDEF
+    if name.startswith("u") and 5 <= len(name) <= 7:
+        try:
+            cp = int(name[1:], 16)
+        except ValueError:
+            return _UNDEF
+        return chr(cp) if cp <= 0x10FFFF else _UNDEF
+    if len(name) == 1 and " " <= name <= "~":
+        return name
+    return _AGL_SUBSET.get(name, _UNDEF)
+
+
+# ToUnicode bomb guard: a crafted bfrange <0000> <FFFF> is legal (64Ki
+# entries); anything past one full 2-byte code space per section is not.
+MAX_CMAP_ENTRIES = 1 << 17
+
+_BF_HEX = rb"<([0-9A-Fa-f\s]+)>"
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.S)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.S)
+_BFCHAR_PAIR_RE = re.compile(_BF_HEX + rb"\s*" + _BF_HEX)
+_BFRANGE_ENTRY_RE = re.compile(
+    _BF_HEX + rb"\s*" + _BF_HEX + rb"\s*(?:" + _BF_HEX + rb"|\[(.*?)\])", re.S
+)
+_HEX_ITEM_RE = re.compile(_BF_HEX)
+
+
+def _hex_int(h: bytes) -> int:
+    return int(_HEX_WS_RE.sub(b"", h), 16)
+
+
+def _utf16be_str(h: bytes) -> str:
+    """Destination hex -> text. UTF-16BE per spec; a lone surrogate (or odd
+    byte count) degrades to U+FFFD rather than poisoning Arrow."""
+    raw = _HEX_WS_RE.sub(b"", h)
+    if len(raw) % 2:
+        raw += b"0"
+    return bytes.fromhex(raw.decode("ascii")).decode("utf-16-be", "replace")
+
+
+def _parse_tounicode(stm) -> dict[int, str]:
+    """Parse a /ToUnicode CMap stream (bfchar + bfrange sections) into a
+    code -> text mapping (PDF 32000 9.10.3)."""
+    if not isinstance(stm, _Stream):
+        raise CorruptedFileError("/ToUnicode is not a stream")
+    data = stm.decoded()
+    mapping: dict[int, str] = {}
+    for sec in _BFCHAR_RE.finditer(data):
+        for m in _BFCHAR_PAIR_RE.finditer(sec.group(1)):
+            mapping[_hex_int(m.group(1))] = _utf16be_str(m.group(2))
+            if len(mapping) > MAX_CMAP_ENTRIES:
+                raise CorruptedFileError("ToUnicode CMap too large")
+    for sec in _BFRANGE_RE.finditer(data):
+        for m in _BFRANGE_ENTRY_RE.finditer(sec.group(1)):
+            lo, hi = _hex_int(m.group(1)), _hex_int(m.group(2))
+            if hi < lo or hi - lo >= MAX_CMAP_ENTRIES:
+                raise CorruptedFileError("malformed ToUnicode bfrange")
+            if m.group(3) is not None:  # <lo> <hi> <dstBase>
+                base = _HEX_WS_RE.sub(b"", m.group(3))
+                if len(base) % 2:
+                    base += b"0"
+                base_bytes = bytes.fromhex(base.decode("ascii"))
+                # the increment applies to the LAST UTF-16 code unit
+                head, last = base_bytes[:-2], base_bytes[-2:]
+                last_i = int.from_bytes(last, "big") if last else 0
+                for i in range(hi - lo + 1):
+                    unit = (last_i + i) & 0xFFFF
+                    mapping[lo + i] = (head + unit.to_bytes(2, "big")).decode(
+                        "utf-16-be", "replace"
+                    )
+            else:  # <lo> <hi> [<dst> <dst> ...]
+                dsts = _HEX_ITEM_RE.findall(m.group(4))
+                for i, d in enumerate(dsts[: hi - lo + 1]):
+                    mapping[lo + i] = _utf16be_str(d)
+            if len(mapping) > MAX_CMAP_ENTRIES:
+                raise CorruptedFileError("ToUnicode CMap too large")
+    return mapping
+
+
+def _font_decoder(objs: _Objects, font_obj) -> tuple:
+    """Font dict -> decoder tuple (see module section comment)."""
+    font = objs.resolve(font_obj)
+    if not isinstance(font, dict):
+        raise CorruptedFileError("font resource is not a dict")
+    tou_obj = objs.resolve(font.get("ToUnicode")) if "ToUnicode" in font else None
+
+    if font.get("Subtype") == "Type0":
+        enc = objs.resolve(font.get("Encoding"))
+        if enc not in ("Identity-H", "Identity-V"):
+            raise UnsupportedFormatError(
+                f"Type0 font /Encoding {enc!r} unsupported (Identity-H/V only)"
+            )
+        mapping = _parse_tounicode(tou_obj) if tou_obj is not None else {}
+        return ("cid", mapping)
+
+    table: list[str] | None = None  # None == latin-1 identity (pinned)
+    enc = objs.resolve(font.get("Encoding"))
+    if enc is not None:
+        base = enc if isinstance(enc, str) else objs.resolve(enc.get("BaseEncoding"))
+        if base == "WinAnsiEncoding":
+            table = list(_WINANSI_TABLE)
+        elif base == "MacRomanEncoding":
+            table = list(_MACROMAN_TABLE)
+        elif base is None:
+            table = [chr(i) for i in range(256)]
+        else:
+            raise UnsupportedFormatError(f"unsupported /BaseEncoding /{base}")
+        if isinstance(enc, dict):
+            diffs = objs.resolve(enc.get("Differences")) or []
+            code = 0
+            for item in diffs:
+                item = objs.resolve(item)
+                if isinstance(item, (int, float)):
+                    code = int(item)
+                elif isinstance(item, str):
+                    if 0 <= code <= 255:
+                        table[code] = _glyph_to_unicode(item)
+                    code += 1
+                else:
+                    raise CorruptedFileError("bad /Differences entry")
+    if tou_obj is not None:
+        tou = _parse_tounicode(tou_obj)
+        if table is None:
+            table = [chr(i) for i in range(256)]
+        for code, s in tou.items():
+            if 0 <= code <= 255:
+                table[code] = s
+    if table is None:
+        return _DEFAULT_DEC
+    return ("simple", tuple(table))
+
+
+def _fonts_for_page(objs: _Objects, resources, cache: dict) -> dict[str, tuple]:
+    """Resource-name -> decoder for one page; decoders cached per font
+    object across pages (fonts are shared document-wide)."""
+    res = objs.resolve(resources)
+    if not isinstance(res, dict):
+        return {}
+    fdict = objs.resolve(res.get("Font"))
+    if not isinstance(fdict, dict):
+        return {}
+    out: dict[str, tuple] = {}
+    for name, ref in fdict.items():
+        key = ref[0] if isinstance(ref, _Ref) else id(ref)
+        if key not in cache:
+            cache[key] = _font_decoder(objs, ref)
+        out[name] = cache[key]
+    return out
+
+
+def _decode_shown(dec: tuple, raw: bytes) -> str:
+    """Show-operand bytes -> text through the current font's decoder."""
+    kind = dec[0]
+    if kind == "latin1":
+        return raw.decode("latin-1")
+    if kind == "simple":
+        table = dec[1]
+        return "".join([table[b] for b in raw])
+    # cid: 2-byte codes, big-endian; trailing odd byte -> U+FFFD
+    mapping = dec[1]
+    n = len(raw)
+    out = [
+        mapping.get((raw[i] << 8) | raw[i + 1], _UNDEF)
+        for i in range(0, n - 1, 2)
+    ]
+    if n % 2:
+        out.append(_UNDEF)
+    return "".join(out)
 
 
 # --------------------------------------------------------------------------
@@ -636,7 +937,10 @@ def _tokenize_content(data: bytes):
         if pos >= n:
             break
         if data[pos] == 0x28:
-            s, pos = _parse_string(data, pos)
+            s, pos = _parse_string_bytes(data, pos)
+            yield ("str", s)
+        elif data[pos] == 0x3C:  # hex-string show operand
+            s, pos = _parse_hex_string_bytes(data, pos)
             yield ("str", s)
         elif data[pos] == 0x5B:
             pos += 1
@@ -660,18 +964,27 @@ def _tokenize_content(data: bytes):
                 yield ("op", m.group("op").decode("latin-1"))
 
 
-def _shows_from_content(data: bytes) -> list[_Show]:
+def _shows_from_content(
+    data: bytes, fonts: dict[str, tuple] | None = None
+) -> list[_Show]:
     """Interpret the text operators of one page's content stream(s).
+
+    ``fonts`` maps resource names (the ``Tf`` operand) to font decoders;
+    show-string BYTES decode through the current font (latin-1 when the
+    font is unknown — the pinned fixture default).
 
     The show-event bomb cap is enforced INSIDE the loop: a 256 MB stream
     of tiny Tj ops must fail before materializing millions of records,
     not after."""
+    if fonts is None:
+        fonts = {}
     shows: list[_Show] = []
-    stack: list = []  # operand stack (numbers, strings, names, arrays)
+    stack: list = []  # operand stack (numbers, byte-strings, names, arrays)
     in_array: list | None = None
     size = 0.0
     x = y = 0.0
     leading = 0.0
+    dec = _DEFAULT_DEC  # current font decoder (set by Tf)
     for kind, val in _tokenize_content(data):
         if kind == "arr_open":
             in_array = []
@@ -690,6 +1003,8 @@ def _shows_from_content(data: bytes) -> list[_Show]:
         elif op == "Tf":
             if stack:
                 size = float(stack[-1])
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    dec = fonts.get(stack[-2], _DEFAULT_DEC)
         elif op == "Td":
             if len(stack) >= 2:
                 x += float(stack[-2])
@@ -709,15 +1024,19 @@ def _shows_from_content(data: bytes) -> list[_Show]:
         elif op == "T*":
             y -= leading
         elif op == "Tj":
-            if stack and isinstance(stack[-1], str):
-                shows.append(_Show(x, y, size, stack[-1]))
+            if stack and isinstance(stack[-1], bytes):
+                shows.append(_Show(x, y, size, _decode_shown(dec, stack[-1])))
                 if len(shows) > MAX_SHOWS_PER_PAGE:
                     raise OversizeDocumentError(
                         f"page exceeds {MAX_SHOWS_PER_PAGE} text shows"
                     )
         elif op == "TJ":
             if stack and isinstance(stack[-1], list):
-                text = "".join(t for t in stack[-1] if isinstance(t, str))
+                text = "".join(
+                    _decode_shown(dec, t)
+                    for t in stack[-1]
+                    if isinstance(t, bytes)
+                )
                 shows.append(_Show(x, y, size, text))
                 if len(shows) > MAX_SHOWS_PER_PAGE:
                     raise OversizeDocumentError(
@@ -813,7 +1132,9 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
 
     pages: list[PageResult] = []
     table_counter = 0
-    for page_no, node in enumerate(page_nodes, start=1):
+    font_cache: dict = {}  # font object -> decoder, shared across pages
+    for page_no, (node, resources) in enumerate(page_nodes, start=1):
+        fonts = _fonts_for_page(objs, resources, font_cache)
         media = objs.resolve(node.get("MediaBox")) or [0, 0, 612, PAGE_HEIGHT_DEFAULT]
         page_height = float(objs.resolve(media[3])) if len(media) >= 4 else PAGE_HEIGHT_DEFAULT
         contents = objs.resolve(node.get("Contents"))
@@ -832,7 +1153,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
                         f"page {page_no} content streams exceed "
                         f"{MAX_DECODED_STREAM} bytes combined"
                     )
-        shows = _shows_from_content(bytes(blob))  # cap enforced in-loop
+        shows = _shows_from_content(bytes(blob), fonts)  # cap enforced in-loop
         lines = _group_lines(shows)
         table_spans = _find_tables(lines)
         in_table_rows: dict[int, int] = {}  # line idx -> table idx (local)

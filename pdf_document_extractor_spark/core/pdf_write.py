@@ -10,11 +10,15 @@ supports (FIXTURES.md "PDF fixture dialect"):
   predictor 12 — the layout real-web PDF producers emit).
 - ``append_incremental``: appends an update section (overridden objects +
   a classic xref section with ``/Prev``) — the incremental-save shape.
+- ``write_pdf_hex``: classic layout, ``<...>`` HEX show operands.
+- ``write_pdf_cid``: Type0/Identity-H composite font, 2-byte CIDs, text
+  recoverable only through the embedded ``/ToUnicode`` CMap.
+- ``write_pdf_encdiff``: simple font with ``/BaseEncoding
+  /WinAnsiEncoding`` + ``/Differences`` glyph-name overrides.
 
-Both emit a ``/Type /Page`` tree, content streams raw or FlateDecode, text
-via ``BT .. /F1 <size> Tf .. <x> <y> Td .. (txt) Tj .. ET`` with Helvetica,
-font size carrying the header-vs-body signal. No encryption, no images,
-no CID fonts.
+All emit a ``/Type /Page`` tree, content streams raw or FlateDecode, text
+via ``BT .. /F1 <size> Tf .. <x> <y> Td .. <operand> Tj .. ET``,
+font size carrying the header-vs-body signal. No encryption, no images.
 
 This is a *test-input generator*, not part of the extraction path; it exists
 so goldens are self-contained and seeded (FIXTURES.md determinism policy).
@@ -53,15 +57,16 @@ def _escape_pdf_string(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def _content_stream(page: PdfPageSpec) -> bytes:
+def _content_stream(page: PdfPageSpec, hex_strings: bool = False) -> bytes:
     ops: list[str] = []
     for show in page.shows:
+        if hex_strings:
+            operand = "<" + show.text.encode("latin-1", "replace").hex() + ">"
+        else:
+            operand = "(" + _escape_pdf_string(show.text) + ")"
         ops.append(
-            "BT /F1 {size:g} Tf {x:g} {y:g} Td ({text}) Tj ET".format(
-                size=show.size,
-                x=show.x,
-                y=show.y,
-                text=_escape_pdf_string(show.text),
+            "BT /F1 {size:g} Tf {x:g} {y:g} Td {operand} Tj ET".format(
+                size=show.size, x=show.x, y=show.y, operand=operand
             )
         )
     # Text is latin-1-safe in the fixture dialect (WinAnsi simple fonts);
@@ -69,16 +74,10 @@ def _content_stream(page: PdfPageSpec) -> bytes:
     return "\n".join(ops).encode("latin-1", errors="replace")
 
 
-def write_pdf(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
-    """Serialize page specs to PDF bytes with a classic xref table.
-
-    Object numbering: 1=Catalog, 2=Pages, 3=Font, 4..3+n = Page objects,
-    4+n..3+2n = content streams (shared with write_pdf_15 via
-    ``_doc_objects``)."""
-    objects, _ = _doc_objects(pages, compress)
-
+def _serialize_classic(objects: list[bytes], version: str = "1.4") -> bytes:
+    """Number the bodies 1..N and emit a classic-xref PDF."""
     out = bytearray()
-    out += b"%PDF-1.4\n"
+    out += f"%PDF-{version}\n".encode()
     offsets = [0]  # object 0 is the free head
     for i, body in enumerate(objects, start=1):
         offsets.append(len(out))
@@ -97,8 +96,18 @@ def write_pdf(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
     return bytes(out)
 
 
+def write_pdf(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
+    """Serialize page specs to PDF bytes with a classic xref table.
+
+    Object numbering: 1=Catalog, 2=Pages, 3=Font, 4..3+n = Page objects,
+    4+n..3+2n = content streams (shared with write_pdf_15 via
+    ``_doc_objects``)."""
+    objects, _ = _doc_objects(pages, compress)
+    return _serialize_classic(objects)
+
+
 def _doc_objects(
-    pages: list[PdfPageSpec], compress: bool
+    pages: list[PdfPageSpec], compress: bool, hex_strings: bool = False
 ) -> tuple[list[bytes], int]:
     """Shared object bodies for both writers: 1=Catalog, 2=Pages, 3=Font,
     4..3+n page dicts, 4+n..3+2n content streams. Returns (bodies,
@@ -124,7 +133,7 @@ def _doc_objects(
             ).encode()
         )
     for page in pages:
-        data = _content_stream(page)
+        data = _content_stream(page, hex_strings)
         if compress:
             data = zlib.compress(data, 6)
             head = f"<< /Length {len(data)} /Filter /FlateDecode >>".encode()
@@ -316,3 +325,183 @@ def table_grid(
         for ci, cell in enumerate(row):
             shows.append(TextShow(x0 + ci * col_w, y, SIZE_TABLE, cell))
     return shows
+
+
+def write_pdf_hex(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
+    """Classic layout, but every show operand is a ``<...>`` HEX string —
+    the shape pdflatex/Ghostscript emit for subset fonts (parser: hex-string
+    Tj/TJ operands, pdf_extract._parse_hex_string_bytes)."""
+    objects, _ = _doc_objects(pages, compress, hex_strings=True)
+    return _serialize_classic(objects)
+
+
+# --- Type0/CID (Identity-H) with a /ToUnicode CMap --------------------------
+#
+# Deterministic CID scheme (synthesis-only, NOT a real font's): space
+# encodes as CID 0x0001 (bfchar witness), 'é' as 0x0002 (array-form
+# bfrange witness), every other latin-1 char c as 0x0100+ord(c) (plain
+# bfrange witness). Unencodable chars fall back to CID 0x0003 (unmapped
+# -> U+FFFD in the parser).
+
+_CID_TOUNICODE = b"""/CIDInit /ProcSet findresource begin
+12 dict begin
+begincmap
+/CIDSystemInfo << /Registry (Synth) /Ordering (UCS) /Supplement 0 >> def
+/CMapName /Synth-UCS def
+/CMapType 2 def
+1 begincodespacerange
+<0000> <FFFF>
+endcodespacerange
+1 beginbfchar
+<0001> <0020>
+endbfchar
+2 beginbfrange
+<0121> <01FF> <0021>
+<0002> <0002> [<00E9>]
+endbfrange
+endcmap
+CMapName currentdict /CMap defineresource pop
+end
+end"""
+
+
+def _cid_encode(text: str) -> bytes:
+    out = bytearray()
+    for c in text:
+        o = ord(c)
+        if c == " ":
+            code = 0x0001
+        elif c == "\xe9":  # é via the array-form bfrange entry
+            code = 0x0002
+        elif 0x21 <= o <= 0xFF:
+            code = 0x0100 + o
+        else:
+            code = 0x0003  # deliberately unmapped -> U+FFFD
+        out += code.to_bytes(2, "big")
+    return bytes(out)
+
+
+def write_pdf_cid(pages: list[PdfPageSpec]) -> bytes:
+    """Type0 composite font, /Encoding /Identity-H, 2-byte CIDs shown as
+    hex strings, text recoverable ONLY through the /ToUnicode CMap — the
+    modern subset-embedded-font shape (parser: _font_decoder Type0 branch
+    + _parse_tounicode). Objects: 1=Catalog 2=Pages 3=Type0 font
+    4=descendant CIDFontType2 5=ToUnicode stream, then page dicts, then
+    content streams."""
+    n_pages = len(pages)
+    page_ids = [6 + i for i in range(n_pages)]
+    content_ids = [6 + n_pages + i for i in range(n_pages)]
+    objects: list[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{oid} 0 R" for oid in page_ids)
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /Synth-CID"
+        b" /Encoding /Identity-H /DescendantFonts [4 0 R]"
+        b" /ToUnicode 5 0 R >>"
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth-CID"
+        b" /CIDSystemInfo << /Registry (Adobe) /Ordering (Identity)"
+        b" /Supplement 0 >> >>"
+    )
+    objects.append(
+        f"<< /Length {len(_CID_TOUNICODE)} >>".encode()
+        + b"\nstream\n" + _CID_TOUNICODE + b"\nendstream"
+    )
+    for i in range(n_pages):
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 {PAGE_WIDTH:g} {PAGE_HEIGHT:g}] "
+                f"/Contents {content_ids[i]} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode()
+        )
+    for page in pages:
+        ops = []
+        for show in page.shows:
+            ops.append(
+                "BT /F1 {size:g} Tf {x:g} {y:g} Td <{hexcids}> Tj ET".format(
+                    size=show.size, x=show.x, y=show.y,
+                    hexcids=_cid_encode(show.text).hex(),
+                )
+            )
+        data = "\n".join(ops).encode("ascii")
+        objects.append(
+            f"<< /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    return _serialize_classic(objects, version="1.6")
+
+
+# --- simple font with /Encoding dict (/WinAnsiEncoding + /Differences) ------
+#
+# Deterministic byte scheme: 'é' encodes as byte 0x81 (undefined in
+# cp1252 — readable ONLY through the /Differences [129 /eacute]
+# override), every other char through cp1252 itself ('€' -> 0x80, the
+# WinAnsi base witness).
+
+
+def _encdiff_encode(text: str) -> bytes:
+    out = bytearray()
+    for c in text:
+        if c == "\xe9":
+            out.append(0x81)
+        else:
+            out += c.encode("cp1252", "replace")
+    return bytes(out)
+
+
+def write_pdf_encdiff(pages: list[PdfPageSpec]) -> bytes:
+    """Simple Type1 font with an /Encoding DICT: /BaseEncoding
+    /WinAnsiEncoding plus /Differences [129 /eacute] (parser: _font_decoder
+    simple branch, _WINANSI_TABLE, _glyph_to_unicode). Same object layout
+    as write_pdf."""
+    n_pages = len(pages)
+    page_ids = [4 + i for i in range(n_pages)]
+    content_ids = [4 + n_pages + i for i in range(n_pages)]
+    objects: list[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{oid} 0 R" for oid in page_ids)
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica"
+        b" /Encoding << /BaseEncoding /WinAnsiEncoding"
+        b" /Differences [129 /eacute] >> >>"
+    )
+    for i in range(n_pages):
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 {PAGE_WIDTH:g} {PAGE_HEIGHT:g}] "
+                f"/Contents {content_ids[i]} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> >> >>"
+            ).encode()
+        )
+    for page in pages:
+        parts: list[bytes] = []
+        for show in page.shows:
+            encoded = _encdiff_encode(show.text)
+            escaped = (
+                encoded.replace(b"\\", rb"\\")
+                .replace(b"(", rb"\(")
+                .replace(b")", rb"\)")
+            )
+            parts.append(
+                "BT /F1 {size:g} Tf {x:g} {y:g} Td (".format(
+                    size=show.size, x=show.x, y=show.y
+                ).encode("ascii")
+                + escaped
+                + b") Tj ET"
+            )
+        data = b"\n".join(parts)
+        objects.append(
+            f"<< /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+    return _serialize_classic(objects)

@@ -196,6 +196,41 @@ def synth_pdf_inc_payload(text: str) -> bytes:
     return append_incremental(base, {5: new_cs})
 
 
+def synth_pdf_hex_payload(text: str) -> bytes:
+    """Classic single-page PDF whose show operands are <...> HEX strings
+    (the pdflatex/Ghostscript shape). Same oracle as mode='pdf':
+    content == 'Page 1\\n\\n' + text + '\\n'."""
+    from ..core.pdf_write import write_pdf_hex
+
+    return write_pdf_hex([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
+
+
+def synth_pdf_tounicode_payload(text: str) -> bytes:
+    """Type0/Identity-H composite font: every char is a 2-byte CID mapped
+    back to text ONLY via the /ToUnicode CMap (bfchar + both bfrange
+    forms). 'café ' prefix is the non-identity witness (é rides the
+    array-form bfrange) -> content == 'Page 1\\n\\n' + 'café ' + text +
+    '\\n'."""
+    from ..core.pdf_write import write_pdf_cid
+
+    return write_pdf_cid(
+        [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "café " + text)])]
+    )
+
+
+def synth_pdf_encdiff_payload(text: str) -> bytes:
+    """Simple font with /BaseEncoding /WinAnsiEncoding + /Differences
+    [129 /eacute]: '€' decodes through the WinAnsi base (byte 0x80,
+    undefined in latin-1 terms), 'é' ONLY through the Differences override
+    (byte 0x81, undefined in cp1252) -> content == 'Page 1\\n\\n' +
+    '€café ' + text + '\\n'."""
+    from ..core.pdf_write import write_pdf_encdiff
+
+    return write_pdf_encdiff(
+        [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "€café " + text)])]
+    )
+
+
 def synth_pdf_hdr_payload(text: str) -> bytes:
     """18pt header line (first 3 tokens) above a 10pt body line (the rest):
     the font-size header/body labeling signal (HEADER_SIZE_MIN=14)."""
@@ -255,6 +290,12 @@ def synth_payload(
         return synth_pdf_xs_payload(text)
     if mode == "pdf_inc":
         return synth_pdf_inc_payload(text)
+    if mode == "pdf_hex":
+        return synth_pdf_hex_payload(text)
+    if mode == "pdf_tounicode":
+        return synth_pdf_tounicode_payload(text)
+    if mode == "pdf_encdiff":
+        return synth_pdf_encdiff_payload(text)
     if mode == "pdf2":
         return synth_pdf2_payload(text)
     if mode == "pdf_hdr":

@@ -159,3 +159,209 @@ def test_config_flags_gate_structure_only():
     assert full[0]["tables"] and not off[0]["tables"]
     assert full[0]["content"] == off[0]["content"]
     assert full[0]["word_count"] == off[0]["word_count"]
+
+
+# ---------------------------------------------------------------------------
+# Text-encoding fidelity (round 3): hex strings, /Encoding, ToUnicode, CID
+# ---------------------------------------------------------------------------
+
+
+def test_hex_string_parsing_edges():
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _parse_hex_string_bytes,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    assert _parse_hex_string_bytes(b"<48656C6C6F>", 0)[0] == b"Hello"
+    # embedded whitespace ignored; odd digit count pads a trailing 0
+    assert _parse_hex_string_bytes(b"<48 65\n6C6C 6F7>", 0)[0] == b"Hellop"
+    with _pytest.raises(CorruptedFileError, match="unterminated"):
+        _parse_hex_string_bytes(b"<4865", 0)
+    with _pytest.raises(CorruptedFileError, match="non-hex"):
+        _parse_hex_string_bytes(b"<48ZZ>", 0)
+
+
+def test_glyph_to_unicode():
+    from pdf_document_extractor_spark.core.pdf_extract import _glyph_to_unicode
+
+    assert _glyph_to_unicode("eacute") == "é"
+    assert _glyph_to_unicode("Euro") == "€"
+    assert _glyph_to_unicode("uni00E9") == "é"
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("a") == "a"
+    assert _glyph_to_unicode("totally.made.up") == "�"
+    assert _glyph_to_unicode("uniZZZZ") == "�"
+
+
+def test_tounicode_parsing_forms():
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Stream,
+        _parse_tounicode,
+    )
+
+    cmap = (
+        b"begincmap\n"
+        b"2 beginbfchar\n<0001> <0020>\n<0002> <D83DDE00>\nendbfchar\n"
+        b"2 beginbfrange\n<0010> <0012> <0041>\n"
+        b"<0020> <0021> [<00E9> <20AC>]\nendbfrange\nendcmap\n"
+    )
+    m = _parse_tounicode(_Stream({}, cmap))
+    assert m[1] == " "
+    assert m[2] == "😀"  # surrogate pair in dst decodes to the astral char
+    assert (m[0x10], m[0x11], m[0x12]) == ("A", "B", "C")
+    assert (m[0x20], m[0x21]) == ("é", "€")
+
+
+def test_tounicode_guards():
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Stream,
+        _parse_tounicode,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    with _pytest.raises(CorruptedFileError, match="bfrange"):
+        _parse_tounicode(
+            _Stream({}, b"1 beginbfrange\n<0010> <0001> <0041>\nendbfrange")
+        )
+    with _pytest.raises(CorruptedFileError, match="not a stream"):
+        _parse_tounicode({"not": "a stream"})
+    # lone surrogate destination degrades to U+FFFD, never raises
+    m = _parse_tounicode(
+        _Stream({}, b"1 beginbfchar\n<0001> <D800>\nendbfchar")
+    )
+    assert m[1] == "�"
+
+
+def test_cid_decode_odd_tail_and_unmapped():
+    from pdf_document_extractor_spark.core.pdf_extract import _decode_shown
+
+    dec = ("cid", {0x0041: "A"})
+    assert _decode_shown(dec, b"\x00\x41\x00\x42\x07") == "A��"
+
+
+def test_type0_non_identity_encoding_unsupported():
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Objects,
+        _font_decoder,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import (
+        UnsupportedFormatError,
+    )
+
+    objs = _Objects(b"", {})
+    with _pytest.raises(UnsupportedFormatError, match="Identity-H/V only"):
+        _font_decoder(objs, {"Subtype": "Type0", "Encoding": "UniJIS-UCS2-H"})
+    with _pytest.raises(UnsupportedFormatError, match="BaseEncoding"):
+        _font_decoder(objs, {"Subtype": "Type1", "Encoding": "StandardEncoding"})
+
+
+def test_simple_font_tounicode_override():
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Objects,
+        _Stream,
+        _decode_shown,
+        _font_decoder,
+    )
+
+    objs = _Objects(b"", {})
+    objs._cache[9] = _Stream(
+        {}, b"1 beginbfchar\n<0041> <0042>\nendbfchar"
+    )
+    from pdf_document_extractor_spark.core.pdf_extract import _Ref
+
+    dec = _font_decoder(
+        objs, {"Subtype": "Type1", "ToUnicode": _Ref((9, 0))}
+    )
+    # code 0x41 remapped to 'B'; everything else stays latin-1
+    assert _decode_shown(dec, b"A z \xe9") == "B z é"
+
+
+def test_macroman_base_encoding():
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Objects,
+        _decode_shown,
+        _font_decoder,
+    )
+
+    dec = _font_decoder(
+        _Objects(b"", {}), {"Subtype": "Type1", "Encoding": "MacRomanEncoding"}
+    )
+    # 0x8E is é in mac-roman (not in latin-1/cp1252)
+    assert _decode_shown(dec, b"\x8e") == "é"
+
+
+def test_unknown_font_name_falls_back_to_latin1():
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _shows_from_content,
+    )
+
+    shows = _shows_from_content(
+        b"BT /F9 10 Tf 72 720 Td (caf\xe9) Tj ET", fonts={}
+    )
+    assert shows[0].text == "café"
+
+
+def test_resources_inherited_from_pages_node():
+    """Resources on the /Pages ancestor (not the page) must still feed the
+    font decoder — PDF 32000 7.7.3.4 inheritable attributes."""
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 3 0 R >> >> >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding << /BaseEncoding /WinAnsiEncoding >> >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 5 0 R >>",
+    ]
+    content = b"BT /F1 10 Tf 72 720 Td (\x80 euro) Tj ET"  # 0x80 = WinAnsi €
+    objects.append(
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream"
+    )
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    assert res.pages[0].content == "Page 1\n\n€ euro\n"
+
+
+def test_winansi_undefined_bytes_are_replacement():
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Objects,
+        _decode_shown,
+        _font_decoder,
+    )
+
+    dec = _font_decoder(
+        _Objects(b"", {}), {"Subtype": "Type1", "Encoding": "WinAnsiEncoding"}
+    )
+    assert _decode_shown(dec, b"\x81\x8d\x8f\x90\x9d") == "�" * 5
+
+
+def test_hexstring_tj_in_full_doc_roundtrip():
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf_cid,
+        write_pdf_encdiff,
+        write_pdf_hex,
+    )
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "café x")])]
+    assert extract_pdf(write_pdf_hex(spec), "0" * 16).pages[0].content == (
+        "Page 1\n\ncafé x\n"
+    )
+    assert extract_pdf(write_pdf_cid(spec), "0" * 16).pages[0].content == (
+        "Page 1\n\ncafé x\n"
+    )
+    assert extract_pdf(write_pdf_encdiff(spec), "0" * 16).pages[0].content == (
+        "Page 1\n\ncafé x\n"
+    )

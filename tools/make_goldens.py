@@ -30,8 +30,9 @@ GATE_TEXTS = [
 ]
 GATE_MODES = [
     "html", "html_charset", "html_table", "html_fig", "pdf", "pdf_xs",
-    "pdf_inc", "pdf2", "pdf_hdr", "pdf_table", "txt", "docx", "xlsx",
-    "pptx", "rtf", "mixed_fail",
+    "pdf_inc", "pdf_hex", "pdf_tounicode", "pdf_encdiff", "pdf2",
+    "pdf_hdr", "pdf_table", "txt", "docx", "xlsx", "pptx", "rtf",
+    "mixed_fail",
 ]
 
 
