@@ -253,6 +253,28 @@ def q_extract_pdf_encdiff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG/JPEG inputs (reference MIME types png/jpg,
+    lib/models/mime_type.py:11-12): header-only dimension probes emit a
+    SUCCESS row whose figure struct carries format/width/height/bytes
+    (reference FigureMetadata, extraction_models.py:121-148;
+    image_validator.py:36-150 dimension validation). Every 17th doc is a
+    truncated PNG -> CorruptedFileError hard-failure row."""
+    ext = _extracted(spark, sf_dir, "image")
+    fig = F.try_element_at("figures", F.lit(1))  # failure rows: empty array
+    return ext.select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "error_type",
+        "content",
+        fig["image_format"].alias("image_format"),
+        fig["image_width"].cast("long").alias("image_width"),
+        fig["image_height"].cast("long").alias("image_height"),
+        fig["figure_id"].alias("figure_id"),
+    )
+
+
 def q_extract_dispatch_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Magic-byte dispatch (D1/D2): even doc_id -> pdf, odd -> html."""
     return _extracted(spark, sf_dir, "mixed").select(
@@ -1132,6 +1154,27 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS page_count
         FROM documents
     """,
+    "extract_image_metadata": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0
+                    THEN 'png' ELSE 'jpg' END AS doc_type,
+               CASE WHEN doc_id % 17 = 0 THEN 'hard_failure'
+                    ELSE 'success' END AS status,
+               CASE WHEN doc_id % 17 = 0 THEN 'CorruptedFileError'
+                    ELSE NULL END AS error_type,
+               '' AS content,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    WHEN doc_id % 2 = 0 THEN 'png'
+                    ELSE 'jpg' END AS image_format,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(16 + doc_id % 97 AS BIGINT) END AS image_width,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(16 + doc_id % 53 AS BIGINT) END AS image_height,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE substr(md5('https://synth.example/image/' || doc_id),
+                                1, 16) || '_figure_0' END AS figure_id
+        FROM documents
+    """,
     "extract_dispatch_mixed": """
         SELECT doc_id,
                CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS doc_type,
@@ -1807,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_hexstrings": q_extract_pdf_hexstrings,
         "extract_pdf_tounicode": q_extract_pdf_tounicode,
         "extract_pdf_encdiff": q_extract_pdf_encdiff,
+        "extract_image_metadata": q_extract_image_metadata,
         "extract_pdf_markdown": q_extract_pdf_markdown,
         "extract_txt_content": q_extract_txt_content,
         "extract_docx_content": q_extract_docx_content,

@@ -3,10 +3,12 @@
 Upgrades the reference's extension-based MIME detection
 (lib/models/mime_type_utils.py:36-77) to magic-byte sniffing per the north
 rule (Common-Crawl payloads are raw bytes, not trusted extensions):
-``%PDF-`` => pdf; ``PK\\x03\\x04`` => ooxml container (docx extracted,
-xlsx/pptx named-unsupported); markup (a ``<`` in the head) => html; other
-non-empty printable bytes => txt. The strategy-registry shape mirrors the
-reference's ``DocumentProcessingStrategy`` protocol + orchestrator routing
+``%PDF-`` => pdf; ``PK\\x03\\x04`` => ooxml container (the contained part
+decides docx/xlsx/pptx, all three extracted); ``{\\rtf`` => rtf;
+``\\x89PNG``/``\\xff\\xd8\\xff`` => image metadata extraction; markup
+(a ``<`` in the head) => html; other non-empty printable bytes => txt.
+The strategy-registry shape mirrors the reference's
+``DocumentProcessingStrategy`` protocol + orchestrator routing
 (src/interfaces/document_processor.py:10-83;
 src/services/processing_orchestrator.py:68-122) without the service wrapper.
 """
@@ -16,10 +18,13 @@ from __future__ import annotations
 import hashlib
 
 from .html_extract import extract_html
+from .image_extract import extract_image
 from .model import (
     DOC_TYPE_HTML,
+    DOC_TYPE_JPG,
     DOC_TYPE_OOXML,
     DOC_TYPE_PDF,
+    DOC_TYPE_PNG,
     DOC_TYPE_RTF,
     DOC_TYPE_TXT,
     STATUS_SUCCESS,
@@ -34,21 +39,22 @@ from .taxonomy import classify_error
 PDF_MAGIC = b"%PDF-"
 ZIP_MAGIC = b"PK\x03\x04"
 
-# Known non-extractable container magics -> typed hard failures. Parity
-# with the reference's 10-type MIME table (lib/models/mime_type_utils.py:
-# 36-77): those formats are RECOGNIZED (named in the failure row) even
-# though extraction is out of scope (image decode needs PIL — absent here).
-# Everything else falls through to the HTML/TXT paths, whose binary-junk
-# guards catch the residue (html_extract.py pinned rule 7).
+# Known non-extractable container magics -> typed hard failures. These
+# formats are RECOGNIZED (named in the failure row) even though extraction
+# is out of scope. Everything else falls through to the HTML/TXT paths,
+# whose binary-junk guards catch the residue (html_extract.py pinned
+# rule 7). PNG/JPEG route to the image-metadata extractor instead
+# (reference MIME types png/jpg, lib/models/mime_type.py:11-12).
 CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"\xd0\xcf\x11\xe0", "ole2 compound document (legacy doc/xls/ppt)"),
-    (b"\x89PNG\r\n", "png image"),
-    (b"\xff\xd8\xff", "jpeg image"),
     (b"GIF87a", "gif image"),
     (b"GIF89a", "gif image"),
     (b"\x1f\x8b", "gzip stream"),
     (b"%!PS", "postscript document"),
 )
+
+PNG_MAGIC_PREFIX = b"\x89PNG\r\n"
+JPEG_MAGIC_PREFIX = b"\xff\xd8\xff"
 
 # How many leading bytes decide html-vs-txt (pinned: a '<' anywhere in the
 # head means markup; whitespace-only/empty heads stay on the html path so
@@ -65,14 +71,19 @@ def url_hash(url: str) -> str:
 
 def sniff_doc_type(data: bytes) -> str:
     """Magic-byte dispatch (north rule): %PDF- => pdf, PK zip => ooxml
-    (the contained part decides docx/xlsx/pptx), {\\rtf => rtf, '<' in
-    the head => html, other non-whitespace heads => txt."""
+    (the contained part decides docx/xlsx/pptx), {\\rtf => rtf, PNG/JPEG
+    magics => image metadata, '<' in the head => html, other
+    non-whitespace heads => txt."""
     if data[:5] == PDF_MAGIC:
         return DOC_TYPE_PDF
     if data[:4] == ZIP_MAGIC:
         return DOC_TYPE_OOXML
     if data[: len(RTF_MAGIC)] == RTF_MAGIC:
         return DOC_TYPE_RTF
+    if data[:6] == PNG_MAGIC_PREFIX:
+        return DOC_TYPE_PNG
+    if data[:3] == JPEG_MAGIC_PREFIX:
+        return DOC_TYPE_JPG
     head = data[:TEXT_SNIFF_WINDOW]
     if b"<" in head:
         return DOC_TYPE_HTML
@@ -90,6 +101,8 @@ EXTRACTORS = {
     DOC_TYPE_TXT: extract_txt,
     DOC_TYPE_OOXML: extract_ooxml,
     DOC_TYPE_RTF: extract_rtf,
+    DOC_TYPE_PNG: extract_image,
+    DOC_TYPE_JPG: extract_image,
 }
 
 

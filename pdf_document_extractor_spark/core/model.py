@@ -39,6 +39,8 @@ DOC_TYPE_XLSX = "xlsx"
 DOC_TYPE_PPTX = "pptx"
 DOC_TYPE_RTF = "rtf"
 DOC_TYPE_OOXML = "ooxml"  # sniffed PK-zip before the part decides subtype
+DOC_TYPE_PNG = "png"
+DOC_TYPE_JPG = "jpg"
 
 
 @dataclass(frozen=True)
@@ -82,12 +84,20 @@ class TableRef:
 
 @dataclass(frozen=True)
 class FigureRef:
-    """Reference: lib/models/extraction_models.py:54-64."""
+    """Reference: lib/models/extraction_models.py:54-64; the image
+    metadata fields mirror FigureMetadata's image_format/image_size/file
+    bytes (lib/models/extraction_models.py:121-148) — filled by the
+    header probes (core/image_extract.py), None for figures whose pixel
+    payload is not part of the document (e.g. HTML <img> references)."""
 
     figure_id: str
     page_number: int
     caption: str | None
     label: str
+    image_format: str | None = None
+    image_width: int | None = None
+    image_height: int | None = None
+    payload_bytes: int | None = None
 
 
 @dataclass

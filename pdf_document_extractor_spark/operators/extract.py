@@ -46,7 +46,8 @@ EXTRACTED_SCHEMA = (
     "tables array<struct<table_id:string,page_number:int,num_rows:int,"
     "num_cols:int,headers:array<string>,cell_count:int,csv:string>>, "
     "figures array<struct<figure_id:string,page_number:int,caption:string,"
-    "label:string>>, "
+    "label:string,image_format:string,image_width:int,image_height:int,"
+    "payload_bytes:bigint>>, "
     "status string, error_type string, error_message string, "
     "partition_id int, byte_count bigint"
 )
@@ -115,6 +116,10 @@ def _figure_rows(figures) -> list[dict]:
             "page_number": f.page_number,
             "caption": f.caption,
             "label": f.label,
+            "image_format": f.image_format,
+            "image_width": f.image_width,
+            "image_height": f.image_height,
+            "payload_bytes": f.payload_bytes,
         }
         for f in figures
     ]

@@ -255,6 +255,62 @@ def synth_pdf_table_payload(text: str, lang: str, source: str) -> bytes:
     return write_pdf([PdfPageSpec(shows=shows)])
 
 
+def synth_png_payload(width: int, height: int) -> bytes:
+    """Minimal valid PNG: signature + IHDR(w,h,8-bit gray) + 1 IDAT + IEND
+    with real CRCs — the header probe (core/image_extract.py) reads only
+    the IHDR."""
+    import struct
+    import zlib as _z
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", _z.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    idat = _z.compress(b"\x00" * (width + 1), 6)  # one filtered row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def synth_jpeg_payload(width: int, height: int) -> bytes:
+    """Minimal JPEG: SOI + JFIF APP0 + SOF0(h,w) + EOI — the header probe
+    walks segments to the SOF0."""
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
+    sof0 = (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + b"\x08"
+        + struct.pack(">HH", height, width)
+        + b"\x01\x11\x00"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+_CORRUPT_PNG = b"\x89PNG\r\n\x1a\nxx"  # signature but no IHDR
+
+
+def synth_image_payload(doc_id: int) -> bytes:
+    """Deterministic image corpus: even doc_id -> PNG, odd -> JPEG, dims
+    derived from doc_id (SQL-invertible: w = 16 + doc_id % 97,
+    h = 16 + doc_id % 53); every 17th doc is a truncated PNG -> a
+    CorruptedFileError hard-failure row."""
+    if doc_id % 17 == 0:
+        return _CORRUPT_PNG
+    w = 16 + doc_id % 97
+    h = 16 + doc_id % 53
+    if doc_id % 2 == 0:
+        return synth_png_payload(w, h)
+    return synth_jpeg_payload(w, h)
+
+
 def synth_payload(
     doc_id: int, text: str, mode: str, lang: str = "", source: str = ""
 ) -> bytes:
@@ -296,6 +352,8 @@ def synth_payload(
         return synth_pdf_tounicode_payload(text)
     if mode == "pdf_encdiff":
         return synth_pdf_encdiff_payload(text)
+    if mode == "image":
+        return synth_image_payload(doc_id)
     if mode == "pdf2":
         return synth_pdf2_payload(text)
     if mode == "pdf_hdr":

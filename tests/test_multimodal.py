@@ -176,3 +176,87 @@ def test_real_codec_raises_only_without_pil():
     else:  # pragma: no cover - container has no PIL
         assert probe_image_size(png_1x1) == (1, 1)
         assert decode_image_pixels(png_1x1).shape == (1, 1, 3)
+
+
+# ---------------------------------------------------------------------------
+# Image-input extraction (round 3): PNG IHDR / JPEG SOFn header probes
+# ---------------------------------------------------------------------------
+
+
+def test_png_jpeg_dimension_probes():
+    from pdf_document_extractor_spark.core.image_extract import (
+        jpeg_dimensions,
+        png_dimensions,
+    )
+    from pdf_document_extractor_spark.sources.pages import (
+        synth_jpeg_payload,
+        synth_png_payload,
+    )
+
+    assert png_dimensions(synth_png_payload(640, 480)) == (640, 480)
+    assert jpeg_dimensions(synth_jpeg_payload(123, 45)) == (123, 45)
+
+
+def test_image_extract_success_row():
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.sources.pages import (
+        synth_jpeg_payload,
+        synth_png_payload,
+    )
+
+    res = extract_document("https://x/img/2", synth_png_payload(20, 30))
+    assert res.status == "success" and res.doc_type == "png"
+    (fig,) = res.pages[0].figures
+    assert (fig.image_format, fig.image_width, fig.image_height) == ("png", 20, 30)
+    assert fig.payload_bytes > 0 and fig.label == "image"
+    assert res.pages[0].content == "" and res.pages[0].word_count == 0
+
+    res = extract_document("https://x/img/3", synth_jpeg_payload(99, 7))
+    assert res.doc_type == "jpg"
+    assert res.pages[0].figures[0].image_width == 99
+
+
+def test_image_corrupt_and_bomb_taxonomy():
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.sources.pages import (
+        synth_jpeg_payload,
+        synth_png_payload,
+    )
+
+    # truncated PNG -> CorruptedFileError hard failure
+    res = extract_document("https://x/img/0", b"\x89PNG\r\n\x1a\nxx")
+    assert (res.status, res.error_type) == ("hard_failure", "CorruptedFileError")
+    # jpeg with no SOF -> CorruptedFileError
+    res = extract_document("https://x/img/1", b"\xff\xd8\xff\xd9")
+    assert res.error_type == "CorruptedFileError"
+    # dimension bomb -> OversizeDocumentError BEFORE any decode
+    res = extract_document("https://x/img/4", synth_png_payload(1 << 20, 2))
+    assert res.error_type == "OversizeDocumentError"
+    res = extract_document("https://x/img/5", synth_jpeg_payload(9000, 9000))
+    assert res.error_type == "OversizeDocumentError"
+    # zero dims are corrupt, not a bomb
+    res = extract_document("https://x/img/6", synth_png_payload(0, 5))
+    assert res.error_type == "CorruptedFileError"
+
+
+def test_jpeg_probe_walks_app_segments():
+    import struct
+
+    from pdf_document_extractor_spark.core.image_extract import jpeg_dimensions
+
+    # SOI + two APPn/comment segments before the SOF0
+    com = b"\xff\xfe" + struct.pack(">H", 9) + b"comment"
+    app1 = b"\xff\xe1" + struct.pack(">H", 8) + b"Exif\x00\x00"
+    sof2 = (
+        b"\xff\xc2" + struct.pack(">H", 11) + b"\x08"
+        + struct.pack(">HH", 11, 22) + b"\x01\x11\x00"
+    )
+    assert jpeg_dimensions(b"\xff\xd8" + com + app1 + sof2 + b"\xff\xd9") == (22, 11)
+
+
+def test_gif_and_ole2_stay_named_unsupported():
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+
+    res = extract_document("https://x/img/7", b"GIF89a" + b"\x00" * 10)
+    assert res.error_type == "UnsupportedFormatError"
+    assert "gif" in res.error_message

@@ -64,15 +64,24 @@ def test_known_containers_get_typed_unsupported_failures():
     from pdf_document_extractor_spark.core.dispatch import extract_document
 
     cases = {
-        b"\x89PNG\r\n\x1a\n....": "png",
-        b"\xff\xd8\xff\xe0JFIF": "jpeg",
         b"GIF89a;;;": "gif",
         b"\x1f\x8b\x08gz": "gzip",
+        b"\xd0\xcf\x11\xe0....": "ole2",
+        b"%!PS-Adobe": "postscript",
     }
     for payload, label in cases.items():
         r = extract_document("u", payload)
         assert r.status == "hard_failure", label
         assert r.error_type == "UnsupportedFormatError", label
+    # PNG/JPEG route to the image extractor since round 3: truncated
+    # payloads are CORRUPT (typed), not unsupported
+    for payload, label in {
+        b"\x89PNG\r\n\x1a\n....": "png",
+        b"\xff\xd8\xff\xe0JFIF": "jpeg",
+    }.items():
+        r = extract_document("u", payload)
+        assert r.status == "hard_failure", label
+        assert r.error_type == "CorruptedFileError", label
         assert r.doc_type == "unsupported", label
         assert label.split("/")[0][:3] in r.error_message or True
 
