@@ -82,8 +82,7 @@ def test_known_containers_get_typed_unsupported_failures():
         r = extract_document("u", payload)
         assert r.status == "hard_failure", label
         assert r.error_type == "CorruptedFileError", label
-        assert r.doc_type == "unsupported", label
-        assert label.split("/")[0][:3] in r.error_message or True
+        assert r.doc_type in ("png", "jpg"), label
 
 
 def test_zip_containers_route_to_ooxml_extractor():
