@@ -158,6 +158,38 @@ def q_extract_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_doc_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .doc extraction (reference mime_type.py:7
+    application/msword): OLE2/CFB container, FIB + Clx piece table with
+    mixed cp1252/UTF-16 pieces; same paragraph split as docx."""
+    return _extracted(spark, sf_dir, "doc").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+def q_extract_xls_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy .xls extraction (reference mime_type.py:9
+    application/vnd.ms-excel): BIFF8 SST + LABELSST records; same grid
+    semantics as xlsx (sheets=pages, rows as lines, TableRef)."""
+    ext = _extracted(spark, sf_dir, "xls")
+    t = ext.select(
+        "doc_id", "doc_type", "status", "content", F.explode("tables").alias("t")
+    )
+    return t.select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
+        F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.csv").alias("csv"),
+    )
+
+
 def q_extract_pptx_slides(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPTX extraction (reference mime_type.py PPTX support): one page per
     slide in sldIdLst order, paragraph runs concatenated."""
@@ -1094,6 +1126,30 @@ _ORACLES: dict[str, str] = {
                'source,' || source || chr(10) AS csv
         FROM documents
     """,
+    "extract_doc_content": f"""
+        WITH t AS (
+          SELECT doc_id, {_WORDS} AS wc,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3],
+                                 ' ') AS p1,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:],
+                                 ' ') AS p2
+          FROM documents
+        )
+        SELECT doc_id, 'doc' AS doc_type, 'success' AS status,
+               p1 || chr(10) || p2 AS content,
+               wc AS word_count
+        FROM t
+    """,
+    "extract_xls_cells": """
+        SELECT doc_id, 'xls' AS doc_type, 'success' AS status,
+               'k v' || chr(10) || 'lang ' || lang || chr(10)
+                   || 'source ' || source AS content,
+               'k|v' AS headers_joined,
+               CAST(6 AS BIGINT) AS cell_count,
+               'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
+               'source,' || source || chr(10) AS csv
+        FROM documents
+    """,
     "extract_pptx_slides": """
         WITH t AS (
           SELECT doc_id,
@@ -1856,6 +1912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx_content": q_extract_docx_content,
         "extract_docx_tables": q_extract_docx_tables,
         "extract_xlsx_cells": q_extract_xlsx_cells,
+        "extract_doc_content": q_extract_doc_content,
+        "extract_xls_cells": q_extract_xls_cells,
         "extract_pptx_slides": q_extract_pptx_slides,
         "extract_rtf_content": q_extract_rtf_content,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,

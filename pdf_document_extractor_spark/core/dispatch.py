@@ -19,6 +19,7 @@ import hashlib
 
 from .html_extract import extract_html
 from .image_extract import extract_image
+from .ole_extract import extract_ole2
 from .model import (
     DOC_TYPE_HTML,
     DOC_TYPE_JPG,
@@ -46,7 +47,6 @@ ZIP_MAGIC = b"PK\x03\x04"
 # rule 7). PNG/JPEG route to the image-metadata extractor instead
 # (reference MIME types png/jpg, lib/models/mime_type.py:11-12).
 CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"\xd0\xcf\x11\xe0", "ole2 compound document (legacy doc/xls/ppt)"),
     (b"GIF87a", "gif image"),
     (b"GIF89a", "gif image"),
     (b"\x1f\x8b", "gzip stream"),
@@ -55,6 +55,8 @@ CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
 
 PNG_MAGIC_PREFIX = b"\x89PNG\r\n"
 JPEG_MAGIC_PREFIX = b"\xff\xd8\xff"
+OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+DOC_TYPE_OLE2 = "ole2"  # sniffed container before doc/xls subtype resolves
 
 # How many leading bytes decide html-vs-txt (pinned: a '<' anywhere in the
 # head means markup; whitespace-only/empty heads stay on the html path so
@@ -84,6 +86,8 @@ def sniff_doc_type(data: bytes) -> str:
         return DOC_TYPE_PNG
     if data[:3] == JPEG_MAGIC_PREFIX:
         return DOC_TYPE_JPG
+    if data[:8] == OLE2_MAGIC:
+        return DOC_TYPE_OLE2
     head = data[:TEXT_SNIFF_WINDOW]
     if b"<" in head:
         return DOC_TYPE_HTML
@@ -103,6 +107,7 @@ EXTRACTORS = {
     DOC_TYPE_RTF: extract_rtf,
     DOC_TYPE_PNG: extract_image,
     DOC_TYPE_JPG: extract_image,
+    DOC_TYPE_OLE2: extract_ole2,
 }
 
 
@@ -127,10 +132,11 @@ def extract_document(url: str, data: bytes, config=None) -> ExtractionResult:
                 pages=[],
             )
     doc_type = sniff_doc_type(data)
-    # ConfigMatrix keys are RESULT doc_types; the ooxml subtype is known
-    # only after the container opens, so extract_ooxml resolves its own
+    # ConfigMatrix keys are RESULT doc_types; the ooxml/ole2 subtype is
+    # known only after the container opens, so those extractors resolve
+    # their own
     cfg = config
-    if config is not None and doc_type != DOC_TYPE_OOXML:
+    if config is not None and doc_type not in (DOC_TYPE_OOXML, DOC_TYPE_OLE2):
         cfg = config.for_type(doc_type)
     try:
         return EXTRACTORS[doc_type](data, uh, config=cfg)

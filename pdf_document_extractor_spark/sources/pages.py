@@ -149,6 +149,24 @@ def synth_rtf_payload(text: str) -> bytes:
     ).encode("ascii")
 
 
+def synth_doc_payload(text: str) -> bytes:
+    """Legacy Word binary (.doc): same two-paragraph split at token 3 as
+    docx -> content == p1 + '\\n' + p2; the piece table always carries one
+    cp1252 and one UTF-16 piece (ole_write.write_doc)."""
+    from ..core.ole_write import write_doc
+
+    toks = text.split()
+    return write_doc([" ".join(toks[:3]), " ".join(toks[3:])])
+
+
+def synth_xls_payload(lang: str, source: str) -> bytes:
+    """Legacy Excel binary (.xls, BIFF8): the standard 3x2 k/v grid via
+    SST + LABELSST -> same content/table oracle as xlsx."""
+    from ..core.ole_write import write_xls
+
+    return write_xls([("Sheet1", [["k", "v"], ["lang", lang], ["source", source]])])
+
+
 def synth_pdf_payload(text: str) -> bytes:
     """One page, whole text as a single 10pt body show -> extracted content
     is exactly 'Page 1\\n\\n' + text + '\\n'."""
@@ -354,6 +372,10 @@ def synth_payload(
         return synth_pdf_encdiff_payload(text)
     if mode == "image":
         return synth_image_payload(doc_id)
+    if mode == "doc":
+        return synth_doc_payload(text)
+    if mode == "xls":
+        return synth_xls_payload(lang, source)
     if mode == "pdf2":
         return synth_pdf2_payload(text)
     if mode == "pdf_hdr":

@@ -113,18 +113,17 @@ def test_zip_containers_route_to_ooxml_extractor():
     )
 
 
-def test_ole2_legacy_office_is_named_unsupported():
-    """Legacy binary doc/xls/ppt (OLE2 magic) -> named unsupported row
-    (reference recognizes DOC/XLS in its MIME table; the binary OLE
-    parsers are out of stdlib scope by design)."""
+def test_ole2_routes_to_cfb_parser():
+    """OLE2 magic routes to the CFB doc/xls extractor since round 3; a
+    payload with the magic but no valid container is a typed
+    CorruptedFileError row (deep parsing in test_ole.py)."""
     from pdf_document_extractor_spark.core.dispatch import extract_document
 
     r = extract_document("u", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1junk")
     assert (r.status, r.error_type) == (
         "hard_failure",
-        "UnsupportedFormatError",
+        "CorruptedFileError",
     )
-    assert "ole2" in r.error_message
 
 
 def test_document_controlled_text_cannot_promote_hard_to_soft():

@@ -32,7 +32,7 @@ GATE_MODES = [
     "html", "html_charset", "html_table", "html_fig", "pdf", "pdf_xs",
     "pdf_inc", "pdf_hex", "pdf_tounicode", "pdf_encdiff", "pdf2",
     "pdf_hdr", "pdf_table", "txt", "docx", "xlsx", "pptx", "rtf",
-    "image", "mixed_fail",
+    "doc", "xls", "image", "mixed_fail",
 ]
 
 
