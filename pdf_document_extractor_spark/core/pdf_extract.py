@@ -127,15 +127,15 @@ class _Objects:
             return obj
         if off is None or not isinstance(off, int) or off >= len(self.buf):
             raise CorruptedFileError(f"missing object {num}")
-        m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", self.buf[off : off + 64])
+        m = _OBJ_HEADER_RE.match(self.buf, off, off + 64)
         if not m or int(m.group(1)) != num:
             raise CorruptedFileError(f"bad object header for {num}")
-        pos = off + m.end()
+        pos = m.end()
         obj, pos = _parse_object(self.buf, pos)
         # stream?
-        m2 = re.match(rb"\s*stream(\r\n|\n|\r)", self.buf[pos : pos + 16])
+        m2 = _STREAM_KW_RE.match(self.buf, pos, pos + 16)
         if m2 is not None and isinstance(obj, dict):
-            data_start = pos + m2.end()
+            data_start = m2.end()
             length = self.resolve(obj.get("Length"))
             if not isinstance(length, int):
                 raise CorruptedFileError(f"stream /Length missing in obj {num}")
@@ -324,6 +324,14 @@ _REF_OR_NUM_RE = re.compile(
     rb"(\d+)\s+(\d+)\s+R\b|([+-]?(?:\d+\.\d*|\.\d+|\d+))"
 )
 
+# precompiled structural patterns (hot path: one get() per object per doc;
+# the re-module cache lookup alone showed up in profiles)
+_OBJ_HEADER_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+_STREAM_KW_RE = re.compile(rb"\s*stream(\r\n|\n|\r)")
+_XREF_SUBSECTION_RE = re.compile(rb"(\d+)\s+(\d+)")
+_XREF_ENTRY_RE = re.compile(rb"(\d{10}) (\d{5}) ([nf])")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+
 
 def _parse_object(buf: bytes, pos: int):
     """Parse one PDF object at pos; return (obj, new_pos)."""
@@ -472,15 +480,15 @@ def _parse_classic_section(buf: bytes, pos: int) -> tuple[dict[int, object], dic
             if not isinstance(trailer_obj, dict):
                 raise CorruptedFileError("trailer is not a dict")
             return offsets, trailer_obj
-        m2 = re.match(rb"(\d+)\s+(\d+)", buf[pos : pos + 64])
+        m2 = _XREF_SUBSECTION_RE.match(buf, pos, pos + 64)
         if not m2:
             raise CorruptedFileError("malformed xref subsection header")
         start, count = int(m2.group(1)), int(m2.group(2))
-        pos = pos + m2.end()
+        pos = m2.end()
         pos = _skip_ws(buf, pos)
         for i in range(count):
             entry = buf[pos : pos + 20]
-            m3 = re.match(rb"(\d{10}) (\d{5}) ([nf])", entry)
+            m3 = _XREF_ENTRY_RE.match(entry)
             if not m3:
                 raise CorruptedFileError("malformed xref entry")
             offsets[start + i] = (
@@ -497,17 +505,17 @@ def _parse_xref_stream_section(
     entries described by ``/W``, covering the object ranges in ``/Index``
     (default ``[0 /Size]``). Entry types: 0 free (tombstone), 1 byte
     offset, 2 (objstm_num, idx)."""
-    m = re.match(rb"(\d+)\s+(\d+)\s+obj\b", buf[pos : pos + 64])
+    m = _OBJ_HEADER_RE.match(buf, pos, pos + 64)
     if not m:
         raise CorruptedFileError("xref stream: no object at startxref")
-    obj_pos = pos + m.end()
+    obj_pos = m.end()
     sdict, obj_pos = _parse_object(buf, obj_pos)
     if not isinstance(sdict, dict) or sdict.get("Type") != "XRef":
         raise CorruptedFileError("startxref does not point at xref table or /XRef")
-    m2 = re.match(rb"\s*stream(\r\n|\n|\r)", buf[obj_pos : obj_pos + 16])
+    m2 = _STREAM_KW_RE.match(buf, obj_pos, obj_pos + 16)
     if m2 is None:
         raise CorruptedFileError("xref stream without stream data")
-    data_start = obj_pos + m2.end()
+    data_start = m2.end()
     length = sdict.get("Length")  # direct per spec (PDF 32000 7.5.8.2)
     if not isinstance(length, int):
         raise CorruptedFileError("xref stream /Length missing or indirect")
@@ -556,7 +564,7 @@ def _parse_xref(buf: bytes) -> tuple[dict[int, object], dict]:
     ``/XRefStm`` pointers."""
     tail = buf[-2048:]
     m = None
-    for m in re.finditer(rb"startxref\s+(\d+)", tail):
+    for m in _STARTXREF_RE.finditer(tail):
         pass  # keep last occurrence
     if m is None:
         raise CorruptedFileError("startxref not found")
@@ -816,6 +824,12 @@ def _font_decoder(objs: _Objects, font_obj) -> tuple:
     font = objs.resolve(font_obj)
     if not isinstance(font, dict):
         raise CorruptedFileError("font resource is not a dict")
+    if (
+        "Encoding" not in font
+        and "ToUnicode" not in font
+        and font.get("Subtype") != "Type0"
+    ):
+        return _DEFAULT_DEC  # the common simple-font fast path
     tou_obj = objs.resolve(font.get("ToUnicode")) if "ToUnicode" in font else None
 
     if font.get("Subtype") == "Type0":
@@ -878,7 +892,9 @@ def _fonts_for_page(objs: _Objects, resources, cache: dict) -> dict[str, tuple]:
         key = ref[0] if isinstance(ref, _Ref) else id(ref)
         if key not in cache:
             cache[key] = _font_decoder(objs, ref)
-        out[name] = cache[key]
+        dec = cache[key]
+        if dec is not _DEFAULT_DEC:  # default decoders need no lookup at
+            out[name] = dec  # show time: an empty dict short-circuits Tf
     return out
 
 
@@ -1003,7 +1019,7 @@ def _shows_from_content(
         elif op == "Tf":
             if stack:
                 size = float(stack[-1])
-                if len(stack) >= 2 and isinstance(stack[-2], str):
+                if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
                     dec = fonts.get(stack[-2], _DEFAULT_DEC)
         elif op == "Td":
             if len(stack) >= 2:
@@ -1025,18 +1041,31 @@ def _shows_from_content(
             y -= leading
         elif op == "Tj":
             if stack and isinstance(stack[-1], bytes):
-                shows.append(_Show(x, y, size, _decode_shown(dec, stack[-1])))
+                raw = stack[-1]
+                text = (
+                    raw.decode("latin-1")  # default-decoder fast path
+                    if dec is _DEFAULT_DEC
+                    else _decode_shown(dec, raw)
+                )
+                shows.append(_Show(x, y, size, text))
                 if len(shows) > MAX_SHOWS_PER_PAGE:
                     raise OversizeDocumentError(
                         f"page exceeds {MAX_SHOWS_PER_PAGE} text shows"
                     )
         elif op == "TJ":
             if stack and isinstance(stack[-1], list):
-                text = "".join(
-                    _decode_shown(dec, t)
-                    for t in stack[-1]
-                    if isinstance(t, bytes)
-                )
+                if dec is _DEFAULT_DEC:
+                    text = "".join(
+                        t.decode("latin-1")
+                        for t in stack[-1]
+                        if isinstance(t, bytes)
+                    )
+                else:
+                    text = "".join(
+                        _decode_shown(dec, t)
+                        for t in stack[-1]
+                        if isinstance(t, bytes)
+                    )
                 shows.append(_Show(x, y, size, text))
                 if len(shows) > MAX_SHOWS_PER_PAGE:
                     raise OversizeDocumentError(
