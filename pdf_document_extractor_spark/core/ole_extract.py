@@ -28,9 +28,12 @@ XLS:
     records are (id u16, len u16, payload). A record walk that runs past
     the stream end -> CorruptedFileError.
  6. Strings resolve through the SST (LABELSST isst index; rich-text and
-    ext-st payloads are skipped per the string flags). An SST that spills
-    into Continue records -> UnsupportedFormatError (typed, not silent
-    truncation). Out-of-range isst -> CorruptedFileError.
+    ext-st payloads are skipped per the string flags). The SST may spill
+    into Continue (0x003C) records: splits happen between fields or
+    inside character data, and continued CHARACTER data restarts with a
+    fresh fHighByte option byte (MS-XLS 2.5.293) — each span decodes with
+    its own byte width. Out-of-range isst or a field split across a
+    boundary -> CorruptedFileError.
  7. Numeric cells (NUMBER, RK, MULRK) render as ``str(int(v))`` when the
     value is integral, else ``repr(v)`` — pinned.
  8. Sheets = pages in BOUNDSHEET order (mirrors xlsx rule 10); page
@@ -204,44 +207,90 @@ def _records(stream: bytes, start: int = 0):
             return
 
 
-def _parse_sst(payload: bytes, next_rid: int | None) -> list[str]:
-    """SST strings (pinned rule 6); Continue spill is a typed failure."""
-    cst_unique = struct.unpack_from("<I", payload, 4)[0]
-    if cst_unique > len(payload):  # each string is >= 3 bytes
-        raise CorruptedFileError("SST count exceeds record size")
-    out: list[str] = []
-    pos = 8
-    for _ in range(cst_unique):
-        if pos + 3 > len(payload):
-            if next_rid == 0x003C:
-                raise UnsupportedFormatError(
-                    "SST spills into Continue records"
-                )
+class _SstCursor:
+    """Reader over [SST payload, Continue payload, ...] segments.
+
+    MS-XLS split rules: structures split only at field boundaries or
+    inside character arrays; a continuation of CHARACTER data begins with
+    a fresh option-flags byte (fHighByte may differ per span); rich-run /
+    ext-st skip data and field headers continue WITHOUT an extra byte."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segs = segments
+        self.i = 0
+        self.pos = 0
+
+    def _avail(self) -> int:
+        return len(self.segs[self.i]) - self.pos
+
+    def _next_segment(self) -> None:
+        self.i += 1
+        self.pos = 0
+        if self.i >= len(self.segs):
             raise CorruptedFileError("truncated SST")
-        cch, flags = struct.unpack_from("<HB", payload, pos)
-        pos += 3
+
+    def read_field(self, fmt: str, size: int):
+        while self._avail() == 0:
+            self._next_segment()
+        if self._avail() < size:
+            raise CorruptedFileError("SST field split across Continue")
+        vals = struct.unpack_from(fmt, self.segs[self.i], self.pos)
+        self.pos += size
+        return vals
+
+    def skip(self, n: int) -> None:
+        while n:
+            while self._avail() == 0:
+                self._next_segment()
+            take = min(n, self._avail())
+            self.pos += take
+            n -= take
+
+    def read_chars(self, cch: int, high: int) -> str:
+        parts: list[str] = []
+        need = cch
+        while need:
+            if self._avail() == 0:
+                self._next_segment()
+                (high,) = self.read_field("<B", 1)  # fresh option byte
+                high &= 0x01
+                continue
+            unit = 2 if high else 1
+            take = min(need, self._avail() // unit)
+            if take == 0:
+                raise CorruptedFileError("SST char unit split across Continue")
+            raw = self.segs[self.i][self.pos : self.pos + take * unit]
+            parts.append(
+                raw.decode("utf-16-le", "replace")
+                if high
+                else raw.decode("latin-1")
+            )
+            self.pos += take * unit
+            need -= take
+        return "".join(parts)
+
+
+def _parse_sst(segments: list[bytes]) -> list[str]:
+    """SST strings across the record + its Continue spills (pinned 6)."""
+    payload = segments[0]
+    if len(payload) < 8:
+        raise CorruptedFileError("truncated SST header")
+    cst_unique = struct.unpack_from("<I", payload, 4)[0]
+    if cst_unique > sum(len(s) for s in segments):  # strings are >= 3 bytes
+        raise CorruptedFileError("SST count exceeds record size")
+    cur = _SstCursor(segments)
+    cur.pos = 8
+    out: list[str] = []
+    for _ in range(cst_unique):
+        cch, flags = cur.read_field("<HB", 3)
         c_run = 0
         cb_ext = 0
         if flags & 0x08:  # fRichSt
-            c_run = struct.unpack_from("<H", payload, pos)[0]
-            pos += 2
+            (c_run,) = cur.read_field("<H", 2)
         if flags & 0x04:  # fExtSt
-            cb_ext = struct.unpack_from("<I", payload, pos)[0]
-            pos += 4
-        nbytes = cch * 2 if flags & 0x01 else cch
-        raw = payload[pos : pos + nbytes]
-        if len(raw) != nbytes:
-            if next_rid == 0x003C:
-                raise UnsupportedFormatError(
-                    "SST spills into Continue records"
-                )
-            raise CorruptedFileError("truncated SST string")
-        out.append(
-            raw.decode("utf-16-le", "replace")
-            if flags & 0x01
-            else raw.decode("latin-1")
-        )
-        pos += nbytes + 4 * c_run + cb_ext
+            (cb_ext,) = cur.read_field("<I", 4)
+        out.append(cur.read_chars(cch, flags & 0x01))
+        cur.skip(4 * c_run + cb_ext)
     return out
 
 
@@ -270,11 +319,13 @@ def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
     sheets: list[tuple[str, int]] = []  # (name, substream offset)
     globals_recs = list(_records(wb))
     for idx, (rid, payload, _pos) in enumerate(globals_recs):
-        if rid == 0x00FC:  # SST
-            nxt = (
-                globals_recs[idx + 1][0] if idx + 1 < len(globals_recs) else None
-            )
-            sst = _parse_sst(payload, nxt)
+        if rid == 0x00FC:  # SST (+ any directly-following Continue spills)
+            segments = [payload]
+            for nrid, npayload, _np in globals_recs[idx + 1 :]:
+                if nrid != 0x003C:
+                    break
+                segments.append(npayload)
+            sst = _parse_sst(segments)
         elif rid == 0x0085:  # BOUNDSHEET
             if len(payload) < 8:
                 raise CorruptedFileError("truncated BOUNDSHEET")

@@ -93,9 +93,58 @@ def _xl_string(s: str) -> bytes:
     return struct.pack("<HB", len(s), flags) + raw
 
 
-def write_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
+def _sst_segments(
+    strings: list[str], total_refs: int, cap: int
+) -> list[bytes]:
+    """SST payload split into [SST, Continue, ...] segments of <= cap
+    bytes, following the MS-XLS split rules: splits at field boundaries
+    or inside character data; continued character data restarts with a
+    fresh option-flags byte."""
+    segs: list[bytes] = []
+    cur = bytearray(struct.pack("<II", total_refs, len(strings)))
+
+    def flush() -> None:
+        nonlocal cur
+        segs.append(bytes(cur))
+        cur = bytearray()
+
+    for s in strings:
+        try:
+            raw = s.encode("latin-1")
+            high = 0
+        except UnicodeEncodeError:
+            raw = s.encode("utf-16-le")
+            high = 1
+        if len(cur) + 3 > cap:
+            flush()
+        cur += struct.pack("<HB", len(s), high)
+        unit = 2 if high else 1
+        i = 0
+        while i < len(s):
+            if len(cur) == 0:  # character-data continuation: grbit first
+                cur.append(high)
+            room = (cap - len(cur)) // unit
+            if room == 0:
+                flush()
+                continue
+            take = min(len(s) - i, room)
+            cur += raw[i * unit : (i + take) * unit]
+            i += take
+            if i < len(s):
+                flush()
+    if cur:
+        flush()
+    return segs
+
+
+def write_xls(
+    sheets: list[tuple[str, list[list[object]]]],
+    sst_record_cap: int | None = None,
+) -> bytes:
     """BIFF8 workbook: ``sheets`` = [(name, grid)] where grid cells are
-    str (-> SST + LABELSST) or int/float (-> NUMBER record)."""
+    str (-> SST + LABELSST) or int/float (-> NUMBER record).
+    ``sst_record_cap`` forces the SST to spill into Continue records at
+    that payload size (real writers cap records at 8224 bytes)."""
     strings: list[str] = []
     index: dict[str, int] = {}
     total_refs = 0
@@ -130,12 +179,19 @@ def write_xls(sheets: list[tuple[str, list[list[object]]]]) -> bytes:
         recs.append(_rec(0x000A, b""))
         sheet_blobs.append(b"".join(recs))
 
-    sst_payload = struct.pack("<II", total_refs, len(strings)) + b"".join(
-        _xl_string(s) for s in strings
+    if sst_record_cap is not None:
+        sst_segments = _sst_segments(strings, total_refs, sst_record_cap)
+    else:
+        sst_segments = [
+            struct.pack("<II", total_refs, len(strings))
+            + b"".join(_xl_string(s) for s in strings)
+        ]
+    sst_records = _rec(0x00FC, sst_segments[0]) + b"".join(
+        _rec(0x003C, seg) for seg in sst_segments[1:]
     )
 
     def globals_blob(positions: list[int]) -> bytes:
-        recs = [_bof(0x0005), _rec(0x00FC, sst_payload)]
+        recs = [_bof(0x0005), sst_records]
         for (name, _g), pos in zip(sheets, positions):
             nb = name.encode("latin-1", "replace")
             recs.append(

@@ -212,6 +212,8 @@ class _Stream:
         parms_list = parms_raw if isinstance(parms_raw, list) else [parms_raw]
         data = self.data
         for i, f in enumerate(filters):
+            f = _FILTER_ALIASES.get(f, f)  # inline-image short names
+            parms = parms_list[i] if i < len(parms_list) else None
             if f == "FlateDecode":
                 try:
                     d = zlib.decompressobj()
@@ -230,12 +232,159 @@ class _Stream:
                         )
                 except zlib.error as exc:
                     raise CorruptedFileError(f"flate decode failed: {exc}") from exc
-                parms = parms_list[i] if i < len(parms_list) else None
+            elif f == "ASCIIHexDecode":
+                data = _asciihex_decode(data)
+            elif f == "ASCII85Decode":
+                data = _ascii85_decode(data)
+            elif f == "RunLengthDecode":
+                data = _runlength_decode(data)
+            elif f == "LZWDecode":
+                early = 1
                 if isinstance(parms, dict):
-                    data = _unpredict(data, parms)
+                    ec = parms.get("EarlyChange", 1)
+                    early = ec if isinstance(ec, int) else 1
+                data = _lzw_decode(data, early)
             else:
                 raise UnsupportedFormatError(f"unsupported stream filter /{f}")
+            # /Predictor applies to the binary compression filters
+            if isinstance(parms, dict) and f in ("FlateDecode", "LZWDecode"):
+                data = _unpredict(data, parms)
         return data
+
+
+_FILTER_ALIASES = {  # inline-image short names (PDF 32000 table 94)
+    "Fl": "FlateDecode",
+    "AHx": "ASCIIHexDecode",
+    "A85": "ASCII85Decode",
+    "RL": "RunLengthDecode",
+    "LZW": "LZWDecode",
+}
+
+_A85_STRIP = bytes(_WS)
+
+
+def _asciihex_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (PDF 32000 7.4.2): whitespace ignored, ``>`` EOD,
+    odd final digit padded with 0."""
+    end = data.find(b">")
+    digits = _HEX_WS_RE.sub(b"", data[: end if end >= 0 else len(data)])
+    if not _HEX_OK_RE.match(digits):
+        raise CorruptedFileError("non-hex digit in ASCIIHexDecode stream")
+    if len(digits) % 2:
+        digits += b"0"
+    return bytes.fromhex(digits.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 32000 7.4.3): ``~>`` EOD, ``z`` zero group,
+    whitespace ignored; a final partial group of n chars yields n-1
+    bytes."""
+    end = data.find(b"~>")
+    body = data[: end if end >= 0 else len(data)]
+    body = bytes(c for c in body if c not in _WS)
+    out = bytearray()
+    group: list[int] = []
+    for c in body:
+        if c == 0x7A:  # 'z'
+            if group:
+                raise CorruptedFileError("'z' inside ASCII85 group")
+            out += b"\x00\x00\x00\x00"
+            continue
+        if not 0x21 <= c <= 0x75:  # '!'..'u'
+            raise CorruptedFileError(f"invalid ASCII85 byte {c:#x}")
+        group.append(c - 0x21)
+        if len(group) == 5:
+            acc = 0
+            for d in group:
+                acc = acc * 85 + d
+            if acc > 0xFFFFFFFF:
+                raise CorruptedFileError("ASCII85 group overflow")
+            out += acc.to_bytes(4, "big")
+            group.clear()
+        if len(out) > MAX_DECODED_STREAM:
+            raise OversizeDocumentError("ASCII85 stream exceeds decode cap")
+    if group:
+        if len(group) == 1:
+            raise CorruptedFileError("single trailing ASCII85 digit")
+        n = len(group)
+        padded = group + [84] * (5 - n)  # pad with 'u'
+        acc = 0
+        for d in padded:
+            acc = acc * 85 + d
+        if acc > 0xFFFFFFFF:
+            raise CorruptedFileError("ASCII85 group overflow")
+        out += acc.to_bytes(4, "big")[: n - 1]
+    return bytes(out)
+
+
+def _runlength_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 32000 7.4.5): length byte 0-127 copies L+1
+    literal bytes, 129-255 repeats the next byte 257-L times, 128 EOD."""
+    out = bytearray()
+    pos = 0
+    n = len(data)
+    while pos < n:
+        length = data[pos]
+        pos += 1
+        if length == 128:
+            return bytes(out)
+        if length < 128:
+            chunk = data[pos : pos + length + 1]
+            if len(chunk) != length + 1:
+                raise CorruptedFileError("truncated RunLength literal")
+            out += chunk
+            pos += length + 1
+        else:
+            if pos >= n:
+                raise CorruptedFileError("truncated RunLength repeat")
+            out += data[pos : pos + 1] * (257 - length)
+            pos += 1
+        if len(out) > MAX_DECODED_STREAM:
+            raise OversizeDocumentError("RunLength stream exceeds decode cap")
+    raise CorruptedFileError("RunLength stream missing EOD")
+
+
+def _lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """LZWDecode (PDF 32000 7.4.4.2): MSB-first variable-width codes
+    (9-12 bits), clear 256, EOD 257, EarlyChange per /DecodeParms."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            if code == 256:  # clear table
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == 257:  # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= len(table):
+                    raise CorruptedFileError("LZW first code out of range")
+                entry = table[code]
+            elif code < len(table):
+                entry = table[code]
+                table.append(prev + entry[:1])
+            elif code == len(table):
+                entry = prev + prev[:1]
+                table.append(entry)
+            else:
+                raise CorruptedFileError("LZW code out of range")
+            out += entry
+            if len(out) > MAX_DECODED_STREAM:
+                raise OversizeDocumentError("LZW stream exceeds decode cap")
+            prev = entry
+            if len(table) + early - 1 >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # EOD-less streams: spec-lenient like real readers
 
 
 def _unpredict(data: bytes, parms: dict) -> bytes:

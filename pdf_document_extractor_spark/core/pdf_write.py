@@ -505,3 +505,70 @@ def write_pdf_encdiff(pages: list[PdfPageSpec]) -> bytes:
             + b"\nstream\n" + data + b"\nendstream"
         )
     return _serialize_classic(objects)
+
+
+# --- filter-cascade variant (ASCII85 over Flate) ----------------------------
+
+
+def write_pdf_a85(pages: list[PdfPageSpec]) -> bytes:
+    """Classic layout with content streams stored as ASCII85-of-Flate
+    (``/Filter [/ASCII85Decode /FlateDecode]`` — decode applies the list
+    in order, so the stored bytes are a85(deflate(content)))."""
+    import base64
+
+    objects, n_pages = _doc_objects(pages, compress=False)
+    for i in range(n_pages):
+        idx = 3 + n_pages + i  # content stream bodies (0-based list index)
+        body = objects[idx]
+        data = body.split(b"\nstream\n", 1)[1].rsplit(b"\nendstream", 1)[0]
+        enc = base64.a85encode(zlib.compress(data, 6)) + b"~>"
+        objects[idx] = (
+            f"<< /Length {len(enc)} "
+            f"/Filter [/ASCII85Decode /FlateDecode] >>".encode()
+            + b"\nstream\n" + enc + b"\nendstream"
+        )
+    return _serialize_classic(objects)
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """PDF-dialect LZW encoder (fixture generator for the LZWDecode
+    path): MSB-first 9-12-bit codes, clear 256, EOD 257, EarlyChange."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    emit(256)  # leading clear (what real encoders emit)
+    seq = b""
+    for b in data:
+        nxt = seq + bytes([b])
+        if nxt in table:
+            seq = nxt
+            continue
+        emit(table[seq])
+        table[nxt] = next_code
+        next_code += 1
+        if next_code + early - 1 > (1 << width) and width < 12:
+            width += 1
+        if next_code >= 4096:  # table full: clear
+            emit(256)
+            table = {bytes([i]): i for i in range(256)}
+            next_code = 258
+            width = 9
+        seq = bytes([b])
+    if seq:
+        emit(table[seq])
+    emit(257)  # EOD
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)

@@ -249,6 +249,14 @@ def synth_pdf_encdiff_payload(text: str) -> bytes:
     )
 
 
+def synth_pdf_a85_payload(text: str) -> bytes:
+    """Filter-cascade PDF: content streams stored ASCII85-of-Flate
+    (/Filter [/ASCII85Decode /FlateDecode]). Same oracle as mode='pdf'."""
+    from ..core.pdf_write import write_pdf_a85
+
+    return write_pdf_a85([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
+
+
 def synth_pdf_hdr_payload(text: str) -> bytes:
     """18pt header line (first 3 tokens) above a 10pt body line (the rest):
     the font-size header/body labeling signal (HEADER_SIZE_MIN=14)."""
@@ -370,6 +378,8 @@ def synth_payload(
         return synth_pdf_tounicode_payload(text)
     if mode == "pdf_encdiff":
         return synth_pdf_encdiff_payload(text)
+    if mode == "pdf_a85":
+        return synth_pdf_a85_payload(text)
     if mode == "image":
         return synth_image_payload(doc_id)
     if mode == "doc":

@@ -209,3 +209,34 @@ def test_dispatch_routes_ole2():
     # truncated container -> corrupt
     res = extract_document("u", write_doc(["x y z"])[:600])
     assert res.error_type == "CorruptedFileError"
+
+
+def test_xls_sst_continue_spill_roundtrip():
+    """Real-web workbooks cap records at 8224 bytes and spill the SST
+    into Continue records; splits land between fields AND inside
+    character data (continuations restart with a fresh fHighByte byte,
+    possibly different per span). Caps down to 16 bytes force every
+    split shape."""
+    grid = [[f"cell{r}_" + "x" * 40, "中" * 30 + f"u{r}"] for r in range(20)]
+    want = "\n".join(" ".join(row) for row in grid)
+    for cap in (16, 33, 64, 100, 8224):
+        blob = write_xls([("S", grid)], sst_record_cap=cap)
+        assert extract_ole2(blob, "0" * 16).pages[0].content == want, cap
+
+
+def test_xls_sst_continue_truncated_is_typed():
+    blob = write_xls(
+        [("S", [["y" * 500, "z"]])], sst_record_cap=64
+    )
+    # strip the workbook's final Continue record bytes -> typed failure
+    from pdf_document_extractor_spark.core.cfb import read_cfb, write_cfb
+
+    wb = read_cfb(blob)["Workbook"]
+    # chop inside the SST spill region (before the BOUNDSHEET tail)
+    bad = write_cfb([("Workbook", wb[:200])])
+    res_err = None
+    try:
+        extract_ole2(bad, "0" * 16)
+    except (CorruptedFileError, EmptyContentError) as exc:
+        res_err = type(exc).__name__
+    assert res_err == "CorruptedFileError"
