@@ -358,6 +358,20 @@ def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
             elif rid == 0x027E:  # RK
                 rw, col, _ixfe, rk = struct.unpack_from("<HHHI", payload, 0)
                 cells[(rw, col)] = _fmt_number(_rk_value(rk))
+            elif rid == 0x0204:  # LABEL: inline XLUnicodeString cell
+                rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
+                if len(payload) < 9:
+                    raise CorruptedFileError("truncated LABEL record")
+                cch, lflags = struct.unpack_from("<HB", payload, 6)
+                nbytes = cch * 2 if lflags & 0x01 else cch
+                raw = payload[9 : 9 + nbytes]
+                if len(raw) != nbytes:
+                    raise CorruptedFileError("truncated LABEL string")
+                cells[(rw, col)] = (
+                    raw.decode("utf-16-le", "replace")
+                    if lflags & 0x01
+                    else raw.decode("latin-1")
+                )
             elif rid == 0x00BD:  # MULRK
                 rw, col_first = struct.unpack_from("<HH", payload, 0)
                 nrk = (len(payload) - 6) // 6

@@ -484,3 +484,41 @@ def test_filter_cascade_pdf_roundtrip():
     )
     res = extract_pdf(append_incremental(base, {5: new_obj2}), "0" * 16)
     assert res.pages[0].content == "Page 1\n\nlzw path\n"
+
+
+def test_multiple_fonts_switch_mid_page():
+    """Tf switches the decoder mid-page: /F1 (WinAnsi) and /F2 (default
+    latin-1) interpret the SAME byte 0x80 differently."""
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    content = (
+        b"BT /F1 10 Tf 72 720 Td (\x80) Tj ET\n"
+        b"BT /F2 10 Tf 72 700 Td (\x80) Tj ET"
+    )
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 6 0 R /Resources << /Font << /F1 3 0 R /F2 4 0 R >> "
+        b">> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    # 0x80: € through WinAnsi, U+0080 (latin-1 identity) through default
+    assert res.pages[0].content == "Page 1\n\n€\n\x80\n"
+
+
+def test_tj_array_mixes_hex_literal_and_kerning():
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _shows_from_content,
+    )
+
+    shows = _shows_from_content(
+        b"BT /F1 10 Tf 72 720 Td [(He) -250 <6c6c6f> 120 ( world)] TJ ET"
+    )
+    assert [s.text for s in shows] == ["Hello world"]

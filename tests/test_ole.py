@@ -240,3 +240,34 @@ def test_xls_sst_continue_truncated_is_typed():
     except (CorruptedFileError, EmptyContentError) as exc:
         res_err = type(exc).__name__
     assert res_err == "CorruptedFileError"
+
+
+def test_xls_label_record_inline_string():
+    """LABEL (0x0204): inline XLUnicodeString cell, both byte widths."""
+    from pdf_document_extractor_spark.core.ole_write import (
+        _bof,
+        _rec,
+        _xl_string,
+    )
+
+    g = (
+        _bof(0x0005)
+        + _rec(0x00FC, struct.pack("<II", 0, 0))
+        + _rec(0x0085, struct.pack("<IBBB", 0, 0, 0, 1) + b"\x00S")
+        + _rec(0x000A, b"")
+    )
+    glen = len(g)
+    g = (
+        _bof(0x0005)
+        + _rec(0x00FC, struct.pack("<II", 0, 0))
+        + _rec(0x0085, struct.pack("<IBBB", glen, 0, 0, 1) + b"\x00S")
+        + _rec(0x000A, b"")
+    )
+    sheet = (
+        _bof(0x0010)
+        + _rec(0x0204, struct.pack("<HHH", 0, 0, 0) + _xl_string("inline"))
+        + _rec(0x0204, struct.pack("<HHH", 0, 1, 0) + _xl_string("中文"))
+        + _rec(0x000A, b"")
+    )
+    res = extract_ole2(write_cfb([("Workbook", g + sheet)]), "0" * 16)
+    assert res.pages[0].content == "inline 中文"
