@@ -11,9 +11,12 @@ classic xref tables AND cross-reference streams (``/Type /XRef``, PDF 1.5+)
 with PNG/TIFF predictors, object streams (``/Type /ObjStm``), hybrid-reference
 files (``/XRefStm``), and incremental updates (``/Prev`` chains, newest
 section wins, free entries tombstone); ``/Type /Page`` tree (inherited
-``/Resources``), content streams raw or FlateDecode, text via
-``BT/Tf/Td/TD/Tm/TL/T*/Tj/TJ/ET`` with literal AND ``<...>`` hex show
-strings; fonts: simple fonts (latin-1 pinned default; ``/WinAnsiEncoding``
+``/Resources``), content streams raw or filtered (FlateDecode, LZWDecode,
+ASCIIHexDecode, ASCII85Decode, RunLengthDecode, cascades), text via
+``BT/Tf/Td/TD/Tm/TL/T*/Tj/TJ/'/"/ET`` with literal AND ``<...>`` hex show
+strings, inline images (``BI..ID..EI``) skipped, text inside ``/Subtype
+/Form`` XObjects followed through ``Do`` (cycle/depth capped, no CTM
+modeling); fonts: simple fonts (latin-1 pinned default; ``/WinAnsiEncoding``
 / ``/MacRomanEncoding`` bases, ``/Differences`` glyph-name overrides,
 per-code ``/ToUnicode``) and Type0/CID composite fonts (``/Identity-H|V``
 + ``/ToUnicode`` bfchar/bfrange CMaps — the subset-embedded-font shape
@@ -1047,6 +1050,46 @@ def _fonts_for_page(objs: _Objects, resources, cache: dict) -> dict[str, tuple]:
     return out
 
 
+MAX_FORM_DEPTH = 8
+
+
+def _form_xobjects(
+    objs: _Objects, resources, font_cache: dict, depth: int = 0,
+    seen: frozenset = frozenset(),
+) -> dict[str, tuple]:
+    """Resource-name -> (content bytes, fonts, nested xobjects) for every
+    ``/Subtype /Form`` XObject reachable from ``resources`` — text inside
+    form XObjects is real page text (pdflatex and many generators wrap
+    whole pages in one); ignoring ``Do`` would silently drop it. Image
+    XObjects are skipped. A form without its own /Resources inherits the
+    parent's (PDF 32000 8.10.1 legacy behavior); self-referencing forms
+    are cut by the seen-set and a depth cap."""
+    if depth >= MAX_FORM_DEPTH:
+        return {}
+    res = objs.resolve(resources)
+    if not isinstance(res, dict):
+        return {}
+    xdict = objs.resolve(res.get("XObject"))
+    if not isinstance(xdict, dict):
+        return {}
+    out: dict[str, tuple] = {}
+    for name, ref in xdict.items():
+        num = ref[0] if isinstance(ref, _Ref) else None
+        if num is not None and num in seen:
+            continue  # reference cycle
+        xobj = objs.resolve(ref)
+        if not isinstance(xobj, _Stream) or xobj.dict.get("Subtype") != "Form":
+            continue
+        child_seen = seen | ({num} if num is not None else set())
+        fres = xobj.dict.get("Resources", resources)
+        out[name] = (
+            xobj.decoded(),
+            _fonts_for_page(objs, fres, font_cache),
+            _form_xobjects(objs, fres, font_cache, depth + 1, child_seen),
+        )
+    return out
+
+
 def _decode_shown(dec: tuple, raw: bytes) -> str:
     """Show-operand bytes -> text through the current font's decoder."""
     kind = dec[0]
@@ -1094,6 +1137,10 @@ _CS_TOKEN = re.compile(
 )
 
 
+_INLINE_ID_RE = re.compile(rb"\bID[\x00\t\n\x0c\r ]")
+_INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|\Z)")
+
+
 def _tokenize_content(data: bytes):
     pos = 0
     n = len(data)
@@ -1126,24 +1173,47 @@ def _tokenize_content(data: bytes):
                 tok = m.group("num")
                 yield ("num", float(tok) if b"." in tok else int(tok))
             elif m.group("op") is not None:
-                yield ("op", m.group("op").decode("latin-1"))
+                op = m.group("op").decode("latin-1")
+                if op == "BI":
+                    # inline image (PDF 32000 8.9.7): skip the dict and
+                    # the raw binary to past EI — without this, the
+                    # binary bytes would poison the tokenizer and fail
+                    # the WHOLE page even though its text is extractable
+                    mid = _INLINE_ID_RE.search(data, pos)
+                    if mid is None:
+                        raise CorruptedFileError("inline image without ID")
+                    mei = _INLINE_EI_RE.search(data, mid.end())
+                    if mei is None:
+                        raise CorruptedFileError("inline image without EI")
+                    pos = mei.end()
+                    continue
+                yield ("op", op)
 
 
 def _shows_from_content(
-    data: bytes, fonts: dict[str, tuple] | None = None
+    data: bytes,
+    fonts: dict[str, tuple] | None = None,
+    xobjects: dict[str, tuple] | None = None,
+    shows: list[_Show] | None = None,
 ) -> list[_Show]:
     """Interpret the text operators of one page's content stream(s).
 
     ``fonts`` maps resource names (the ``Tf`` operand) to font decoders;
     show-string BYTES decode through the current font (latin-1 when the
-    font is unknown — the pinned fixture default).
+    font is unknown — the pinned fixture default). ``xobjects`` maps
+    ``Do`` operand names to (content, fonts, nested) form-XObject tuples
+    interpreted recursively into the SAME ``shows`` accumulator (depth
+    and cycle caps live in _form_xobjects); form coordinates are taken
+    as-is — no CTM modeling, matching the common whole-page
+    identity-matrix wrapper shape.
 
     The show-event bomb cap is enforced INSIDE the loop: a 256 MB stream
     of tiny Tj ops must fail before materializing millions of records,
     not after."""
     if fonts is None:
         fonts = {}
-    shows: list[_Show] = []
+    if shows is None:
+        shows = []
     stack: list = []  # operand stack (numbers, byte-strings, names, arrays)
     in_array: list | None = None
     size = 0.0
@@ -1188,7 +1258,13 @@ def _shows_from_content(
                 leading = float(stack[-1])
         elif op == "T*":
             y -= leading
-        elif op == "Tj":
+        elif op in ("Tj", "'", '"'):
+            # ' = T* then show; " = set word/char spacing, T*, show
+            # (PDF 32000 9.4.3) — both are next-line show operators real
+            # writers emit line by line; dropping them would silently
+            # lose every line after the first
+            if op in ("'", '"'):
+                y -= leading
             if stack and isinstance(stack[-1], bytes):
                 raw = stack[-1]
                 text = (
@@ -1220,6 +1296,12 @@ def _shows_from_content(
                     raise OversizeDocumentError(
                         f"page exceeds {MAX_SHOWS_PER_PAGE} text shows"
                     )
+        elif op == "Do":
+            if xobjects and stack and isinstance(stack[-1], str):
+                entry = xobjects.get(stack[-1])
+                if entry is not None:  # form XObject: recurse in place
+                    fdata, ffonts, fxobjs = entry
+                    _shows_from_content(fdata, ffonts, fxobjs, shows)
         # ET and any other operator: no state change needed
         stack.clear()
     return shows
@@ -1313,6 +1395,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     font_cache: dict = {}  # font object -> decoder, shared across pages
     for page_no, (node, resources) in enumerate(page_nodes, start=1):
         fonts = _fonts_for_page(objs, resources, font_cache)
+        xobjs = _form_xobjects(objs, resources, font_cache)
         media = objs.resolve(node.get("MediaBox")) or [0, 0, 612, PAGE_HEIGHT_DEFAULT]
         page_height = float(objs.resolve(media[3])) if len(media) >= 4 else PAGE_HEIGHT_DEFAULT
         contents = objs.resolve(node.get("Contents"))
@@ -1331,7 +1414,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
                         f"page {page_no} content streams exceed "
                         f"{MAX_DECODED_STREAM} bytes combined"
                     )
-        shows = _shows_from_content(bytes(blob), fonts)  # cap enforced in-loop
+        shows = _shows_from_content(bytes(blob), fonts, xobjs)  # cap in-loop
         lines = _group_lines(shows)
         table_spans = _find_tables(lines)
         in_table_rows: dict[int, int] = {}  # line idx -> table idx (local)

@@ -522,3 +522,95 @@ def test_tj_array_mixes_hex_literal_and_kerning():
         b"BT /F1 10 Tf 72 720 Td [(He) -250 <6c6c6f> 120 ( world)] TJ ET"
     )
     assert [s.text for s in shows] == ["Hello world"]
+
+
+def test_apostrophe_and_quote_show_operators():
+    """' (next-line show) and \" (spacing + next-line show) carry text;
+    dropping them would lose every line after the first in line-by-line
+    writers (PDF 32000 9.4.3)."""
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _shows_from_content,
+    )
+
+    content = (
+        b"BT /F1 10 Tf 14 TL 72 720 Td (first) Tj "
+        b"(second) ' 2 1 (third) \" ET"
+    )
+    shows = _shows_from_content(content)
+    assert [(s.text, s.y) for s in shows] == [
+        ("first", 720.0), ("second", 706.0), ("third", 692.0),
+    ]
+
+
+def test_inline_image_is_skipped_not_poisonous():
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _shows_from_content,
+    )
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    content = (
+        b"BT /F1 10 Tf 72 720 Td (before) Tj ET\n"
+        b"BI /W 4 /H 4 /BPC 8 /CS /G ID \x00\x01\xff\xfe(\\\x99\x82 EI\n"
+        b"BT /F1 10 Tf 72 700 Td (after) Tj ET"
+    )
+    shows = _shows_from_content(content)
+    assert [s.text for s in shows] == ["before", "after"]
+    with _pytest.raises(CorruptedFileError, match="EI"):
+        _shows_from_content(b"BI /W 4 ID \x00\x01\x02")
+
+
+def test_form_xobject_text_is_extracted():
+    """Text inside a /Subtype /Form XObject (the pdflatex whole-page
+    wrapper shape) must reach the output, with the form's OWN font
+    resources applying inside it."""
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    form_content = b"BT /F1 10 Tf 72 700 Td (\x80 inside form) Tj ET"
+    page_content = b"BT /F1 10 Tf 72 720 Td (page text) Tj ET\n/X1 Do"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        # form with its own WinAnsi font under the same resource name F1
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 7 0 R >> >> /Length "
+        + str(len(form_content)).encode()
+        + b" >>\nstream\n" + form_content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 6 0 R /Resources << /Font << /F1 3 0 R >> "
+        b"/XObject << /X1 4 0 R >> >> >>",
+        b"<< /Length " + str(len(page_content)).encode() + b" >>\nstream\n"
+        + page_content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+    ]
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    # page font is default latin-1; form font decodes 0x80 as € (WinAnsi)
+    assert res.pages[0].content == "Page 1\n\npage text\n€ inside form\n"
+
+
+def test_form_xobject_cycle_is_cut():
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    # form X1 invokes itself — the seen-set must cut the cycle
+    form_content = b"BT /F1 10 Tf 72 700 Td (loop) Tj ET\n/X1 Do"
+    page_content = b"/X1 Do"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Length " + str(len(form_content)).encode()
+        + b" >>\nstream\n" + form_content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 6 0 R /Resources << /Font << /F1 3 0 R >> "
+        b"/XObject << /X1 4 0 R >> >> >>",
+        b"<< /Length " + str(len(page_content)).encode() + b" >>\nstream\n"
+        + page_content + b"\nendstream",
+    ]
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    assert res.pages[0].content == "Page 1\n\nloop\n"
