@@ -299,6 +299,19 @@ def q_extract_pdf_ascii85(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_formxobject(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Form-XObject pages (M1 dialect widening): text inside /Subtype
+    /Form reached via the Do operator, form Resources applying inside."""
+    return _extracted(spark, sf_dir, "pdf_form").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("page_count").cast("long").alias("page_count"),
+    )
+
+
 def q_extract_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG/JPEG inputs (reference MIME types png/jpg,
     lib/models/mime_type.py:11-12): header-only dimension probes emit a
@@ -1231,6 +1244,13 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS page_count
         FROM documents
     """,
+    "extract_pdf_formxobject": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
+               {_WORDS} + 2 AS word_count,
+               CAST(1 AS BIGINT) AS page_count
+        FROM documents
+    """,
     "extract_image_metadata": """
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0
@@ -1928,6 +1948,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_tounicode": q_extract_pdf_tounicode,
         "extract_pdf_encdiff": q_extract_pdf_encdiff,
         "extract_pdf_ascii85": q_extract_pdf_ascii85,
+        "extract_pdf_formxobject": q_extract_pdf_formxobject,
         "extract_image_metadata": q_extract_image_metadata,
         "extract_pdf_markdown": q_extract_pdf_markdown,
         "extract_txt_content": q_extract_txt_content,

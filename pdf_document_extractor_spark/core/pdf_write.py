@@ -572,3 +572,51 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
     if nbits:
         out.append((acc << (8 - nbits)) & 0xFF)
     return bytes(out)
+
+
+# --- Form-XObject wrapper variant -------------------------------------------
+
+
+def write_pdf_form(pages: list[PdfPageSpec]) -> bytes:
+    """Classic layout but each page's text lives inside ONE /Subtype
+    /Form XObject invoked by ``/X1 Do`` (the pdflatex/Ghostscript
+    whole-page wrapper shape; parser: _form_xobjects + the Do handler).
+    Objects: 1=Catalog 2=Pages 3=Font, then per page: page dict, form
+    XObject, page content (just the Do)."""
+    n_pages = len(pages)
+    page_ids = [4 + 3 * i for i in range(n_pages)]
+    objects: list[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{oid} 0 R" for oid in page_ids)
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    for i, page in enumerate(pages):
+        page_id = 4 + 3 * i
+        form_id = page_id + 1
+        content_id = page_id + 2
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 {PAGE_WIDTH:g} {PAGE_HEIGHT:g}] "
+                f"/Contents {content_id} 0 R "
+                f"/Resources << /Font << /F1 3 0 R >> "
+                f"/XObject << /X1 {form_id} 0 R >> >> >>"
+            ).encode()
+        )
+        data = _content_stream(page)
+        objects.append(
+            (
+                f"<< /Type /XObject /Subtype /Form "
+                f"/BBox [0 0 {PAGE_WIDTH:g} {PAGE_HEIGHT:g}] "
+                f"/Length {len(data)} >>"
+            ).encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+        page_content = b"/X1 Do"
+        objects.append(
+            f"<< /Length {len(page_content)} >>".encode()
+            + b"\nstream\n" + page_content + b"\nendstream"
+        )
+    return _serialize_classic(objects)

@@ -257,6 +257,14 @@ def synth_pdf_a85_payload(text: str) -> bytes:
     return write_pdf_a85([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
 
 
+def synth_pdf_form_payload(text: str) -> bytes:
+    """Form-XObject-wrapped page (/X1 Do invoking a /Subtype /Form — the
+    pdflatex whole-page wrapper). Same oracle as mode='pdf'."""
+    from ..core.pdf_write import write_pdf_form
+
+    return write_pdf_form([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
+
+
 def synth_pdf_hdr_payload(text: str) -> bytes:
     """18pt header line (first 3 tokens) above a 10pt body line (the rest):
     the font-size header/body labeling signal (HEADER_SIZE_MIN=14)."""
@@ -380,6 +388,8 @@ def synth_payload(
         return synth_pdf_encdiff_payload(text)
     if mode == "pdf_a85":
         return synth_pdf_a85_payload(text)
+    if mode == "pdf_form":
+        return synth_pdf_form_payload(text)
     if mode == "image":
         return synth_image_payload(doc_id)
     if mode == "doc":
