@@ -208,6 +208,14 @@ def write_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     n_fat = 1
     while -(-(n_data + n_fat) // 128) != n_fat:
         n_fat = -(-(n_data + n_fat) // 128)
+    if n_fat > 109:
+        # the writer fills only the header's 109 DIFAT slots (no chained
+        # DIFAT sectors); past that it would emit a container its own
+        # reader rejects — fail loudly instead (~7 MB payload ceiling)
+        raise ValueError(
+            f"write_cfb payload needs {n_fat} FAT sectors; only 109 header "
+            "DIFAT slots are implemented"
+        )
     total = n_data + n_fat
 
     fat = [FREESECT] * (n_fat * 128)

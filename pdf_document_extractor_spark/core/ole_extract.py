@@ -378,12 +378,16 @@ def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
                 for j in range(nrk):
                     _ixfe, rk = struct.unpack_from("<HI", payload, 4 + 6 * j)
                     cells[(rw, col_first + j)] = _fmt_number(_rk_value(rk))
-        # grid in (row, col) order (mirrors xlsx rule 11 document order)
-        rows: list[list[str]] = []
-        for rw in sorted({k[0] for k in cells}):
-            row = [cells[k] for k in sorted(cells) if k[0] == rw]
-            if row:
-                rows.append(row)
+        # grid in (row, col) order (mirrors xlsx rule 11 document order);
+        # ONE sort + groupby, not a re-sort per row
+        from itertools import groupby
+
+        rows: list[list[str]] = [
+            [v for _k, v in grp]
+            for _rw, grp in groupby(
+                sorted(cells.items()), key=lambda kv: kv[0][0]
+            )
+        ]
         lines = [" ".join(r) for r in rows]
         content = "\n".join(lines)
         if content:

@@ -292,6 +292,9 @@ def _ascii85_decode(data: bytes) -> bytes:
             if group:
                 raise CorruptedFileError("'z' inside ASCII85 group")
             out += b"\x00\x00\x00\x00"
+            if len(out) > MAX_DECODED_STREAM:  # a z-run is the cheapest
+                # possible bomb — the cap must apply to this branch too
+                raise OversizeDocumentError("ASCII85 stream exceeds decode cap")
             continue
         if not 0x21 <= c <= 0x75:  # '!'..'u'
             raise CorruptedFileError(f"invalid ASCII85 byte {c:#x}")
@@ -385,7 +388,11 @@ def _lzw_decode(data: bytes, early: int = 1) -> bytes:
             if len(out) > MAX_DECODED_STREAM:
                 raise OversizeDocumentError("LZW stream exceeds decode cap")
             prev = entry
-            if len(table) + early - 1 >= (1 << width) and width < 12:
+            # width bump convention (pdfminer/pdf.js-compatible): with
+            # EarlyChange=1 the switch to 10 bits happens at table size
+            # 511, not 512 — one off and every real-encoder stream
+            # desyncs past ~510 entries
+            if len(table) + early >= (1 << width) and width < 12:
                 width += 1
     return bytes(out)  # EOD-less streams: spec-lenient like real readers
 
@@ -886,20 +893,24 @@ _AGL_SUBSET = {
 }
 
 
+_UNI_HEX_RE = re.compile(r"[0-9A-F]{4}")
+_U_HEX_RE = re.compile(r"[0-9A-F]{4,6}")
+
+
 def _glyph_to_unicode(name: str) -> str:
     """AGL resolution: uniXXXX / uXXXX[XX] algorithmic names, single-char
     names, the AGL subset — unknown names become U+FFFD."""
+    # Algorithmic forms take UPPERCASE hex per the AGL spec — a
+    # lowercase-hex match would shadow real AGL names like 'uacute'
+    # ('acute' parses as hex!) and mangle them to U+FFFD
     if name.startswith("uni") and len(name) >= 7:
-        try:
-            return chr(int(name[3:7], 16))
-        except ValueError:
-            return _UNDEF
-    if name.startswith("u") and 5 <= len(name) <= 7:
-        try:
+        m = _UNI_HEX_RE.match(name, 3)
+        if m is not None:
+            return chr(int(m.group(0), 16))
+    elif name.startswith("u") and 5 <= len(name) <= 7:
+        if _U_HEX_RE.fullmatch(name, 1) is not None:
             cp = int(name[1:], 16)
-        except ValueError:
-            return _UNDEF
-        return chr(cp) if cp <= 0x10FFFF else _UNDEF
+            return chr(cp) if cp <= 0x10FFFF else _UNDEF
     if len(name) == 1 and " " <= name <= "~":
         return name
     return _AGL_SUBSET.get(name, _UNDEF)
@@ -1054,7 +1065,8 @@ MAX_FORM_DEPTH = 8
 
 
 def _form_xobjects(
-    objs: _Objects, resources, font_cache: dict, depth: int = 0,
+    objs: _Objects, resources, font_cache: dict,
+    decoded_cache: dict | None = None, depth: int = 0,
     seen: frozenset = frozenset(),
 ) -> dict[str, tuple]:
     """Resource-name -> (content bytes, fonts, nested xobjects) for every
@@ -1082,10 +1094,20 @@ def _form_xobjects(
             continue
         child_seen = seen | ({num} if num is not None else set())
         fres = xobj.dict.get("Resources", resources)
+        # decode once per form OBJECT, not once per page — inherited
+        # /Resources would otherwise re-inflate every form on every page
+        if decoded_cache is not None and num is not None:
+            if num not in decoded_cache:
+                decoded_cache[num] = xobj.decoded()
+            data = decoded_cache[num]
+        else:
+            data = xobj.decoded()
         out[name] = (
-            xobj.decoded(),
+            data,
             _fonts_for_page(objs, fres, font_cache),
-            _form_xobjects(objs, fres, font_cache, depth + 1, child_seen),
+            _form_xobjects(
+                objs, fres, font_cache, decoded_cache, depth + 1, child_seen
+            ),
         )
     return out
 
@@ -1393,9 +1415,10 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     pages: list[PageResult] = []
     table_counter = 0
     font_cache: dict = {}  # font object -> decoder, shared across pages
+    form_cache: dict = {}  # form obj num -> decoded bytes, shared
     for page_no, (node, resources) in enumerate(page_nodes, start=1):
         fonts = _fonts_for_page(objs, resources, font_cache)
-        xobjs = _form_xobjects(objs, resources, font_cache)
+        xobjs = _form_xobjects(objs, resources, font_cache, form_cache)
         media = objs.resolve(node.get("MediaBox")) or [0, 0, 612, PAGE_HEIGHT_DEFAULT]
         page_height = float(objs.resolve(media[3])) if len(media) >= 4 else PAGE_HEIGHT_DEFAULT
         contents = objs.resolve(node.get("Contents"))

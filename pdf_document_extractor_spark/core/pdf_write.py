@@ -558,7 +558,11 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
         emit(table[seq])
         table[nxt] = next_code
         next_code += 1
-        if next_code + early - 1 > (1 << width) and width < 12:
+        # same pdfminer/pdf.js width-bump convention as _lzw_decode.
+        # The decoder's table is ONE entry behind this dict (it cannot
+        # add on the first code after a clear), so its size here is
+        # next_code - 1 — bump exactly when the decoder does
+        if next_code - 1 + early >= (1 << width) and width < 12:
             width += 1
         if next_code >= 4096:  # table full: clear
             emit(256)

@@ -213,8 +213,12 @@ def media_features(
 
 # Decompression-bomb guard (M12/D6 pixel dimension caps — reference
 # src/utils/image_validator.py:13-14: 100 MP total, 8192 px per side).
-MAX_IMAGE_PIXELS = 100_000_000
-MAX_IMAGE_DIMENSION = 8192
+# Single definition in core/image_extract.py so the header-probe path and
+# this pixel path can never drift apart.
+from ..core.image_extract import (  # noqa: E402
+    MAX_IMAGE_DIMENSION,
+    MAX_IMAGE_PIXELS,
+)
 
 
 def _pil():

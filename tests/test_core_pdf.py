@@ -614,3 +614,56 @@ def test_form_xobject_cycle_is_cut():
     ]
     res = extract_pdf(_serialize_classic(objects), "0" * 16)
     assert res.pages[0].content == "Page 1\n\nloop\n"
+
+
+def test_lzw_width_bump_matches_reference_convention():
+    """EarlyChange=1 switches 9->10 bits at table size 511 (the
+    pdfminer/pdf.js convention) — one off and every real-encoder stream
+    desyncs past ~510 entries. Bitstream built independently here."""
+    from pdf_document_extractor_spark.core.pdf_extract import _lzw_decode
+
+    codes = [(256, 9)]
+    size, width = 258, 9
+    for i in range(256):  # 256 literals cross the 511 boundary
+        codes.append((i, width))
+        if i > 0:
+            size += 1
+            if size + 1 >= (1 << width):
+                width += 1
+    codes.append((257, width))
+    acc = nbits = 0
+    out = bytearray()
+    for code, w in codes:
+        acc = (acc << w) | code
+        nbits += w
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    assert _lzw_decode(bytes(out)) == bytes(range(256))
+
+
+def test_glyph_names_uacute_not_shadowed_by_algorithmic_form():
+    from pdf_document_extractor_spark.core.pdf_extract import _glyph_to_unicode
+
+    # 'acute'/'grave' parse as lowercase hex — the algorithmic uXXXX form
+    # takes UPPERCASE only (AGL spec), so these resolve through the table
+    assert _glyph_to_unicode("uacute") == "ú"
+    assert _glyph_to_unicode("ugrave") == "ù"
+    assert _glyph_to_unicode("uni00E9") == "é"
+    assert _glyph_to_unicode("u1F600") == "😀"
+    assert _glyph_to_unicode("uni00e9") == "�"  # lowercase hex: not AGL
+
+
+def test_ascii85_z_run_hits_bomb_cap(monkeypatch):
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core import pdf_extract as pe
+    from pdf_document_extractor_spark.core.taxonomy import (
+        OversizeDocumentError,
+    )
+
+    monkeypatch.setattr(pe, "MAX_DECODED_STREAM", 1024)
+    with _pytest.raises(OversizeDocumentError):
+        pe._ascii85_decode(b"z" * 300 + b"~>")
