@@ -180,6 +180,12 @@ def write_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     reader's mini path is exercised by every fixture); larger ones chain
     through the FAT."""
     ssz = 512
+    names = [n for n, _b in streams]
+    if len(set(names)) != len(names):
+        # the start maps below are keyed by name: duplicates would make
+        # every same-named directory entry point at the LAST copy's
+        # sectors, quietly contradicting the reader's first-wins rule
+        raise ValueError(f"duplicate stream names: {sorted(names)}")
     small = [(n, b) for n, b in streams if 0 < len(b) < MINI_CUTOFF]
     big = [(n, b) for n, b in streams if len(b) >= MINI_CUTOFF]
 

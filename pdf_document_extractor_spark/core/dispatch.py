@@ -53,9 +53,11 @@ CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
     (b"%!PS", "postscript document"),
 )
 
-PNG_MAGIC_PREFIX = b"\x89PNG\r\n"
-JPEG_MAGIC_PREFIX = b"\xff\xd8\xff"
-OLE2_MAGIC = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+# magic constants come from the modules that parse them — the sniffer
+# and the extractor can never drift apart (same rule as the image caps)
+from .cfb import CFB_MAGIC as OLE2_MAGIC  # noqa: E402
+from .image_extract import JPEG_MAGIC, PNG_MAGIC  # noqa: E402
+
 DOC_TYPE_OLE2 = "ole2"  # sniffed container before doc/xls subtype resolves
 
 # How many leading bytes decide html-vs-txt (pinned: a '<' anywhere in the
@@ -82,11 +84,11 @@ def sniff_doc_type(data: bytes) -> str:
         return DOC_TYPE_OOXML
     if data[: len(RTF_MAGIC)] == RTF_MAGIC:
         return DOC_TYPE_RTF
-    if data[:6] == PNG_MAGIC_PREFIX:
+    if data[: len(PNG_MAGIC)] == PNG_MAGIC:  # full 8-byte signature
         return DOC_TYPE_PNG
-    if data[:3] == JPEG_MAGIC_PREFIX:
+    if data[: len(JPEG_MAGIC)] == JPEG_MAGIC:
         return DOC_TYPE_JPG
-    if data[:8] == OLE2_MAGIC:
+    if data[: len(OLE2_MAGIC)] == OLE2_MAGIC:
         return DOC_TYPE_OLE2
     head = data[:TEXT_SNIFF_WINDOW]
     if b"<" in head:

@@ -108,7 +108,7 @@ def _validate_dims(width: int, height: int) -> None:
 
 def extract_image(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     """PNG/JPEG bytes -> metadata-only success row (pinned rule 4)."""
-    if data[: len(PNG_MAGIC)] == PNG_MAGIC or data[:6] == PNG_MAGIC[:6]:
+    if data[: len(PNG_MAGIC)] == PNG_MAGIC:
         doc_type = DOC_TYPE_PNG
         width, height = png_dimensions(data)
     elif data[:3] == JPEG_MAGIC:

@@ -45,6 +45,7 @@ XLS:
 
 from __future__ import annotations
 
+import math
 import struct
 
 from .cfb import read_cfb
@@ -98,20 +99,25 @@ def _extract_doc(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
         raise CorruptedFileError(f"FIB selects missing {table_name} stream")
 
     # walk the variable-length FIB to the FcLcb array (robust across nFib
-    # revisions, MS-DOC 2.5.1): base(32) csw fibRgW cslw fibRgLw cbRgFcLcb
-    pos = 0x20
-    csw = struct.unpack_from("<H", word, pos)[0]
-    pos += 2 + 2 * csw
-    cslw = struct.unpack_from("<H", word, pos)[0]
-    fib_rg_lw = pos + 2
-    pos += 2 + 4 * cslw
-    cb_rg_fc_lcb = struct.unpack_from("<H", word, pos)[0]
-    fc_lcb = pos + 2
-    if cslw < 4 or cb_rg_fc_lcb < 34:
-        raise CorruptedFileError("FIB too small for ccpText/fcClx")
-    ccp_text = struct.unpack_from("<I", word, fib_rg_lw + 3 * 4)[0]
-    fc_clx = struct.unpack_from("<I", word, fc_lcb + 33 * 8)[0]
-    lcb_clx = struct.unpack_from("<I", word, fc_lcb + 33 * 8 + 4)[0]
+    # revisions, MS-DOC 2.5.1): base(32) csw fibRgW cslw fibRgLw cbRgFcLcb.
+    # csw/cslw are UNTRUSTED — crafted values must become the typed
+    # taxonomy error, not a raw struct.error escaping as error_type 'error'
+    try:
+        pos = 0x20
+        csw = struct.unpack_from("<H", word, pos)[0]
+        pos += 2 + 2 * csw
+        cslw = struct.unpack_from("<H", word, pos)[0]
+        fib_rg_lw = pos + 2
+        pos += 2 + 4 * cslw
+        cb_rg_fc_lcb = struct.unpack_from("<H", word, pos)[0]
+        fc_lcb = pos + 2
+        if cslw < 4 or cb_rg_fc_lcb < 34:
+            raise CorruptedFileError("FIB too small for ccpText/fcClx")
+        ccp_text = struct.unpack_from("<I", word, fib_rg_lw + 3 * 4)[0]
+        fc_clx = struct.unpack_from("<I", word, fc_lcb + 33 * 8)[0]
+        lcb_clx = struct.unpack_from("<I", word, fc_lcb + 33 * 8 + 4)[0]
+    except struct.error as exc:
+        raise CorruptedFileError(f"FIB walk out of bounds: {exc}") from exc
     if ccp_text > _MAX_TEXT_CHARS:
         raise CorruptedFileError(f"ccpText {ccp_text} exceeds text cap")
     if lcb_clx == 0 or fc_clx + lcb_clx > len(table):
@@ -295,8 +301,9 @@ def _parse_sst(segments: list[bytes]) -> list[str]:
 
 
 def _fmt_number(v: float) -> str:
-    """Pinned rule 7."""
-    if v == int(v) and abs(v) < 1e15:
+    """Pinned rule 7; NaN/Infinity render via repr ('nan'/'inf') — int()
+    on them raises, which would escape the taxonomy as ValueError."""
+    if math.isfinite(v) and v == int(v) and abs(v) < 1e15:
         return str(int(v))
     return repr(v)
 
@@ -313,19 +320,62 @@ def _rk_value(rk: int) -> float:
     return v / 100.0 if rk & 0x01 else v
 
 
+def _fill_sheet_cells(
+    wb: bytes, start: int, sst: list[str], cells: dict
+) -> None:
+    """One sheet substream's cell records -> (rw, col) -> text."""
+    for rid, payload, _pos in _records(wb, start):
+        if rid == 0x00FD:  # LABELSST
+            rw, col, _ixfe, isst = struct.unpack_from("<HHHI", payload, 0)
+            if isst >= len(sst):
+                raise CorruptedFileError(f"LABELSST isst {isst} out of range")
+            cells[(rw, col)] = sst[isst]
+        elif rid == 0x0203:  # NUMBER
+            rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
+            (v,) = struct.unpack_from("<d", payload, 6)
+            cells[(rw, col)] = _fmt_number(v)
+        elif rid == 0x027E:  # RK
+            rw, col, _ixfe, rk = struct.unpack_from("<HHHI", payload, 0)
+            cells[(rw, col)] = _fmt_number(_rk_value(rk))
+        elif rid == 0x0204:  # LABEL: inline XLUnicodeString cell
+            rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
+            if len(payload) < 9:
+                raise CorruptedFileError("truncated LABEL record")
+            cch, lflags = struct.unpack_from("<HB", payload, 6)
+            nbytes = cch * 2 if lflags & 0x01 else cch
+            raw = payload[9 : 9 + nbytes]
+            if len(raw) != nbytes:
+                raise CorruptedFileError("truncated LABEL string")
+            cells[(rw, col)] = (
+                raw.decode("utf-16-le", "replace")
+                if lflags & 0x01
+                else raw.decode("latin-1")
+            )
+        elif rid == 0x00BD:  # MULRK
+            rw, col_first = struct.unpack_from("<HH", payload, 0)
+            nrk = (len(payload) - 6) // 6
+            for j in range(nrk):
+                _ixfe, rk = struct.unpack_from("<HI", payload, 4 + 6 * j)
+                cells[(rw, col_first + j)] = _fmt_number(_rk_value(rk))
+
+
 def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
     wb = streams.get("Workbook", streams.get("Book", b""))
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []  # (name, substream offset)
-    globals_recs = list(_records(wb))
-    for idx, (rid, payload, _pos) in enumerate(globals_recs):
-        if rid == 0x00FC:  # SST (+ any directly-following Continue spills)
-            segments = [payload]
-            for nrid, npayload, _np in globals_recs[idx + 1 :]:
-                if nrid != 0x003C:
-                    break
-                segments.append(npayload)
-            sst = _parse_sst(segments)
+    # STREAM the globals walk (stop at its EOF) — list(_records(wb))
+    # would materialize and copy every cell payload of every sheet
+    # substream just to find SST/BOUNDSHEET, doubling per-doc CPU+memory
+    sst_segments: list[bytes] | None = None
+    for rid, payload, _pos in _records(wb):
+        if sst_segments is not None and rid == 0x003C:  # SST Continue spill
+            sst_segments.append(payload)
+            continue
+        if sst_segments is not None:  # first non-Continue ends the spill
+            sst = _parse_sst(sst_segments)
+            sst_segments = None
+        if rid == 0x00FC:  # SST
+            sst_segments = [payload]
         elif rid == 0x0085:  # BOUNDSHEET
             if len(payload) < 8:
                 raise CorruptedFileError("truncated BOUNDSHEET")
@@ -335,6 +385,8 @@ def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
             sheets.append((name, lb_ply_pos))
         elif rid == 0x000A and sheets:
             break  # end of globals substream
+    if sst_segments is not None:  # SST was the last globals record
+        sst = _parse_sst(sst_segments)
     if not sheets:
         raise CorruptedFileError("workbook has no BOUNDSHEET records")
 
@@ -345,39 +397,13 @@ def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
         if start >= len(wb):
             raise CorruptedFileError("BOUNDSHEET offset beyond workbook")
         cells: dict[tuple[int, int], str] = {}
-        for rid, payload, _pos in _records(wb, start):
-            if rid == 0x00FD:  # LABELSST
-                rw, col, _ixfe, isst = struct.unpack_from("<HHHI", payload, 0)
-                if isst >= len(sst):
-                    raise CorruptedFileError(f"LABELSST isst {isst} out of range")
-                cells[(rw, col)] = sst[isst]
-            elif rid == 0x0203:  # NUMBER
-                rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
-                (v,) = struct.unpack_from("<d", payload, 6)
-                cells[(rw, col)] = _fmt_number(v)
-            elif rid == 0x027E:  # RK
-                rw, col, _ixfe, rk = struct.unpack_from("<HHHI", payload, 0)
-                cells[(rw, col)] = _fmt_number(_rk_value(rk))
-            elif rid == 0x0204:  # LABEL: inline XLUnicodeString cell
-                rw, col, _ixfe = struct.unpack_from("<HHH", payload, 0)
-                if len(payload) < 9:
-                    raise CorruptedFileError("truncated LABEL record")
-                cch, lflags = struct.unpack_from("<HB", payload, 6)
-                nbytes = cch * 2 if lflags & 0x01 else cch
-                raw = payload[9 : 9 + nbytes]
-                if len(raw) != nbytes:
-                    raise CorruptedFileError("truncated LABEL string")
-                cells[(rw, col)] = (
-                    raw.decode("utf-16-le", "replace")
-                    if lflags & 0x01
-                    else raw.decode("latin-1")
-                )
-            elif rid == 0x00BD:  # MULRK
-                rw, col_first = struct.unpack_from("<HH", payload, 0)
-                nrk = (len(payload) - 6) // 6
-                for j in range(nrk):
-                    _ixfe, rk = struct.unpack_from("<HI", payload, 4 + 6 * j)
-                    cells[(rw, col_first + j)] = _fmt_number(_rk_value(rk))
+        # short/crafted record payloads must fail TYPED, not as struct.error
+        try:
+            _fill_sheet_cells(wb, start, sst, cells)
+        except struct.error as exc:
+            raise CorruptedFileError(
+                f"truncated BIFF record fields: {exc}"
+            ) from exc
         # grid in (row, col) order (mirrors xlsx rule 11 document order);
         # ONE sort + groupby, not a re-sort per row
         from itertools import groupby

@@ -263,9 +263,6 @@ _FILTER_ALIASES = {  # inline-image short names (PDF 32000 table 94)
     "LZW": "LZWDecode",
 }
 
-_A85_STRIP = bytes(_WS)
-
-
 def _asciihex_decode(data: bytes) -> bytes:
     """ASCIIHexDecode (PDF 32000 7.4.2): whitespace ignored, ``>`` EOD,
     odd final digit padded with 0."""
@@ -997,12 +994,16 @@ def _font_decoder(objs: _Objects, font_obj) -> tuple:
 
     if font.get("Subtype") == "Type0":
         enc = objs.resolve(font.get("Encoding"))
-        if enc not in ("Identity-H", "Identity-V"):
-            raise UnsupportedFormatError(
-                f"Type0 font /Encoding {enc!r} unsupported (Identity-H/V only)"
-            )
-        mapping = _parse_tounicode(tou_obj) if tou_obj is not None else {}
-        return ("cid", mapping)
+        if enc in ("Identity-H", "Identity-V") or tou_obj is not None:
+            # named non-Identity CMaps (UniJIS-UCS2-H etc.) are mostly
+            # 2-byte too — when a /ToUnicode exists it keys on the same
+            # character CODES, so decode through it rather than failing
+            mapping = _parse_tounicode(tou_obj) if tou_obj is not None else {}
+            return ("cid", mapping)
+        # no ToUnicode and an unimplemented CMap: degrade to the latin-1
+        # byte default (mojibake, matching the pre-font-layer behavior)
+        # rather than flipping a whole real-web document to hard_failure
+        return _DEFAULT_DEC
 
     table: list[str] | None = None  # None == latin-1 identity (pinned)
     enc = objs.resolve(font.get("Encoding"))
@@ -1012,10 +1013,13 @@ def _font_decoder(objs: _Objects, font_obj) -> tuple:
             table = list(_WINANSI_TABLE)
         elif base == "MacRomanEncoding":
             table = list(_MACROMAN_TABLE)
-        elif base is None:
-            table = [chr(i) for i in range(256)]
         else:
-            raise UnsupportedFormatError(f"unsupported /BaseEncoding /{base}")
+            # None, /StandardEncoding (the Type1 default many producers
+            # write explicitly), /MacExpertEncoding, symbolic names:
+            # degrade to the latin-1 byte default — hard-failing the
+            # whole document over an encoding NAME would flip real-web
+            # docs that extracted fine before the font layer existed
+            table = [chr(i) for i in range(256)]
         if isinstance(enc, dict):
             diffs = objs.resolve(enc.get("Differences")) or []
             code = 0

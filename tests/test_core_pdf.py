@@ -243,22 +243,44 @@ def test_cid_decode_odd_tail_and_unmapped():
     assert _decode_shown(dec, b"\x00\x41\x00\x42\x07") == "A��"
 
 
-def test_type0_non_identity_encoding_unsupported():
-    import pytest as _pytest
-
+def test_unknown_encodings_degrade_to_default_not_failure():
+    """An encoding NAME the parser does not model must never flip a whole
+    document to hard_failure (regression guard: /StandardEncoding docs
+    extracted fine before the font layer existed)."""
     from pdf_document_extractor_spark.core.pdf_extract import (
+        _DEFAULT_DEC,
         _Objects,
         _font_decoder,
     )
-    from pdf_document_extractor_spark.core.taxonomy import (
-        UnsupportedFormatError,
-    )
 
     objs = _Objects(b"", {})
-    with _pytest.raises(UnsupportedFormatError, match="Identity-H/V only"):
-        _font_decoder(objs, {"Subtype": "Type0", "Encoding": "UniJIS-UCS2-H"})
-    with _pytest.raises(UnsupportedFormatError, match="BaseEncoding"):
-        _font_decoder(objs, {"Subtype": "Type1", "Encoding": "StandardEncoding"})
+    # Type0 with an unimplemented CMap and no ToUnicode: latin-1 default
+    dec = _font_decoder(objs, {"Subtype": "Type0", "Encoding": "UniJIS-UCS2-H"})
+    assert dec is _DEFAULT_DEC
+    # simple font with StandardEncoding: latin-1 default table
+    dec = _font_decoder(objs, {"Subtype": "Type1", "Encoding": "StandardEncoding"})
+    assert dec is _DEFAULT_DEC or dec[0] == "simple"
+
+
+def test_standard_encoding_doc_still_extracts():
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    content = b"BT /F1 10 Tf 72 720 Td (hello world) Tj ET"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /StandardEncoding >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+    ]
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    assert res.status == "success" and res.pages[0].content == (
+        "Page 1\n\nhello world\n"
+    )
 
 
 def test_simple_font_tounicode_override():

@@ -271,3 +271,72 @@ def test_xls_label_record_inline_string():
     )
     res = extract_ole2(write_cfb([("Workbook", g + sheet)]), "0" * 16)
     assert res.pages[0].content == "inline 中文"
+
+
+def test_crafted_fib_and_records_fail_typed():
+    """Untrusted csw/payload sizes must become CorruptedFileError, never a
+    raw struct.error (whose type name 'error' would leak into the
+    taxonomy's error_type column)."""
+    import struct as _s
+
+    from pdf_document_extractor_spark.core.ole_write import _bof, _rec
+
+    # WordDocument with valid wIdent but csw pointing past the stream
+    word = bytearray(0x200)
+    _s.pack_into("<H", word, 0, 0xA5EC)
+    _s.pack_into("<H", word, 0x20, 0xFFFF)  # csw bomb
+    blob = write_cfb([("WordDocument", bytes(word)), ("0Table", b"\x00" * 16)])
+    with pytest.raises(CorruptedFileError, match="out of bounds"):
+        extract_ole2(blob, "0" * 16)
+
+    # LABELSST with a 2-byte payload
+    g = (
+        _bof(0x0005) + _rec(0x00FC, _s.pack("<II", 0, 0))
+        + _rec(0x0085, _s.pack("<IBBB", 0, 0, 0, 1) + b"\x00S")
+        + _rec(0x000A, b"")
+    )
+    glen = len(g)
+    g = (
+        _bof(0x0005) + _rec(0x00FC, _s.pack("<II", 0, 0))
+        + _rec(0x0085, _s.pack("<IBBB", glen, 0, 0, 1) + b"\x00S")
+        + _rec(0x000A, b"")
+    )
+    sheet = _bof(0x0010) + _rec(0x00FD, b"\x00\x00") + _rec(0x000A, b"")
+    with pytest.raises(CorruptedFileError, match="truncated BIFF record fields"):
+        extract_ole2(write_cfb([("Workbook", g + sheet)]), "0" * 16)
+
+
+def test_nan_inf_number_cells_render_via_repr():
+    import struct as _s
+
+    from pdf_document_extractor_spark.core.ole_extract import _fmt_number
+
+    assert _fmt_number(float("nan")) == "nan"
+    assert _fmt_number(float("inf")) == "inf"
+    assert _fmt_number(float("-inf")) == "-inf"
+
+    from pdf_document_extractor_spark.core.ole_write import _bof, _rec
+
+    g = (
+        _bof(0x0005) + _rec(0x00FC, _s.pack("<II", 0, 0))
+        + _rec(0x0085, _s.pack("<IBBB", 0, 0, 0, 1) + b"\x00S")
+        + _rec(0x000A, b"")
+    )
+    glen = len(g)
+    g = (
+        _bof(0x0005) + _rec(0x00FC, _s.pack("<II", 0, 0))
+        + _rec(0x0085, _s.pack("<IBBB", glen, 0, 0, 1) + b"\x00S")
+        + _rec(0x000A, b"")
+    )
+    sheet = (
+        _bof(0x0010)
+        + _rec(0x0203, _s.pack("<HHHd", 0, 0, 0, float("nan")))
+        + _rec(0x000A, b"")
+    )
+    res = extract_ole2(write_cfb([("Workbook", g + sheet)]), "0" * 16)
+    assert res.pages[0].content == "nan"
+
+
+def test_write_cfb_rejects_duplicate_names():
+    with pytest.raises(ValueError, match="duplicate"):
+        write_cfb([("S", b"aaa"), ("S", b"bbb")])
