@@ -75,7 +75,7 @@ def _burn(n: int) -> float:
     return time.perf_counter() - t0
 
 
-def host_cpu_ceiling(n: int = 2) -> float:
+def host_cpu_ceiling(n: int = 2) -> float | None:
     """Pure-CPU multiprocessing scaling n -> 4n procs — the host's own
     ceiling for any parallelism claim in this window (BENCH.md protocol;
     same control as tools/bench_scaling.py). A quiet 2->8 window on this
@@ -84,6 +84,15 @@ def host_cpu_ceiling(n: int = 2) -> float:
     interference instead of a regression (round-2 lesson: the recorded
     headline was 2.6x below the quiet-host figure with no control)."""
     import multiprocessing as mp
+
+    # under a taskset pin narrower than 4n CPUs (bench_scaling.py's
+    # pinned arms inherit their affinity) the control would measure the
+    # PIN, not the host (~0.25 structurally) — report "not measurable"
+    try:
+        if len(os.sched_getaffinity(0)) < 4 * n:
+            return None
+    except AttributeError:  # non-Linux
+        pass
 
     work = 10_000_000
 
@@ -201,7 +210,8 @@ def main() -> None:
             qtimes[name] = round(time.perf_counter() - t0, 3)
     qtimes["extract_throughput_job"] = thr["wall_s"]
 
-    ceiling = min(ceiling_before, ceiling_after)
+    measurable = ceiling_before is not None and ceiling_after is not None
+    ceiling = min(ceiling_before, ceiling_after) if measurable else None
     out = {
         "metric": "extract_job_wall_sec",
         "value": thr["wall_s"],
@@ -216,8 +226,8 @@ def main() -> None:
         # host-ceiling control bracketing the headline (2->8-proc pure-CPU
         # scaling, ~1.0 quiet): ceiling < 0.8 marks the window invalid —
         # read the headline as interference-depressed, not a regression
-        "ceiling": round(ceiling, 3),
-        "ceiling_valid": ceiling >= 0.8,
+        "ceiling": round(ceiling, 3) if ceiling is not None else None,
+        "ceiling_valid": (ceiling >= 0.8) if ceiling is not None else None,
     }
     print(json.dumps(out))
     spark.stop()

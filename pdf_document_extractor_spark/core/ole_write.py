@@ -25,19 +25,22 @@ def write_doc(paragraphs: list[str]) -> bytes:
     paragraph marks, split into TWO pieces (cp1252-compressed then
     UTF-16) through a Clx/PlcPcd piece table in the 1Table stream."""
     text = "\r".join(paragraphs) + "\r"
-    n = len(text)
-    k = n // 2
+    # MS-DOC CPs count UTF-16 CODE UNITS, not Python code points — astral
+    # chars are 2 units each, and the reader's 2*take byte math follows
+    # the format. Mixing the two silently truncated trailing characters.
+    k = len(text) // 2
     try:
         text[:k].encode("cp1252")
     except UnicodeEncodeError:
         k = 0  # non-cp1252 text: make the whole document one UTF-16 piece
-    piece1 = text[:k].encode("cp1252")
+    piece1 = text[:k].encode("cp1252")  # cp1252 chars are 1 unit each
     off1 = _FIB_LEN
     off2 = off1 + len(piece1)
     if off2 % 2:  # keep the UTF-16 piece 2-byte aligned
         piece1 += b"\x00"
         off2 += 1
     piece2 = text[k:].encode("utf-16-le")
+    n = k + len(piece2) // 2  # total CPs in code units
 
     word = bytearray(_FIB_LEN)
     struct.pack_into("<H", word, 0x00, 0xA5EC)  # wIdent

@@ -928,7 +928,10 @@ _HEX_ITEM_RE = re.compile(_BF_HEX)
 
 
 def _hex_int(h: bytes) -> int:
-    return int(_HEX_WS_RE.sub(b"", h), 16)
+    digits = _HEX_WS_RE.sub(b"", h)
+    if not digits:  # '< >' — int(b'',16) would leak an untyped ValueError
+        raise CorruptedFileError("empty hex token in CMap")
+    return int(digits, 16)
 
 
 def _utf16be_str(h: bytes) -> str:
@@ -959,6 +962,8 @@ def _parse_tounicode(stm) -> dict[int, str]:
                 raise CorruptedFileError("malformed ToUnicode bfrange")
             if m.group(3) is not None:  # <lo> <hi> <dstBase>
                 base = _HEX_WS_RE.sub(b"", m.group(3))
+                if not base:
+                    raise CorruptedFileError("empty hex token in CMap")
                 if len(base) % 2:
                     base += b"0"
                 base_bytes = bytes.fromhex(base.decode("ascii"))
@@ -1070,49 +1075,76 @@ MAX_FORM_DEPTH = 8
 
 def _form_xobjects(
     objs: _Objects, resources, font_cache: dict,
-    decoded_cache: dict | None = None, depth: int = 0,
-    seen: frozenset = frozenset(),
+    form_state: dict | None = None, depth: int = 0,
 ) -> dict[str, tuple]:
     """Resource-name -> (content bytes, fonts, nested xobjects) for every
     ``/Subtype /Form`` XObject reachable from ``resources`` — text inside
     form XObjects is real page text (pdflatex and many generators wrap
     whole pages in one); ignoring ``Do`` would silently drop it. Image
     XObjects are skipped. A form without its own /Resources inherits the
-    parent's (PDF 32000 8.10.1 legacy behavior); self-referencing forms
-    are cut by the seen-set and a depth cap."""
+    parent's (PDF 32000 8.10.1 legacy behavior).
+
+    ``form_state`` (per document) carries:
+    - 'decoded': form obj num -> bytes (decode once per form, not per page);
+    - 'memo': (num, effective-resources identity) -> built entry. The memo
+      is what bounds the tree build: K sibling forms inheriting the same
+      resources would otherwise re-expand per PATH (~K^8 calls under the
+      depth cap — a 2 KB crafted PDF hangs the executor). An in-build
+      sentinel in the memo also cuts reference cycles;
+    - 'bytes': running total of decoded form bytes — the same combined
+      MAX_DECODED_STREAM ceiling page /Contents arrays get (many
+      just-under-cap forms must not add up to an executor OOM).
+    A form whose stream needs an UNSUPPORTED filter is skipped (capability
+    gap, degrade-don't-flip); corrupt or bomb streams still raise — those
+    are poison-pill signals, not capability gaps."""
     if depth >= MAX_FORM_DEPTH:
         return {}
+    if form_state is None:
+        form_state = {"decoded": {}, "memo": {}, "bytes": 0}
     res = objs.resolve(resources)
     if not isinstance(res, dict):
         return {}
     xdict = objs.resolve(res.get("XObject"))
     if not isinstance(xdict, dict):
         return {}
+    memo = form_state["memo"]
+    decoded = form_state["decoded"]
     out: dict[str, tuple] = {}
     for name, ref in xdict.items():
         num = ref[0] if isinstance(ref, _Ref) else None
-        if num is not None and num in seen:
-            continue  # reference cycle
         xobj = objs.resolve(ref)
         if not isinstance(xobj, _Stream) or xobj.dict.get("Subtype") != "Form":
             continue
-        child_seen = seen | ({num} if num is not None else set())
+        has_own_res = "Resources" in xobj.dict
+        key = (num if num is not None else id(xobj),
+               None if has_own_res else id(res))
+        if key in memo:
+            entry = memo[key]
+            if entry is not None:  # None == in-build sentinel (cycle)
+                out[name] = entry
+            continue
+        memo[key] = None
         fres = xobj.dict.get("Resources", resources)
-        # decode once per form OBJECT, not once per page — inherited
-        # /Resources would otherwise re-inflate every form on every page
-        if decoded_cache is not None and num is not None:
-            if num not in decoded_cache:
-                decoded_cache[num] = xobj.decoded()
-            data = decoded_cache[num]
-        else:
-            data = xobj.decoded()
-        out[name] = (
+        cache_key = num if num is not None else id(xobj)
+        if cache_key not in decoded:
+            try:
+                blob = xobj.decoded()
+            except UnsupportedFormatError:
+                continue  # e.g. /DCTDecode image-ish form: skip, keep doc
+            form_state["bytes"] += len(blob)
+            if form_state["bytes"] > MAX_DECODED_STREAM:
+                raise OversizeDocumentError(
+                    f"form XObjects exceed {MAX_DECODED_STREAM} bytes combined"
+                )
+            decoded[cache_key] = blob
+        data = decoded[cache_key]
+        entry = (
             data,
             _fonts_for_page(objs, fres, font_cache),
-            _form_xobjects(
-                objs, fres, font_cache, decoded_cache, depth + 1, child_seen
-            ),
+            _form_xobjects(objs, fres, font_cache, form_state, depth + 1),
         )
+        memo[key] = entry
+        out[name] = entry
     return out
 
 
@@ -1419,10 +1451,12 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     pages: list[PageResult] = []
     table_counter = 0
     font_cache: dict = {}  # font object -> decoder, shared across pages
-    form_cache: dict = {}  # form obj num -> decoded bytes, shared
+    # shared per-document form state: decode-once cache, build memo
+    # (bounds the tree expansion), combined decode-size budget
+    form_state: dict = {"decoded": {}, "memo": {}, "bytes": 0}
     for page_no, (node, resources) in enumerate(page_nodes, start=1):
         fonts = _fonts_for_page(objs, resources, font_cache)
-        xobjs = _form_xobjects(objs, resources, font_cache, form_cache)
+        xobjs = _form_xobjects(objs, resources, font_cache, form_state)
         media = objs.resolve(node.get("MediaBox")) or [0, 0, 612, PAGE_HEIGHT_DEFAULT]
         page_height = float(objs.resolve(media[3])) if len(media) >= 4 else PAGE_HEIGHT_DEFAULT
         contents = objs.resolve(node.get("Contents"))

@@ -689,3 +689,80 @@ def test_ascii85_z_run_hits_bomb_cap(monkeypatch):
     monkeypatch.setattr(pe, "MAX_DECODED_STREAM", 1024)
     with _pytest.raises(OversizeDocumentError):
         pe._ascii85_decode(b"z" * 300 + b"~>")
+
+
+def test_sibling_form_fanout_is_polynomial_not_factorial():
+    """K sibling forms inheriting the page resources must build in ~K^2
+    work (memoized), not K^8 path re-expansion — a 2 KB crafted PDF must
+    never hang the executor."""
+    import time
+
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    k = 14
+    form_content = b"BT /F1 10 Tf 72 700 Td (t) Tj ET"
+    xrefs = " ".join(f"/X{i} {5 + i} 0 R" for i in range(k))
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        (
+            "<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            "/Contents 4 0 R /Resources << /Font << /F1 99 0 R >> "
+            f"/XObject << {xrefs} >> >> >>"
+        ).encode(),
+        b"<< /Length 6 >>\nstream\n/X0 Do\nendstream",
+    ]
+    objects.append(b"")  # placeholder; filled below (object 5..)
+    objects.pop()
+    for _i in range(k):
+        objects.append(
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            b"/Length " + str(len(form_content)).encode()
+            + b" >>\nstream\n" + form_content + b"\nendstream"
+        )
+    objects.append(b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    # font obj is the LAST object; renumber the page's /F1 ref to match
+    objects[2] = objects[2].replace(b"/F1 99 0 R", b"/F1 %d 0 R" % (4 + k + 1))
+    t0 = time.perf_counter()
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    took = time.perf_counter() - t0
+    assert res.status == "success"
+    assert took < 2.0, f"form fan-out took {took:.1f}s — re-expansion bug"
+
+
+def test_unused_unsupported_form_does_not_fail_doc():
+    """A form whose stream needs an unimplemented filter (e.g. DCTDecode)
+    is a capability gap: skip it, keep the document's text."""
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    content = b"BT /F1 10 Tf 72 720 Td (kept text) Tj ET"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> "
+        b"/XObject << /X1 6 0 R >> >> >>",
+        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
+        + content + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+        b"/Filter /DCTDecode /Length 4 >>\nstream\n\xff\xd8\xff\xd9\nendstream",
+    ]
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    assert res.status == "success"
+    assert res.pages[0].content == "Page 1\n\nkept text\n"
+
+
+def test_cmap_empty_hex_token_is_typed():
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Stream,
+        _parse_tounicode,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    with _pytest.raises(CorruptedFileError, match="empty hex"):
+        _parse_tounicode(_Stream({}, b"1 beginbfchar\n< > <0041>\nendbfchar"))

@@ -340,3 +340,11 @@ def test_nan_inf_number_cells_render_via_repr():
 def test_write_cfb_rejects_duplicate_names():
     with pytest.raises(ValueError, match="duplicate"):
         write_cfb([("S", b"aaa"), ("S", b"bbb")])
+
+
+def test_doc_astral_chars_roundtrip():
+    """MS-DOC CPs are UTF-16 code units; astral chars (2 units) must not
+    shift the piece boundaries or truncate trailing text."""
+    doc = write_doc(["aaa bbb", "x \U0001F600\U0001F601 tail end"])
+    res = extract_ole2(doc, "0" * 16)
+    assert res.pages[0].content == "aaa bbb\nx \U0001F600\U0001F601 tail end"

@@ -23,7 +23,6 @@ Writes results to BENCH.md and prints a JSON summary.
 from __future__ import annotations
 
 import json
-import multiprocessing as mp
 import os
 import pathlib
 import subprocess
@@ -67,26 +66,10 @@ def run_once(cpus: int, replicas: int, sf_dir: str) -> dict:
     return json.loads(line)
 
 
-def _burn(n: int) -> float:
-    t0 = time.perf_counter()
-    x = 0
-    for i in range(n):
-        x += i * i
-    return time.perf_counter() - t0
-
-
-def host_cpu_ceiling(n: int) -> float:
-    """Pure-CPU mp scaling n -> 4n procs: the host's own ceiling for any
-    4x parallelism claim (SMT/vCPU oversubscription shows up here)."""
-    work = 10_000_000
-
-    def rate(procs: int) -> float:
-        t0 = time.perf_counter()
-        with mp.Pool(procs) as pool:
-            pool.map(_burn, [work] * procs)
-        return procs * work / (time.perf_counter() - t0)
-
-    return rate(4 * n) / (4.0 * rate(n))
+# ONE implementation of the host-ceiling control, shared with the
+# per-round bench artifact (bench.py) so the two can never drift
+sys.path.insert(0, str(REPO))
+from bench import host_cpu_ceiling  # noqa: E402
 
 
 def main() -> None:
