@@ -290,16 +290,14 @@ def write_cfb(streams: list[tuple[str, bytes]]) -> bytes:
     for i in range(1, len(dirs) - 1):  # right-sibling chain
         struct.pack_into("<i", dirs[i], 72, i + 1)
     dir_blob = _pad(b"".join(bytes(d) for d in dirs), ssz)
-    dir_blob = _pad(dir_blob, ssz)[: n_dir_sectors * ssz]
 
-    minifat_blob = b"".join(struct.pack("<I", v) for v in minifat)
-    minifat_blob = _pad(minifat_blob + b"", ssz)
-    if n_minifat_sectors:
-        minifat_blob = _pad(
-            minifat_blob
-            + b"\xff" * (n_minifat_sectors * ssz - len(minifat_blob)),
-            ssz,
-        )[: n_minifat_sectors * ssz]
+    # fill unused trailing miniFAT entries with FREESECT per spec
+    # (zero-padding would mark them as chain links to sector 0)
+    n_minifat_slots = n_minifat_sectors * (ssz // 4)
+    minifat_blob = b"".join(
+        struct.pack("<I", v)
+        for v in minifat + [FREESECT] * (n_minifat_slots - len(minifat))
+    )
 
     body = bytearray()
     body += dir_blob

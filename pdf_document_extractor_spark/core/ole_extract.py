@@ -47,6 +47,7 @@ from __future__ import annotations
 
 import math
 import struct
+from itertools import groupby
 
 from .cfb import read_cfb
 from .model import (
@@ -406,8 +407,6 @@ def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
             ) from exc
         # grid in (row, col) order (mirrors xlsx rule 11 document order);
         # ONE sort + groupby, not a re-sort per row
-        from itertools import groupby
-
         rows: list[list[str]] = [
             [v for _k, v in grp]
             for _rw, grp in groupby(

@@ -1012,6 +1012,10 @@ def _font_decoder(objs: _Objects, font_obj) -> tuple:
 
     table: list[str] | None = None  # None == latin-1 identity (pinned)
     enc = objs.resolve(font.get("Encoding"))
+    if enc is not None and not isinstance(enc, (str, dict)):
+        # crafted /Encoding of the wrong TYPE must fail typed, not leak
+        # AttributeError/TypeError into the taxonomy's error_type
+        raise CorruptedFileError(f"malformed /Encoding {type(enc).__name__}")
     if enc is not None:
         base = enc if isinstance(enc, str) else objs.resolve(enc.get("BaseEncoding"))
         if base == "WinAnsiEncoding":
@@ -1027,6 +1031,8 @@ def _font_decoder(objs: _Objects, font_obj) -> tuple:
             table = [chr(i) for i in range(256)]
         if isinstance(enc, dict):
             diffs = objs.resolve(enc.get("Differences")) or []
+            if not isinstance(diffs, list):
+                raise CorruptedFileError("malformed /Differences")
             code = 0
             for item in diffs:
                 item = objs.resolve(item)
@@ -1143,7 +1149,14 @@ def _form_xobjects(
             _fonts_for_page(objs, fres, font_cache),
             _form_xobjects(objs, fres, font_cache, form_state, depth + 1),
         )
-        memo[key] = entry
+        if depth + 1 >= MAX_FORM_DEPTH:
+            # children were depth-truncated: memoizing would replay the
+            # truncation at SHALLOW references on later pages (key has no
+            # depth component). Leaf-level rebuilds are O(1) — no nested
+            # recursion — so dropping the memo entry stays polynomial.
+            del memo[key]
+        else:
+            memo[key] = entry
         out[name] = entry
     return out
 
@@ -1209,6 +1222,12 @@ def _tokenize_content(data: bytes):
         if data[pos] == 0x28:
             s, pos = _parse_string_bytes(data, pos)
             yield ("str", s)
+        elif data.startswith(b"<<", pos):
+            # dict operand (BDC/DP marked-content property lists —
+            # tagged PDFs from Word/pdflatex emit '<</MCID n>> BDC' on
+            # essentially every text run): parse and DISCARD, so the
+            # page's text still extracts
+            _obj, pos = _parse_object(data, pos)
         elif data[pos] == 0x3C:  # hex-string show operand
             s, pos = _parse_hex_string_bytes(data, pos)
             yield ("str", s)
@@ -1253,6 +1272,7 @@ def _shows_from_content(
     fonts: dict[str, tuple] | None = None,
     xobjects: dict[str, tuple] | None = None,
     shows: list[_Show] | None = None,
+    init_state: tuple | None = None,
 ) -> list[_Show]:
     """Interpret the text operators of one page's content stream(s).
 
@@ -1274,10 +1294,16 @@ def _shows_from_content(
         shows = []
     stack: list = []  # operand stack (numbers, byte-strings, names, arrays)
     in_array: list | None = None
-    size = 0.0
-    x = y = 0.0
-    leading = 0.0
-    dec = _DEFAULT_DEC  # current font decoder (set by Tf)
+    if init_state is not None:
+        # a form INHERITS the caller's text state (PDF 32000 8.10.1):
+        # a form showing text without its own Tf must keep using the
+        # invoking stream's font decoder and position
+        x, y, size, leading, dec = init_state
+    else:
+        size = 0.0
+        x = y = 0.0
+        leading = 0.0
+        dec = _DEFAULT_DEC  # current font decoder (set by Tf)
     for kind, val in _tokenize_content(data):
         if kind == "arr_open":
             in_array = []
@@ -1357,9 +1383,14 @@ def _shows_from_content(
         elif op == "Do":
             if xobjects and stack and isinstance(stack[-1], str):
                 entry = xobjects.get(stack[-1])
-                if entry is not None:  # form XObject: recurse in place
+                if entry is not None:  # form XObject: recurse in place,
+                    # inheriting the current text state; the form's own
+                    # font dict shadows the page's for its Tf operands
                     fdata, ffonts, fxobjs = entry
-                    _shows_from_content(fdata, ffonts, fxobjs, shows)
+                    _shows_from_content(
+                        fdata, ffonts, fxobjs, shows,
+                        init_state=(x, y, size, leading, dec),
+                    )
         # ET and any other operator: no state change needed
         stack.clear()
     return shows

@@ -320,10 +320,11 @@ def synth_jpeg_payload(width: int, height: int) -> bytes:
     app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00\x01\x00\x01\x00\x00"
     sof0 = (
         b"\xff\xc0"
-        + struct.pack(">H", 11)
+        + struct.pack(">H", 11)  # len: 2 + precision + h + w + Nf + comp(3)
         + b"\x08"
         + struct.pack(">HH", height, width)
-        + b"\x01\x11\x00"
+        + b"\x01"  # Nf = 1 component
+        + b"\x01\x11\x00"  # component: id=1, sampling 1x1, quant table 0
     )
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 

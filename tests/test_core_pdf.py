@@ -766,3 +766,83 @@ def test_cmap_empty_hex_token_is_typed():
 
     with _pytest.raises(CorruptedFileError, match="empty hex"):
         _parse_tounicode(_Stream({}, b"1 beginbfchar\n< > <0041>\nendbfchar"))
+
+
+def test_bdc_marked_content_dicts_are_skipped():
+    """Tagged PDFs emit '<</MCID n>> BDC' around essentially every text
+    run (Word/pdflatex); the dict operand must be discarded, not parsed
+    as a hex string."""
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _shows_from_content,
+    )
+
+    shows = _shows_from_content(
+        b"/P <</MCID 0>> BDC BT /F1 10 Tf 72 720 Td (tagged text) Tj ET EMC"
+    )
+    assert [s.text for s in shows] == ["tagged text"]
+
+
+def test_malformed_encoding_types_fail_typed():
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _Objects,
+        _font_decoder,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    objs = _Objects(b"", {})
+    with _pytest.raises(CorruptedFileError, match="malformed /Encoding"):
+        _font_decoder(objs, {"Subtype": "Type1", "Encoding": [1, 2]})
+    with _pytest.raises(CorruptedFileError, match="malformed /Differences"):
+        _font_decoder(
+            objs, {"Subtype": "Type1", "Encoding": {"Differences": 5}}
+        )
+
+
+def test_form_inherits_caller_text_state():
+    """A form showing text WITHOUT its own Tf keeps the invoking stream's
+    font decoder (PDF 32000 8.10.1) — here the caller's WinAnsi font."""
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    form_content = b"BT 72 700 Td (\x80 inherited) Tj ET"  # no Tf!
+    page_content = b"BT /F1 10 Tf 72 720 Td (page) Tj ET\n/X1 Do"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+        b"/Encoding /WinAnsiEncoding >>",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] /Length "
+        + str(len(form_content)).encode()
+        + b" >>\nstream\n" + form_content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 6 0 R /Resources << /Font << /F1 3 0 R >> "
+        b"/XObject << /X1 4 0 R >> >> >>",
+        b"<< /Length " + str(len(page_content)).encode() + b" >>\nstream\n"
+        + page_content + b"\nendstream",
+    ]
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    # 0x80 decodes as € through the INHERITED WinAnsi decoder
+    assert res.pages[0].content == "Page 1\n\npage\n€ inherited\n"
+
+
+def test_synth_jpeg_fixture_is_strictly_walkable():
+    """Every declared segment length must be honest — a strict consumer
+    (PIL, external tools) must be able to walk the fixture to EOI."""
+    from pdf_document_extractor_spark.sources.pages import synth_jpeg_payload
+
+    data = synth_jpeg_payload(33, 44)
+    pos = 2
+    seen_sof = False
+    while pos < len(data):
+        assert data[pos] == 0xFF, f"desync at {pos}"
+        marker = data[pos + 1]
+        if marker == 0xD9:
+            pos += 2
+            break
+        seglen = (data[pos + 2] << 8) | data[pos + 3]
+        if marker == 0xC0:
+            seen_sof = True
+        pos += 2 + seglen
+    assert seen_sof and pos == len(data)

@@ -84,6 +84,10 @@ def main() -> None:
     t_hi = hi["extract_docs_per_sec"]
     eff = t_hi / (4.0 * t_lo)
     ceiling = host_cpu_ceiling(n)
+    if ceiling is None:
+        # affinity narrower than the control needs (see bench.py):
+        # measurable job numbers, unmeasurable ceiling — report that
+        ceiling = float("nan")
     summary = {
         "docs": lo["throughput_docs"],
         "sf_dir": sf_dir,
@@ -94,7 +98,7 @@ def main() -> None:
         f"local[{n}]_wall_s": lo["value"],
         f"local[{4 * n}]_wall_s": hi["value"],
         "scaling_efficiency": round(eff, 3),
-        "host_cpu_ceiling": round(ceiling, 3),
+        "host_cpu_ceiling": round(ceiling, 3) if ceiling == ceiling else None,
         "pass": eff >= 0.8,
     }
     print(json.dumps(summary))
