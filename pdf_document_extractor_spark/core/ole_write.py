@@ -103,6 +103,10 @@ def _sst_segments(
     bytes, following the MS-XLS split rules: splits at field boundaries
     or inside character data; continued character data restarts with a
     fresh option-flags byte."""
+    if cap < 5:
+        # 3-byte string header + grbit + one UTF-16 unit must fit a
+        # segment; below that the splitter cannot make progress
+        raise ValueError(f"sst_record_cap {cap} too small (min 5)")
     segs: list[bytes] = []
     cur = bytearray(struct.pack("<II", total_refs, len(strings)))
 
@@ -127,7 +131,7 @@ def _sst_segments(
             if len(cur) == 0:  # character-data continuation: grbit first
                 cur.append(high)
             room = (cap - len(cur)) // unit
-            if room == 0:
+            if room <= 0:  # <=: a negative room would walk i backwards
                 flush()
                 continue
             take = min(len(s) - i, room)

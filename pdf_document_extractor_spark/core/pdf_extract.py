@@ -1322,7 +1322,11 @@ def _shows_from_content(
         elif op == "Tf":
             if stack:
                 size = float(stack[-1])
-                if fonts and len(stack) >= 2 and isinstance(stack[-2], str):
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    # NO 'fonts and' short-circuit: inside a form that
+                    # inherited a non-default decoder, Tf on one of the
+                    # form's own (default) fonts must RESET dec — the
+                    # default-filtered fonts dict may be empty here
                     dec = fonts.get(stack[-2], _DEFAULT_DEC)
         elif op == "Td":
             if len(stack) >= 2:

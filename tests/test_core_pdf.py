@@ -846,3 +846,41 @@ def test_synth_jpeg_fixture_is_strictly_walkable():
             seen_sof = True
         pos += 2 + seglen
     assert seen_sof and pos == len(data)
+
+
+def test_form_own_default_font_resets_inherited_decoder():
+    """A form whose own /Resources holds a plain (default-decoder) font:
+    its Tf must RESET the decoder inherited from a CID-font caller."""
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import (
+        _CID_TOUNICODE,
+        _cid_encode,
+        _serialize_classic,
+    )
+
+    cid_hex = _cid_encode("cid").hex()
+    page_content = (
+        f"BT /F1 10 Tf 72 720 Td <{cid_hex}> Tj ET\n/X1 Do".encode()
+    )
+    form_content = b"BT /F2 10 Tf 72 700 Td (plain form text) Tj ET"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [7 0 R] /Count 1 >>",
+        b"<< /Type /Font /Subtype /Type0 /BaseFont /S /Encoding "
+        b"/Identity-H /DescendantFonts [4 0 R] /ToUnicode 5 0 R >>",
+        b"<< /Type /Font /Subtype /CIDFontType2 /BaseFont /S >>",
+        b"<< /Length " + str(len(_CID_TOUNICODE)).encode()
+        + b" >>\nstream\n" + _CID_TOUNICODE + b"\nendstream",
+        b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+        b"/Resources << /Font << /F2 9 0 R >> >> /Length "
+        + str(len(form_content)).encode()
+        + b" >>\nstream\n" + form_content + b"\nendstream",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 8 0 R /Resources << /Font << /F1 3 0 R >> "
+        b"/XObject << /X1 6 0 R >> >> >>",
+        b"<< /Length " + str(len(page_content)).encode() + b" >>\nstream\n"
+        + page_content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+    ]
+    res = extract_pdf(_serialize_classic(objects), "0" * 16)
+    assert res.pages[0].content == "Page 1\n\ncid\nplain form text\n"

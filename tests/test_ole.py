@@ -348,3 +348,11 @@ def test_doc_astral_chars_roundtrip():
     doc = write_doc(["aaa bbb", "x \U0001F600\U0001F601 tail end"])
     res = extract_ole2(doc, "0" * 16)
     assert res.pages[0].content == "aaa bbb\nx \U0001F600\U0001F601 tail end"
+
+
+def test_sst_cap_too_small_raises_not_hangs():
+    with pytest.raises(ValueError, match="too small"):
+        write_xls([("S", [["ab"]])], sst_record_cap=2)
+    # the minimum workable cap still terminates and roundtrips
+    blob = write_xls([("S", [["abcdef", "中文"]])], sst_record_cap=5)
+    assert extract_ole2(blob, "0" * 16).pages[0].content == "abcdef 中文"

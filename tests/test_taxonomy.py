@@ -66,13 +66,18 @@ def test_known_containers_get_typed_unsupported_failures():
     cases = {
         b"GIF89a;;;": "gif",
         b"\x1f\x8b\x08gz": "gzip",
-        b"\xd0\xcf\x11\xe0....": "ole2",
         b"%!PS-Adobe": "postscript",
     }
     for payload, label in cases.items():
         r = extract_document("u", payload)
         assert r.status == "hard_failure", label
         assert r.error_type == "UnsupportedFormatError", label
+    # a PARTIAL OLE2 magic (4 of 8 bytes) matches no container rule and
+    # falls through to the TXT binary-junk guard — still a typed row
+    r = extract_document("u", b"\xd0\xcf\x11\xe0....")
+    assert r.status == "hard_failure"
+    assert r.error_type == "UnsupportedFormatError"
+    assert r.doc_type == "txt"
     # PNG/JPEG route to the image extractor since round 3: truncated
     # payloads are CORRUPT (typed), not unsupported
     for payload, label in {
