@@ -135,8 +135,11 @@ def extract_document(url: str, data: bytes, config=None) -> ExtractionResult:
             )
     doc_type = sniff_doc_type(data)
     # ConfigMatrix keys are RESULT doc_types; the ooxml/ole2 subtype is
-    # known only after the container opens, so those extractors resolve
-    # their own
+    # known only after the container opens, so those two receive the
+    # UNRESOLVED config. extract_ooxml documents where to resolve it once
+    # a knob applies; extract_ole2 currently consumes no config at all
+    # (doc/xls have no extract-time knobs — structure flags are gated per
+    # result doc_type in operators/extract.py).
     cfg = config
     if config is not None and doc_type not in (DOC_TYPE_OOXML, DOC_TYPE_OLE2):
         cfg = config.for_type(doc_type)

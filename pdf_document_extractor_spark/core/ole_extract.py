@@ -360,8 +360,31 @@ def _fill_sheet_cells(
                 cells[(rw, col_first + j)] = _fmt_number(_rk_value(rk))
 
 
+def _check_biff8_bof(wb: bytes) -> None:
+    """The stream's first record must be a BIFF8 BOF (rid 0x0809, vers
+    0x0600). 'Book' streams are routinely BIFF5 (Excel 5.0/95), whose
+    BOUNDSHEET/LABEL records lack the Unicode flags byte and which has no
+    SST/LABELSST — parsing them as BIFF8 yields garbage cell text emitted
+    as a 'success' row. Degrade TYPED instead (MS-XLS 2.4.21 BOF vers)."""
+    if len(wb) < 8:
+        raise CorruptedFileError("workbook stream too short for BOF")
+    rid, _rlen = struct.unpack_from("<HH", wb, 0)
+    if rid in (0x0009, 0x0209, 0x0409):  # BIFF2/3/4 BOF record ids
+        raise UnsupportedFormatError(
+            f"legacy BIFF BOF record 0x{rid:04x} (BIFF8 only)"
+        )
+    if rid != 0x0809:
+        raise CorruptedFileError(f"workbook stream starts with 0x{rid:04x}, not BOF")
+    vers = struct.unpack_from("<H", wb, 4)[0]
+    if vers != 0x0600:
+        raise UnsupportedFormatError(
+            f"BIFF version 0x{vers:04x} unsupported (BIFF8/0x0600 only)"
+        )
+
+
 def _extract_xls(streams: dict[str, bytes], url_hash: str) -> ExtractionResult:
     wb = streams.get("Workbook", streams.get("Book", b""))
+    _check_biff8_bof(wb)
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []  # (name, substream offset)
     # STREAM the globals walk (stop at its EOF) — list(_records(wb))

@@ -1079,34 +1079,96 @@ def _fonts_for_page(objs: _Objects, resources, cache: dict) -> dict[str, tuple]:
 MAX_FORM_DEPTH = 8
 
 
+class _FormEntry:
+    """Lazy ``/Subtype /Form`` XObject: decode + font/child resolution run
+    on FIRST ``Do`` invocation, never at page setup. An unreferenced corrupt
+    or oversize form stream therefore cannot flip an otherwise-extractable
+    document to hard_failure, and only forms actually drawn charge the
+    shared decode-byte budget (advisor finding, round 4)."""
+
+    __slots__ = ("objs", "xobj", "fres", "font_cache", "form_state",
+                 "depth", "drawing", "_value", "_state")
+
+    def __init__(self, objs, xobj, fres, font_cache, form_state, depth):
+        self.objs = objs
+        self.xobj = xobj
+        self.fres = fres
+        self.font_cache = font_cache
+        self.form_state = form_state
+        self.depth = depth
+        self.drawing = False  # Do-recursion cycle guard (consumer-managed)
+        self._value = None
+        self._state = 0  # 0 unresolved / 1 resolving / 2 done
+
+    def resolve(self):
+        """-> (content bytes, fonts, nested xobjects) or None to skip
+        (unsupported filter / reference cycle). Corrupt or bomb streams
+        still raise — poison-pill signals, not capability gaps."""
+        if self._state == 2:
+            return self._value
+        if self._state == 1:  # self-referential Do cycle: cut it
+            return None
+        self._state = 1
+        try:
+            decoded = self.form_state["decoded"]
+            cache_key = self.form_state["keys"][id(self)]
+            if cache_key not in decoded:
+                try:
+                    blob = self.xobj.decoded()
+                except UnsupportedFormatError:
+                    # e.g. /DCTDecode image-ish form: skip, keep doc
+                    self._value = None
+                    self._state = 2
+                    return None
+                self.form_state["bytes"] += len(blob)
+                if self.form_state["bytes"] > MAX_DECODED_STREAM:
+                    raise OversizeDocumentError(
+                        f"form XObjects exceed {MAX_DECODED_STREAM} "
+                        f"bytes combined"
+                    )
+                decoded[cache_key] = blob
+            self._value = (
+                decoded[cache_key],
+                _fonts_for_page(self.objs, self.fres, self.font_cache),
+                _form_xobjects(self.objs, self.fres, self.font_cache,
+                               self.form_state, self.depth + 1),
+            )
+            self._state = 2
+            return self._value
+        except BaseException:
+            self._state = 0  # leave re-resolvable; raising Do aborts anyway
+            raise
+
+
 def _form_xobjects(
     objs: _Objects, resources, font_cache: dict,
     form_state: dict | None = None, depth: int = 0,
-) -> dict[str, tuple]:
-    """Resource-name -> (content bytes, fonts, nested xobjects) for every
-    ``/Subtype /Form`` XObject reachable from ``resources`` — text inside
-    form XObjects is real page text (pdflatex and many generators wrap
-    whole pages in one); ignoring ``Do`` would silently drop it. Image
-    XObjects are skipped. A form without its own /Resources inherits the
-    parent's (PDF 32000 8.10.1 legacy behavior).
+) -> dict[str, "_FormEntry"]:
+    """Resource-name -> lazy _FormEntry for every ``/Subtype /Form``
+    XObject named by ``resources`` — text inside form XObjects is real
+    page text (pdflatex and many generators wrap whole pages in one);
+    ignoring ``Do`` would silently drop it. Image XObjects are skipped. A
+    form without its own /Resources inherits the parent's (PDF 32000
+    8.10.1 legacy behavior). Decode/expansion is DEFERRED to the first
+    ``Do`` via _FormEntry.resolve().
 
     ``form_state`` (per document) carries:
     - 'decoded': form obj num -> bytes (decode once per form, not per page);
-    - 'memo': (num, effective-resources identity) -> built entry. The memo
-      is what bounds the tree build: K sibling forms inheriting the same
-      resources would otherwise re-expand per PATH (~K^8 calls under the
-      depth cap — a 2 KB crafted PDF hangs the executor). An in-build
-      sentinel in the memo also cuts reference cycles;
+    - 'keys': id(entry) -> decode-cache key (kept off the entry to keep
+      _FormEntry slots minimal);
+    - 'memo': (num, effective-resources identity) -> _FormEntry. The memo
+      is what bounds the tree expansion: K sibling forms inheriting the
+      same resources would otherwise re-expand per PATH (~K^8 calls under
+      the depth cap — a 2 KB crafted PDF hangs the executor). The entry's
+      own resolving-state flag cuts reference cycles;
     - 'bytes': running total of decoded form bytes — the same combined
       MAX_DECODED_STREAM ceiling page /Contents arrays get (many
-      just-under-cap forms must not add up to an executor OOM).
-    A form whose stream needs an UNSUPPORTED filter is skipped (capability
-    gap, degrade-don't-flip); corrupt or bomb streams still raise — those
-    are poison-pill signals, not capability gaps."""
+      just-under-cap forms must not add up to an executor OOM)."""
     if depth >= MAX_FORM_DEPTH:
         return {}
     if form_state is None:
-        form_state = {"decoded": {}, "memo": {}, "bytes": 0}
+        form_state = {"decoded": {}, "memo": {}, "bytes": 0, "keys": {}}
+    form_state.setdefault("keys", {})
     res = objs.resolve(resources)
     if not isinstance(res, dict):
         return {}
@@ -1114,8 +1176,7 @@ def _form_xobjects(
     if not isinstance(xdict, dict):
         return {}
     memo = form_state["memo"]
-    decoded = form_state["decoded"]
-    out: dict[str, tuple] = {}
+    out: dict[str, _FormEntry] = {}
     for name, ref in xdict.items():
         num = ref[0] if isinstance(ref, _Ref) else None
         xobj = objs.resolve(ref)
@@ -1124,39 +1185,19 @@ def _form_xobjects(
         has_own_res = "Resources" in xobj.dict
         key = (num if num is not None else id(xobj),
                None if has_own_res else id(res))
-        if key in memo:
-            entry = memo[key]
-            if entry is not None:  # None == in-build sentinel (cycle)
-                out[name] = entry
-            continue
-        memo[key] = None
-        fres = xobj.dict.get("Resources", resources)
-        cache_key = num if num is not None else id(xobj)
-        if cache_key not in decoded:
-            try:
-                blob = xobj.decoded()
-            except UnsupportedFormatError:
-                continue  # e.g. /DCTDecode image-ish form: skip, keep doc
-            form_state["bytes"] += len(blob)
-            if form_state["bytes"] > MAX_DECODED_STREAM:
-                raise OversizeDocumentError(
-                    f"form XObjects exceed {MAX_DECODED_STREAM} bytes combined"
-                )
-            decoded[cache_key] = blob
-        data = decoded[cache_key]
-        entry = (
-            data,
-            _fonts_for_page(objs, fres, font_cache),
-            _form_xobjects(objs, fres, font_cache, form_state, depth + 1),
-        )
-        if depth + 1 >= MAX_FORM_DEPTH:
-            # children were depth-truncated: memoizing would replay the
-            # truncation at SHALLOW references on later pages (key has no
-            # depth component). Leaf-level rebuilds are O(1) — no nested
-            # recursion — so dropping the memo entry stays polynomial.
-            del memo[key]
-        else:
-            memo[key] = entry
+        entry = memo.get(key)
+        if entry is None:
+            fres = xobj.dict.get("Resources", resources)
+            entry = _FormEntry(objs, xobj, fres, font_cache, form_state, depth)
+            form_state["keys"][id(entry)] = (
+                num if num is not None else id(xobj)
+            )
+            if depth + 1 < MAX_FORM_DEPTH:
+                # entries whose children would be depth-truncated are NOT
+                # memoized: the memo key has no depth component, and a
+                # truncated expansion must not replay at SHALLOW
+                # references on later pages. Leaf-level rebuilds are O(1).
+                memo[key] = entry
         out[name] = entry
     return out
 
@@ -1210,6 +1251,10 @@ _CS_TOKEN = re.compile(
 
 _INLINE_ID_RE = re.compile(rb"\bID[\x00\t\n\x0c\r ]")
 _INLINE_EI_RE = re.compile(rb"[\x00\t\n\x0c\r ]EI(?=[\x00\t\n\x0c\r ]|\Z)")
+# /L (or /Length) inside the inline-image dict: exact entropy-data length
+_INLINE_L_RE = re.compile(rb"/L(?:ength)?[\x00\t\n\x0c\r ]+(\d+)")
+# expected shape right after /L bytes of data: optional ws then EI
+_INLINE_EI_AT_RE = re.compile(rb"[\x00\t\n\x0c\r ]*EI(?=[\x00\t\n\x0c\r ]|\Z)")
 
 
 def _tokenize_content(data: bytes):
@@ -1259,6 +1304,22 @@ def _tokenize_content(data: bytes):
                     mid = _INLINE_ID_RE.search(data, pos)
                     if mid is None:
                         raise CorruptedFileError("inline image without ID")
+                    # /L (alias /Length, PDF 2.0) gives the exact byte
+                    # count of the entropy data: jump past it instead of
+                    # scanning, because random image bytes contain a
+                    # whitespace-delimited 'EI' with ~2^-24 probability
+                    # per offset — at 10^12 documents that is a routine
+                    # event, and a short scan would tokenize the rest of
+                    # the image as operators, corrupting the page
+                    ml = _INLINE_L_RE.search(data, pos, mid.start())
+                    if ml is not None:
+                        dstart = mid.end()
+                        dend = dstart + int(ml.group(1))
+                        tail = _INLINE_EI_AT_RE.match(data, min(dend, n))
+                        if tail is not None:
+                            pos = tail.end()
+                            continue
+                        # declared length inconsistent: fall back to scan
                     mei = _INLINE_EI_RE.search(data, mid.end())
                     if mei is None:
                         raise CorruptedFileError("inline image without EI")
@@ -1387,14 +1448,23 @@ def _shows_from_content(
         elif op == "Do":
             if xobjects and stack and isinstance(stack[-1], str):
                 entry = xobjects.get(stack[-1])
-                if entry is not None:  # form XObject: recurse in place,
-                    # inheriting the current text state; the form's own
-                    # font dict shadows the page's for its Tf operands
-                    fdata, ffonts, fxobjs = entry
-                    _shows_from_content(
-                        fdata, ffonts, fxobjs, shows,
-                        init_state=(x, y, size, leading, dec),
-                    )
+                if entry is not None and not entry.drawing:
+                    # form XObject: decode lazily on first Do, then
+                    # recurse in place inheriting the current text state;
+                    # the form's own font dict shadows the page's for its
+                    # Tf operands. ``drawing`` cuts self/mutual Do cycles
+                    # (repeated sequential invocation stays legal).
+                    resolved = entry.resolve()
+                    if resolved is not None:
+                        fdata, ffonts, fxobjs = resolved
+                        entry.drawing = True
+                        try:
+                            _shows_from_content(
+                                fdata, ffonts, fxobjs, shows,
+                                init_state=(x, y, size, leading, dec),
+                            )
+                        finally:
+                            entry.drawing = False
         # ET and any other operator: no state change needed
         stack.clear()
     return shows
@@ -1488,7 +1558,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     font_cache: dict = {}  # font object -> decoder, shared across pages
     # shared per-document form state: decode-once cache, build memo
     # (bounds the tree expansion), combined decode-size budget
-    form_state: dict = {"decoded": {}, "memo": {}, "bytes": 0}
+    form_state: dict = {"decoded": {}, "memo": {}, "bytes": 0, "keys": {}}
     for page_no, (node, resources) in enumerate(page_nodes, start=1):
         fonts = _fonts_for_page(objs, resources, font_cache)
         xobjs = _form_xobjects(objs, resources, font_cache, form_state)

@@ -884,3 +884,72 @@ def test_form_own_default_font_resets_inherited_decoder():
     ]
     res = extract_pdf(_serialize_classic(objects), "0" * 16)
     assert res.pages[0].content == "Page 1\n\ncid\nplain form text\n"
+
+
+def test_unreferenced_corrupt_form_does_not_fail_doc():
+    """A corrupt /Subtype /Form listed in /Resources but never invoked via
+    Do must not flip the document (advisor finding: lazy decode on first
+    Do). The same stream INVOKED still raises the typed poison signal."""
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    def objs(page_content: bytes) -> list[bytes]:
+        return [
+            b"<< /Type /Catalog /Pages 2 0 R >>",
+            b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>",
+            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Contents 5 0 R /Resources << /Font << /F1 3 0 R >> "
+            b"/XObject << /X1 6 0 R >> >> >>",
+            b"<< /Length " + str(len(page_content)).encode() + b" >>\nstream\n"
+            + page_content + b"\nendstream",
+            # Flate-declared stream whose body is NOT valid zlib
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 10 10] "
+            b"/Filter /FlateDecode /Length 9 >>\nstream\nnot-flate\nendstream",
+        ]
+
+    unused = extract_pdf(
+        _serialize_classic(objs(b"BT /F1 10 Tf 72 720 Td (kept) Tj ET")),
+        "0" * 16,
+    )
+    assert unused.status == "success"
+    assert unused.pages[0].content == "Page 1\n\nkept\n"
+
+    with _pytest.raises(CorruptedFileError):
+        extract_pdf(
+            _serialize_classic(
+                objs(b"BT /F1 10 Tf 72 720 Td (kept) Tj ET\n/X1 Do")
+            ),
+            "0" * 16,
+        )
+
+
+def test_inline_image_length_key_beats_embedded_ei():
+    """Entropy data containing a whitespace-delimited 'EI' must not end
+    the inline-image skip early when /L declares the exact length
+    (advisor finding). Without /L the scan fallback stays in place."""
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _shows_from_content,
+    )
+
+    evil = b"\x01\x02 EI \x03\x04"  # embedded fake terminator
+    content = (
+        b"BT /F1 10 Tf 72 720 Td (before) Tj ET\n"
+        b"BI /W 4 /H 1 /L " + str(len(evil)).encode() + b" /BPC 8 ID "
+        + evil
+        + b" EI\nBT 72 700 Td (after) Tj ET"
+    )
+    shows = _shows_from_content(content)
+    assert [s.text for s in shows] == ["before", "after"]
+
+    # inconsistent /L (points nowhere near an EI) falls back to the scan
+    content_bad_l = (
+        b"BT /F1 10 Tf 72 720 Td (before) Tj ET\n"
+        b"BI /W 4 /H 1 /L 9999 /BPC 8 ID \x01\x02\x03 EI\n"
+        b"BT 72 700 Td (after) Tj ET"
+    )
+    shows = _shows_from_content(content_bad_l)
+    assert [s.text for s in shows] == ["before", "after"]

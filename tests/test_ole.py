@@ -356,3 +356,24 @@ def test_sst_cap_too_small_raises_not_hangs():
     # the minimum workable cap still terminates and roundtrips
     blob = write_xls([("S", [["abcdef", "中文"]])], sst_record_cap=5)
     assert extract_ole2(blob, "0" * 16).pages[0].content == "abcdef 中文"
+
+
+def test_biff5_bof_is_typed_unsupported():
+    """A 'Book' stream with a BIFF5 BOF (vers 0x0500) must degrade TYPED
+    (advisor finding): BIFF5 has no SST/LABELSST and its BOUNDSHEET lacks
+    the Unicode flags byte — BIFF8-parsing it yields garbage 'success'."""
+    good = write_xls([("Sheet1", [["k", "v"]])])
+    wb = read_cfb(good)["Workbook"]
+    biff5 = bytearray(wb)
+    struct.pack_into("<H", biff5, 4, 0x0500)  # BOF vers -> BIFF5
+    payload = write_cfb([("Book", bytes(biff5))])
+    with pytest.raises(UnsupportedFormatError, match="BIFF version 0x0500"):
+        extract_ole2(payload, "0" * 16)
+    # BIFF4-era BOF record id entirely
+    biff4 = bytearray(wb)
+    struct.pack_into("<H", biff4, 0, 0x0409)
+    with pytest.raises(UnsupportedFormatError, match="legacy BIFF BOF"):
+        extract_ole2(write_cfb([("Book", bytes(biff4))]), "0" * 16)
+    # non-BOF leading record: corrupt, not unsupported
+    with pytest.raises(CorruptedFileError, match="not BOF"):
+        extract_ole2(write_cfb([("Workbook", b"\x00\x00\x00\x00" * 4)]), "0" * 16)
