@@ -126,7 +126,9 @@ def q_extract_docx_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_docx_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DOCX table extraction (M9/M10 parity for the ooxml path): same 3x2
-    k/v grid semantics as html_table/pdf_table."""
+    k/v grid semantics as html_table/pdf_table; every 3rd doc carries a
+    w:gridSpan -> has_merged_cells (reference TableMetadata field,
+    lib/models/extraction_models.py:151-179)."""
     ext = _extracted(spark, sf_dir, "docx")
     t = ext.select("doc_id", F.explode("tables").alias("t"))
     return t.select(
@@ -135,6 +137,8 @@ def q_extract_docx_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.num_cols").cast("long").alias("num_cols"),
         F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
         F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.caption").alias("caption"),
+        F.col("t.has_merged_cells").cast("long").alias("has_merged_cells"),
         F.col("t.csv").alias("csv"),
     )
 
@@ -154,6 +158,7 @@ def q_extract_xlsx_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
         F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
         F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.has_merged_cells").cast("long").alias("has_merged_cells"),
         F.col("t.csv").alias("csv"),
     )
 
@@ -186,19 +191,24 @@ def q_extract_xls_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
         "content",
         F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
         F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.has_merged_cells").cast("long").alias("has_merged_cells"),
         F.col("t.csv").alias("csv"),
     )
 
 
 def q_extract_pptx_slides(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PPTX extraction (reference mime_type.py PPTX support): one page per
-    slide in sldIdLst order, paragraph runs concatenated."""
+    slide in sldIdLst order, paragraph runs concatenated; elements carry
+    the reference's separate slide counter (slide_no,
+    docling_strategy_processor.py:1482-1510)."""
+    el = F.try_element_at("elements", F.lit(1))
     return _extracted(spark, sf_dir, "pptx").select(
         "doc_id",
         "doc_type",
         "status",
         F.col("page_number").cast("long").alias("page_number"),
         F.col("page_count").cast("long").alias("page_count"),
+        el["slide_no"].cast("long").alias("slide_no"),
         "content",
     )
 
@@ -443,7 +453,9 @@ def q_extract_salted_invariance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HTML table extraction (M9/M10): headers rule + CSV export."""
+    """HTML table extraction (M9/M10): headers rule + CSV export +
+    <caption> -> caption and colspan -> has_merged_cells (reference
+    TableMetadata fields, lib/models/extraction_models.py:151-179)."""
     ext = _extracted(spark, sf_dir, "html_table")
     t = ext.select("doc_id", F.explode("tables").alias("t"))
     return t.select(
@@ -452,6 +464,8 @@ def q_extract_html_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.num_cols").cast("long").alias("num_cols"),
         F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
         F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.caption").alias("caption"),
+        F.col("t.has_merged_cells").cast("long").alias("has_merged_cells"),
         F.col("t.csv").alias("csv"),
     )
 
@@ -484,7 +498,9 @@ def q_extract_pdf_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_pdf_grid_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PDF grid-table detection (M9/M10): x-aligned 3x2 grid -> headers =
-    first row sorted by column offset (reference rule verbatim) + CSV."""
+    first row sorted by column offset (reference rule verbatim) + CSV +
+    the table bbox as the union of cell boxes (reference
+    TableMetadata.bbox, lib/models/extraction_models.py:151-179)."""
     ext = _extracted(spark, sf_dir, "pdf_table")
     t = ext.select("doc_id", F.explode("tables").alias("t"))
     return t.select(
@@ -493,6 +509,10 @@ def q_extract_pdf_grid_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t.num_cols").cast("long").alias("num_cols"),
         F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
         F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.bbox.left").alias("bbox_left"),
+        F.col("t.bbox.top").alias("bbox_top"),
+        F.col("t.bbox.right").alias("bbox_right"),
+        F.col("t.bbox.bottom").alias("bbox_bottom"),
         F.col("t.csv").alias("csv"),
     )
 
@@ -512,7 +532,10 @@ def q_extract_doc_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_extract_html_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Figure refs with deterministic md5-prefix ids (M8 — replaces the
-    reference's uuid4 ids) + higher-order page filter (D8)."""
+    reference's uuid4 ids) + higher-order page filter (D8). alt_text
+    carries <img alt>, caption the enclosing <figure>'s <figcaption>
+    (reference FigureMetadata caption/alt_text,
+    lib/models/extraction_models.py:121-148)."""
     ext = _extracted(spark, sf_dir, "html_fig")
     figs_on_page = F.filter(F.col("figures"), lambda f: f.page_number == 1)
     el = ext.select("doc_id", F.explode(figs_on_page).alias("f"))
@@ -520,6 +543,7 @@ def q_extract_html_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.col("f.figure_id").alias("figure_id"),
         F.col("f.caption").alias("caption"),
+        F.col("f.alt_text").alias("alt_text"),
         F.col("f.label").alias("label"),
         F.col("f.page_number").cast("long").alias("page_number"),
     )
@@ -1139,6 +1163,9 @@ _ORACLES: dict[str, str] = {
                CAST(2 AS BIGINT) AS num_cols,
                'k|v' AS headers_joined,
                CAST(6 AS BIGINT) AS cell_count,
+               CAST(NULL AS VARCHAR) AS caption,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS has_merged_cells,
                'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
                'source,' || source || chr(10) AS csv
         FROM documents
@@ -1149,6 +1176,8 @@ _ORACLES: dict[str, str] = {
                    || 'source ' || source AS content,
                'k|v' AS headers_joined,
                CAST(6 AS BIGINT) AS cell_count,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS has_merged_cells,
                'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
                'source,' || source || chr(10) AS csv
         FROM documents
@@ -1173,6 +1202,7 @@ _ORACLES: dict[str, str] = {
                    || 'source ' || source AS content,
                'k|v' AS headers_joined,
                CAST(6 AS BIGINT) AS cell_count,
+               CAST(0 AS BIGINT) AS has_merged_cells,
                'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
                'source,' || source || chr(10) AS csv
         FROM documents
@@ -1188,11 +1218,12 @@ _ORACLES: dict[str, str] = {
         )
         SELECT doc_id, 'pptx' AS doc_type, 'success' AS status,
                CAST(1 AS BIGINT) AS page_number,
-               CAST(2 AS BIGINT) AS page_count, p1 AS content
+               CAST(2 AS BIGINT) AS page_count,
+               CAST(1 AS BIGINT) AS slide_no, p1 AS content
         FROM t
         UNION ALL
         SELECT doc_id, 'pptx', 'success', CAST(2 AS BIGINT),
-               CAST(2 AS BIGINT), p2
+               CAST(2 AS BIGINT), CAST(2 AS BIGINT), p2
         FROM t
     """,
     "extract_rtf_content": f"""
@@ -1369,11 +1400,18 @@ _ORACLES: dict[str, str] = {
         FROM t
     """,
     "extract_pdf_grid_tables": """
+        -- bbox: table_grid cells at x {72,182}, y {600,582,564}, 9pt on a
+        -- 792pt page; right edge = widest cell advance (0.5em/char) =
+        -- col-2 x + 4.5 * len(source), source being the longest col-2 cell
         SELECT doc_id,
                CAST(3 AS BIGINT) AS num_rows,
                CAST(2 AS BIGINT) AS num_cols,
                'k|v' AS headers_joined,
                CAST(6 AS BIGINT) AS cell_count,
+               CAST(72.0 AS DOUBLE) AS bbox_left,
+               CAST(183.0 AS DOUBLE) AS bbox_top,
+               CAST(182.0 + 4.5 * length(source) AS DOUBLE) AS bbox_right,
+               CAST(228.0 AS DOUBLE) AS bbox_bottom,
                'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
                'source,' || source || chr(10) AS csv
         FROM documents
@@ -1400,11 +1438,13 @@ _ORACLES: dict[str, str] = {
           FROM documents
         )
         SELECT doc_id, uh || '_figure_0' AS figure_id,
-               'figure for doc ' || CAST(doc_id AS VARCHAR) AS caption,
+               'caption ' || CAST(doc_id AS VARCHAR) AS caption,
+               'figure for doc ' || CAST(doc_id AS VARCHAR) AS alt_text,
                'picture' AS label, CAST(1 AS BIGINT) AS page_number
         FROM h
         UNION ALL
-        SELECT doc_id, uh || '_figure_1', NULL, 'picture', CAST(1 AS BIGINT)
+        SELECT doc_id, uh || '_figure_1', NULL, NULL, 'picture',
+               CAST(1 AS BIGINT)
         FROM h
     """,
     "extract_html_tables": """
@@ -1413,6 +1453,9 @@ _ORACLES: dict[str, str] = {
                CAST(2 AS BIGINT) AS num_cols,
                'k|v' AS headers_joined,
                CAST(6 AS BIGINT) AS cell_count,
+               'table for doc ' || CAST(doc_id AS VARCHAR) AS caption,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS has_merged_cells,
                'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
                'source,' || source || chr(10) AS csv
         FROM documents

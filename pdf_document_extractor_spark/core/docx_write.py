@@ -41,19 +41,31 @@ def _p(text: str) -> str:
     )
 
 
-def _tbl(rows: list[list[str]]) -> str:
+def _tbl(rows: list[list[str]], merged: bool = False) -> str:
     trs = []
-    for row in rows:
-        tcs = "".join(f"<w:tc>{_p(cell)}</w:tc>" for cell in row)
-        trs.append(f"<w:tr>{tcs}</w:tr>")
+    for ri, row in enumerate(rows):
+        tcs = []
+        for ci, cell in enumerate(row):
+            # merged signal: a w:gridSpan on the first cell of the first
+            # row (text extraction ignores tcPr; only the merged-cell
+            # metadata flag changes)
+            pr = (
+                '<w:tcPr><w:gridSpan w:val="2"/></w:tcPr>'
+                if merged and ri == 0 and ci == 0
+                else ""
+            )
+            tcs.append(f"<w:tc>{pr}{_p(cell)}</w:tc>")
+        trs.append(f"<w:tr>{''.join(tcs)}</w:tr>")
     return f"<w:tbl>{''.join(trs)}</w:tbl>"
 
 
 def document_xml(
-    paragraphs: list[str], tables: list[list[list[str]]] = ()
+    paragraphs: list[str],
+    tables: list[list[list[str]]] = (),
+    merged: bool = False,
 ) -> str:
     body = "".join(_p(t) for t in paragraphs)
-    body += "".join(_tbl(rows) for rows in tables)
+    body += "".join(_tbl(rows, merged) for rows in tables)
     return (
         '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
         f'<w:document xmlns:w="{_W_NS}"><w:body>{body}</w:body></w:document>'
@@ -61,15 +73,18 @@ def document_xml(
 
 
 def write_docx(
-    paragraphs: list[str], tables: list[list[list[str]]] = ()
+    paragraphs: list[str],
+    tables: list[list[list[str]]] = (),
+    merged: bool = False,
 ) -> bytes:
     """Serialize paragraphs (+ optional tables) to deterministic DOCX
-    bytes."""
+    bytes. ``merged`` stamps a w:gridSpan on the first cell of each table
+    (merged-cell metadata signal; cell text is unchanged)."""
     buf = io.BytesIO()
     with zipfile.ZipFile(buf, "w", zipfile.ZIP_STORED) as zf:
         for name, payload in (
             ("[Content_Types].xml", _CONTENT_TYPES),
-            ("word/document.xml", document_xml(paragraphs, tables)),
+            ("word/document.xml", document_xml(paragraphs, tables, merged)),
         ):
             info = zipfile.ZipInfo(name, date_time=_ZIP_EPOCH)
             zf.writestr(info, payload)
@@ -104,10 +119,11 @@ _XLSX_CT = (
 _REL_NS = "http://schemas.openxmlformats.org/officeDocument/2006/relationships"
 
 
-def write_xlsx(sheets: list[list[list[str]]]) -> bytes:
+def write_xlsx(sheets: list[list[list[str]]], merged: bool = False) -> bytes:
     """Sheets (rows of string cells) -> deterministic XLSX bytes. All cell
     values go through xl/sharedStrings.xml (t=\"s\"), the layout real
-    producers emit."""
+    producers emit. ``merged`` appends a <mergeCells> block (A1:B1) to
+    each sheet (merged-cell metadata signal; cell text unchanged)."""
     strings: list[str] = []
     index: dict[str, int] = {}
 
@@ -132,7 +148,14 @@ def write_xlsx(sheets: list[list[list[str]]]) -> bytes:
                 '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
                 'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
                 + "".join(xml_rows)
-                + "</sheetData></worksheet>",
+                + "</sheetData>"
+                + (
+                    '<mergeCells count="1"><mergeCell ref="A1:B1"/>'
+                    "</mergeCells>"
+                    if merged
+                    else ""
+                )
+                + "</worksheet>",
             )
         )
     sst = (

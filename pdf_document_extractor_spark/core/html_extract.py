@@ -193,8 +193,11 @@ class _BlockCollector(HTMLParser):
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.blocks: list[tuple[str, float]] = []  # (normalized_text, link_density)
-        self.figures_raw: list[str | None] = []  # img alt texts in doc order
-        self.tables_raw: list[list[list[str]]] = []  # table -> rows -> cells
+        # img figures in doc order: [alt_text | None, caption | None]
+        # (caption assigned at </figure> when a <figcaption> was present)
+        self.figures_raw: list[list[str | None]] = []
+        # table -> (rows, caption | None, has_merged_cells)
+        self.tables_raw: list[tuple[list[list[str]], str | None, bool]] = []
         self._frags: list[tuple[str, bool]] = []  # (raw_text, in_anchor)
         self._drop_depth = 0
         self._anchor_depth = 0
@@ -203,6 +206,14 @@ class _BlockCollector(HTMLParser):
         self._cur_table: list[list[str]] | None = None
         self._cur_row: list[str] | None = None
         self._cur_cell: list[str] | None = None
+        self._cur_tcaption: list[str] | None = None  # inside <caption>
+        self._tcaption_final: str | None = None  # closed-caption text
+        self._cur_merged = False  # colspan/rowspan>1 seen in current table
+        # current <figure> assembly state (top-level figures only)
+        self._figure_depth = 0
+        self._figcap: list[str] | None = None  # inside <figcaption>
+        self._figcap_text: str | None = None
+        self._fig_imgs: list[int] = []  # figures_raw idxs in current figure
 
     # -- block flushing -------------------------------------------------
     def _flush(self) -> None:
@@ -227,20 +238,39 @@ class _BlockCollector(HTMLParser):
         if tag == "img":
             attr_map = dict(attrs)
             alt = attr_map.get("alt")
-            self.figures_raw.append(normalize_ws(alt) if alt else None)
+            if self._figure_depth:
+                self._fig_imgs.append(len(self.figures_raw))
+            self.figures_raw.append([normalize_ws(alt) if alt else None, None])
             return
         if tag == "table":
             self._flush()
             self._table_depth += 1
             if self._table_depth == 1:
                 self._cur_table = []
+                self._cur_merged = False
             return
         if self._table_depth:
             if tag == "tr":
                 self._cur_row = []
             elif tag in ("td", "th"):
                 self._cur_cell = []
+                for k, v in attrs:
+                    if k in ("colspan", "rowspan") and v:
+                        try:
+                            if int(v.strip()) > 1:
+                                self._cur_merged = True
+                        except ValueError:
+                            pass
+            elif tag == "caption" and self._table_depth == 1:
+                self._cur_tcaption = []
             return
+        if tag == "figure":
+            self._figure_depth += 1
+            if self._figure_depth == 1:
+                self._figcap_text = None
+                self._fig_imgs = []
+        elif tag == "figcaption" and self._figure_depth:
+            self._figcap = []
         if tag == "a":
             self._anchor_depth += 1
         if tag in BLOCK_TAGS:
@@ -260,7 +290,9 @@ class _BlockCollector(HTMLParser):
             return
         if tag == "table":
             if self._table_depth == 1 and self._cur_table is not None:
-                self.tables_raw.append(self._cur_table)
+                self.tables_raw.append(
+                    (self._cur_table, self._tcaption_text(), self._cur_merged)
+                )
                 self._cur_table = None
             if self._table_depth:
                 self._table_depth -= 1
@@ -274,11 +306,40 @@ class _BlockCollector(HTMLParser):
                 if self._cur_table is not None and self._cur_row:
                     self._cur_table.append(self._cur_row)
                 self._cur_row = None
+            elif tag == "caption" and self._cur_tcaption is not None:
+                if self._tcaption_final is None:  # first caption wins
+                    self._tcaption_final = (
+                        normalize_ws("".join(self._cur_tcaption)) or None
+                    )
+                self._cur_tcaption = None
             return
+        if tag == "figcaption" and self._figcap is not None:
+            self._figcap_text = normalize_ws("".join(self._figcap)) or None
+            self._figcap = None
+        elif tag == "figure" and self._figure_depth:
+            if self._figure_depth == 1:
+                if self._figcap_text is not None:
+                    for idx in self._fig_imgs:
+                        self.figures_raw[idx][1] = self._figcap_text
+                self._figcap_text = None
+                self._fig_imgs = []
+            self._figure_depth -= 1
         if tag == "a" and self._anchor_depth:
             self._anchor_depth -= 1
         if tag in BLOCK_TAGS:
             self._flush()
+
+    def _tcaption_text(self) -> str | None:
+        """Finalized <caption> text for the table being closed (first
+        caption wins; an unclosed caption finalizes here)."""
+        if self._tcaption_final is None and self._cur_tcaption is not None:
+            self._tcaption_final = (
+                normalize_ws("".join(self._cur_tcaption)) or None
+            )
+        text, self._tcaption_final, self._cur_tcaption = (
+            self._tcaption_final, None, None,
+        )
+        return text
 
     def handle_data(self, data: str) -> None:
         if self._drop_depth:
@@ -286,7 +347,13 @@ class _BlockCollector(HTMLParser):
         if self._table_depth:
             if self._cur_cell is not None:
                 self._cur_cell.append(data)
+            elif self._cur_tcaption is not None:
+                self._cur_tcaption.append(data)
             return
+        if self._figcap is not None:
+            # figcaption text is BOTH caption metadata and regular block
+            # content (it is visible page text) — capture, don't divert
+            self._figcap.append(data)
         if data:
             self._frags.append((data, self._anchor_depth > 0))
 
@@ -355,7 +422,9 @@ def _fast_events(text: str) -> list[tuple]:
             if am is None:
                 raise _FallBack
             attrs = None
-            if name == "img":  # the only tag whose attrs the collector reads
+            # the only tags whose attrs the collector reads: img (alt),
+            # td/th (colspan/rowspan merged-cell detection)
+            if name in ("img", "td", "th"):
                 attrs = [
                     (
                         pm.group(1).lower(),
@@ -445,7 +514,7 @@ def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         offset = end + 1  # the "\n" separator
 
     tables: list[TableRef] = []
-    for ti, rows in enumerate(parser.tables_raw):
+    for ti, (rows, caption, merged) in enumerate(parser.tables_raw):
         if not rows:
             continue
         ncols = max(len(r) for r in rows)
@@ -459,6 +528,8 @@ def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
                 headers=headers,
                 cell_count=sum(len(r) for r in rows),
                 csv=_table_csv(rows),
+                caption=caption,
+                has_merged_cells=merged,
             )
         )
 
@@ -466,10 +537,11 @@ def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         FigureRef(
             figure_id=f"{url_hash}_figure_{fi}",
             page_number=1,
-            caption=alt,
+            caption=caption,
+            alt_text=alt,
             label="picture",
         )
-        for fi, alt in enumerate(parser.figures_raw)
+        for fi, (alt, caption) in enumerate(parser.figures_raw)
     ]
 
     page = PageResult(

@@ -57,7 +57,9 @@ class BBox:
 @dataclass(frozen=True)
 class Element:
     """One extracted text element (reference element dict:
-    docling_strategy_processor.py:1482-1510)."""
+    docling_strategy_processor.py:1482-1510). ``slide_no`` mirrors the
+    reference's separate slide counter for presentation sources — set to
+    the slide index (== page_no) by the PPTX path, None elsewhere."""
 
     text: str
     label: str
@@ -65,13 +67,20 @@ class Element:
     bbox: BBox | None
     char_start: int
     char_end: int
+    slide_no: int | None = None
 
 
 @dataclass(frozen=True)
 class TableRef:
     """Reference: TableMetadata headers-rule at
     docling_strategy_processor.py:1699-1726; CSV export at
-    asset_storage_service.py:241-285."""
+    asset_storage_service.py:241-285. ``caption``/``bbox``/
+    ``has_merged_cells`` complete the reference TableMetadata field set
+    (lib/models/extraction_models.py:151-179): caption from the format's
+    native caption construct (HTML <caption>; None where the format has
+    none), bbox only where the source carries layout (the PDF grid
+    detector), has_merged_cells from colspan/rowspan (HTML), gridSpan/
+    vMerge (DOCX) or mergeCells (XLSX)."""
 
     table_id: str
     page_number: int
@@ -80,6 +89,9 @@ class TableRef:
     headers: tuple[str, ...]
     cell_count: int
     csv: str | None
+    caption: str | None = None
+    bbox: BBox | None = None
+    has_merged_cells: bool = False
 
 
 @dataclass(frozen=True)
@@ -98,6 +110,12 @@ class FigureRef:
     image_width: int | None = None
     image_height: int | None = None
     payload_bytes: int | None = None
+    # reference FigureMetadata alt_text/bbox (extraction_models.py:135,
+    # 121-148): alt_text from HTML <img alt=...>; caption is reserved for
+    # a true caption construct (<figure><figcaption>); bbox only where
+    # the source carries layout
+    alt_text: str | None = None
+    bbox: BBox | None = None
 
 
 @dataclass

@@ -217,7 +217,14 @@ def _docx_from_zip(zf: zipfile.ZipFile, url_hash: str) -> ExtractionResult:
                 if cells:
                     rows.append(cells)
             if rows:
-                raw_tables.append(rows)
+                # w:gridSpan / w:vMerge anywhere in the table marks merged
+                # cells (reference TableMetadata.has_merged_cells,
+                # lib/models/extraction_models.py:151-179)
+                merged = any(
+                    _local(n.tag) in ("gridSpan", "vMerge")
+                    for n in child.iter()
+                )
+                raw_tables.append((rows, merged))
 
     content = "\n".join(paragraphs)
     if not content:
@@ -247,8 +254,9 @@ def _docx_from_zip(zf: zipfile.ZipFile, url_hash: str) -> ExtractionResult:
             headers=tuple(rows[0]),
             cell_count=sum(len(r) for r in rows),
             csv=table_csv(rows),
+            has_merged_cells=merged,
         )
-        for ti, rows in enumerate(raw_tables)
+        for ti, (rows, merged) in enumerate(raw_tables)
     ]
 
     page = PageResult(
@@ -386,6 +394,9 @@ def _xlsx_from_zip(
             offset += len(line) + 1
         tables = []
         if rows:
+            # a <mergeCells> block in the sheet marks merged ranges
+            # (reference TableMetadata.has_merged_cells)
+            merged = any(_local(n.tag) == "mergeCell" for n in root.iter())
             tables.append(
                 TableRef(
                     table_id=f"{url_hash}_table_{table_counter}",
@@ -395,6 +406,7 @@ def _xlsx_from_zip(
                     headers=tuple(rows[0]),
                     cell_count=sum(len(r) for r in rows),
                     csv=table_csv(rows),
+                    has_merged_cells=merged,
                 )
             )
             table_counter += 1
@@ -449,6 +461,10 @@ def _pptx_from_zip(
                     bbox=None,
                     char_start=offset,
                     char_end=offset + len(text),
+                    # reference elements carry a separate slide counter for
+                    # presentation sources (docling_strategy_processor.py:
+                    # 1482-1510); slides ARE our pages, so slide_no==page_no
+                    slide_no=page_no,
                 )
             )
             offset += len(text) + 1

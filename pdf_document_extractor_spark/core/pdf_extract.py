@@ -1639,6 +1639,20 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
             # shows are already x-sorted within the line.
             headers = tuple(rows[0])
             ncols = max(len(r) for r in rows)
+            # table bbox = union of the cell boxes (reference TableMetadata
+            # bbox, lib/models/extraction_models.py:151-179) — PDF is the
+            # one source format here that carries layout coordinates
+            cell_boxes = [
+                _bbox_for(s, page_height, s.text)
+                for li in range(i, j)
+                for s in lines[li].shows
+            ]
+            tbbox = BBox(
+                left=min(b.left for b in cell_boxes),
+                top=min(b.top for b in cell_boxes),
+                right=max(b.right for b in cell_boxes),
+                bottom=max(b.bottom for b in cell_boxes),
+            )
             tables.append(
                 TableRef(
                     table_id=f"{url_hash}_table_{table_counter}",
@@ -1648,6 +1662,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
                     headers=headers,
                     cell_count=sum(len(r) for r in rows),
                     csv=table_csv(rows),
+                    bbox=tbbox,
                 )
             )
             table_counter += 1

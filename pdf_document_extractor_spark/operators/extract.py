@@ -37,17 +37,22 @@ if TYPE_CHECKING:  # Spark imported lazily so the core stays Spark-free
 
 # One row per (url, page). Hard failures emit one row with page_number=0 and
 # empty content/arrays (pinned policy; goldens in tests/golden assert it).
+_BBOX_STRUCT = (
+    "struct<left:double,top:double,right:double,bottom:double,"
+    "coord_origin:string>"
+)
+
 EXTRACTED_SCHEMA = (
     "url string, page_number int, doc_type string, content string, "
     "word_count int, page_count int, "
     "elements array<struct<text:string,label:string,page_no:int,"
-    "bbox:struct<left:double,top:double,right:double,bottom:double,"
-    "coord_origin:string>,char_start:int,char_end:int>>, "
-    "tables array<struct<table_id:string,page_number:int,num_rows:int,"
-    "num_cols:int,headers:array<string>,cell_count:int,csv:string>>, "
+    f"slide_no:int,bbox:{_BBOX_STRUCT},char_start:int,char_end:int>>, "
+    "tables array<struct<table_id:string,page_number:int,caption:string,"
+    "num_rows:int,num_cols:int,headers:array<string>,cell_count:int,"
+    f"has_merged_cells:boolean,bbox:{_BBOX_STRUCT},csv:string>>, "
     "figures array<struct<figure_id:string,page_number:int,caption:string,"
-    "label:string,image_format:string,image_width:int,image_height:int,"
-    "payload_bytes:bigint>>, "
+    f"alt_text:string,label:string,bbox:{_BBOX_STRUCT},image_format:string,"
+    "image_width:int,image_height:int,payload_bytes:bigint>>, "
     "status string, error_type string, error_message string, "
     "partition_id int, byte_count bigint"
 )
@@ -70,23 +75,26 @@ _COLUMNS = [
 ]
 
 
+def _bbox_dict(bbox) -> dict | None:
+    if bbox is None:
+        return None
+    return {
+        "left": bbox.left,
+        "top": bbox.top,
+        "right": bbox.right,
+        "bottom": bbox.bottom,
+        "coord_origin": bbox.coord_origin,
+    }
+
+
 def _element_rows(elements) -> list[dict]:
     return [
         {
             "text": e.text,
             "label": e.label,
             "page_no": e.page_no,
-            "bbox": (
-                {
-                    "left": e.bbox.left,
-                    "top": e.bbox.top,
-                    "right": e.bbox.right,
-                    "bottom": e.bbox.bottom,
-                    "coord_origin": e.bbox.coord_origin,
-                }
-                if e.bbox is not None
-                else None
-            ),
+            "slide_no": e.slide_no,
+            "bbox": _bbox_dict(e.bbox),
             "char_start": e.char_start,
             "char_end": e.char_end,
         }
@@ -99,10 +107,13 @@ def _table_rows(tables) -> list[dict]:
         {
             "table_id": t.table_id,
             "page_number": t.page_number,
+            "caption": t.caption,
             "num_rows": t.num_rows,
             "num_cols": t.num_cols,
             "headers": list(t.headers),
             "cell_count": t.cell_count,
+            "has_merged_cells": t.has_merged_cells,
+            "bbox": _bbox_dict(t.bbox),
             "csv": t.csv,
         }
         for t in tables
@@ -115,7 +126,9 @@ def _figure_rows(figures) -> list[dict]:
             "figure_id": f.figure_id,
             "page_number": f.page_number,
             "caption": f.caption,
+            "alt_text": f.alt_text,
             "label": f.label,
+            "bbox": _bbox_dict(f.bbox),
             "image_format": f.image_format,
             "image_width": f.image_width,
             "image_height": f.image_height,

@@ -53,7 +53,8 @@ _HTML_TEMPLATE = (
 
 _HTML_TABLE_TEMPLATE = (
     "<html><body><article><p>{text}</p></article>"
-    "<table><tr><th>k</th><th>v</th></tr>"
+    "<table><caption>table for doc {doc_id}</caption>"
+    "<tr><th{merge}>k</th><th>v</th></tr>"
     "<tr><td>lang</td><td>{lang}</td></tr>"
     "<tr><td>source</td><td>{source}</td></tr></table>"
     "</body></html>"
@@ -61,7 +62,8 @@ _HTML_TABLE_TEMPLATE = (
 
 _HTML_FIG_TEMPLATE = (
     "<html><body><article><p>{text}</p></article>"
-    "<img src='/a.png' alt='figure for doc {doc_id}'>"
+    "<figure><img src='/a.png' alt='figure for doc {doc_id}'>"
+    "<figcaption>caption {doc_id}</figcaption></figure>"
     "<img src='/b.png'>"
     "</body></html>"
 )
@@ -99,9 +101,14 @@ def synth_html_charset_payload(doc_id: int, text: str) -> bytes:
     return _HTML_GBK_TEMPLATE.format(text=text).encode("gbk")
 
 
-def synth_html_table_payload(text: str, lang: str, source: str) -> bytes:
+def synth_html_table_payload(
+    doc_id: int, text: str, lang: str, source: str
+) -> bytes:
+    """Every 3rd doc carries a colspan'd header cell — the merged-cell
+    metadata witness (text grid is unchanged: attrs don't affect cells)."""
+    merge = ' colspan="2"' if doc_id % 3 == 0 else ""
     return _HTML_TABLE_TEMPLATE.format(
-        text=text, lang=lang, source=source
+        doc_id=doc_id, text=text, lang=lang, source=source, merge=merge
     ).encode("utf-8")
 
 
@@ -110,21 +117,27 @@ def synth_txt_payload(text: str) -> bytes:
     return text.encode("utf-8")
 
 
-def synth_docx_payload(text: str, lang: str, source: str) -> bytes:
+def synth_docx_payload(doc_id: int, text: str, lang: str, source: str) -> bytes:
     """Two paragraphs split at token 3 (documents have >= 10 tokens) plus
     the standard 3x2 k/v table -> content == p1 + '\\n' + p2, tables
-    mirror the html_table/pdf_table oracles."""
+    mirror the html_table/pdf_table oracles. Every 3rd doc stamps a
+    w:gridSpan (merged-cell witness; text grid unchanged)."""
     toks = text.split()
     return write_docx(
         [" ".join(toks[:3]), " ".join(toks[3:])],
         tables=[[["k", "v"], ["lang", lang], ["source", source]]],
+        merged=doc_id % 3 == 0,
     )
 
 
-def synth_xlsx_payload(lang: str, source: str) -> bytes:
+def synth_xlsx_payload(doc_id: int, lang: str, source: str) -> bytes:
     """One sheet holding the standard 3x2 k/v grid (shared strings) ->
-    content == 'k v\\nlang <lang>\\nsource <source>', one TableRef."""
-    return write_xlsx([[["k", "v"], ["lang", lang], ["source", source]]])
+    content == 'k v\\nlang <lang>\\nsource <source>', one TableRef. Every
+    3rd doc carries a <mergeCells> block (merged-cell witness)."""
+    return write_xlsx(
+        [[["k", "v"], ["lang", lang], ["source", source]]],
+        merged=doc_id % 3 == 0,
+    )
 
 
 def synth_pptx_payload(text: str) -> bytes:
@@ -362,15 +375,15 @@ def synth_payload(
     if mode == "txt":
         return synth_txt_payload(text)
     if mode == "docx":
-        return synth_docx_payload(text, lang, source)
+        return synth_docx_payload(doc_id, text, lang, source)
     if mode == "xlsx":
-        return synth_xlsx_payload(lang, source)
+        return synth_xlsx_payload(doc_id, lang, source)
     if mode == "pptx":
         return synth_pptx_payload(text)
     if mode == "rtf":
         return synth_rtf_payload(text)
     if mode == "html_table":
-        return synth_html_table_payload(text, lang, source)
+        return synth_html_table_payload(doc_id, text, lang, source)
     if mode == "html_fig":
         return _HTML_FIG_TEMPLATE.format(doc_id=doc_id, text=text).encode(
             "utf-8"

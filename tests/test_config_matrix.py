@@ -87,7 +87,7 @@ def test_config_matrix_gates_structure_per_type():
     assert pdf_rows[0]["tables"]  # default config: tables on
 
     html_rows = extract_rows_py(
-        "u2", synth_html_table_payload("body text here", "en", "s"),
+        "u2", synth_html_table_payload(0, "body text here", "en", "s"),
         config=matrix,
     )
     assert html_rows[0]["status"] == "success"

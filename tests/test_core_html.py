@@ -122,9 +122,38 @@ def test_figures_from_img_alt():
     r = extract_document("https://x/f", html)
     figs = r.pages[0].figures
     assert len(figs) == 2
-    assert figs[0].caption == "a chart" and figs[1].caption is None
+    # <img alt> is ALT TEXT (reference FigureMetadata.alt_text); caption
+    # is reserved for a figcaption construct
+    assert figs[0].alt_text == "a chart" and figs[1].alt_text is None
+    assert figs[0].caption is None and figs[1].caption is None
     assert figs[0].figure_id == f"{url_hash('https://x/f')}_figure_0"
     assert figs[0].label == "picture"
+
+
+def test_figcaption_and_table_caption_and_merged_cells():
+    html = (
+        b"<html><body><p>body text</p>"
+        b"<figure><img src='x.png' alt='alt a'>"
+        b"<figcaption>fig cap</figcaption></figure>"
+        b"<img src='y.png' alt='alt b'>"
+        b"<table><caption>tbl cap</caption>"
+        b"<tr><th colspan='2'>h</th></tr><tr><td>a</td><td>b</td></tr>"
+        b"</table>"
+        b"<table><tr><td>plain</td></tr></table>"
+        b"</body></html>"
+    )
+    r = extract_document("https://x/fc", html)
+    page = r.pages[0]
+    figs = page.figures
+    assert figs[0].caption == "fig cap" and figs[0].alt_text == "alt a"
+    assert figs[1].caption is None and figs[1].alt_text == "alt b"
+    # figcaption text is visible page text: it stays in content
+    assert page.content == "body text\nfig cap"
+    t0, t1 = page.tables
+    assert t0.caption == "tbl cap" and t0.has_merged_cells
+    assert t1.caption is None and not t1.has_merged_cells
+    # caption text never leaks into cells
+    assert t0.headers == ("h",) and t0.cell_count == 3
 
 
 def test_entity_decoding():
@@ -257,6 +286,11 @@ def test_fast_scanner_differential_handcases():
         "<body><img src='/a.png' alt='fig one'><img src='/b.png'></body>",
         "<p>nested <span>inline <b>bold</b></span> tail</p>",
         "<p id='x' class=\"y\" data-z>attr soup</p>",
+        "<body><figure><img src='/a' alt='fa'>"
+        "<figcaption>cap text</figcaption></figure></body>",
+        "<body><table><caption>tc</caption><tr><th colspan='2'>h</th></tr>"
+        "<tr><td>a</td><td rowspan=\"3\">b</td></tr></table></body>",
+        "<body><table><tr><td colspan='x'>bad span</td></tr></table></body>",
     ]
     for text in cases:
         res = _both_paths(text)

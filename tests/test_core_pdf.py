@@ -147,7 +147,7 @@ def test_config_flags_gate_structure_only():
         synth_html_table_payload,
     )
 
-    payload = synth_html_table_payload("hello body text", "en", "src1")
+    payload = synth_html_table_payload(3, "hello body text", "en", "src1")
     full = extract_rows_py("u", payload)
     off = extract_rows_py(
         "u",
