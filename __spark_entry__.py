@@ -322,6 +322,42 @@ def q_extract_pdf_formxobject(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_htmlout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML output format (M4 — reference DoclingOutputFormatEnum.HTML,
+    docling_models.py:22-28): body line -> <p>, grid table -> one <table>
+    of <tr><td> cells, '\\n'-joined. Runs the pdf_table mode so both the
+    paragraph and table branches render."""
+    from pdf_document_extractor_spark.core.config import ExtractionConfig
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    pages = synthesize_pages_from_documents(spark, sf_dir, "pdf_table")
+    ext = extract_pages(pages, config=ExtractionConfig(output_format="html"))
+    return ext.withColumn("doc_id", _doc_id()).select(
+        "doc_id", "doc_type", "status", "content"
+    )
+
+
+def q_extract_pdf_jsonout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON output format (M4 — reference DoclingOutputFormatEnum.JSON):
+    canonical sorted-key dump of the element stream. Runs the pdf_hdr
+    mode so both header and body labels (with exact bare-join spans)
+    appear in the dump."""
+    from pdf_document_extractor_spark.core.config import ExtractionConfig
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    pages = synthesize_pages_from_documents(spark, sf_dir, "pdf_hdr")
+    ext = extract_pages(pages, config=ExtractionConfig(output_format="json"))
+    return ext.withColumn("doc_id", _doc_id()).select(
+        "doc_id", "doc_type", "status", "content"
+    )
+
+
 def q_extract_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG/JPEG inputs (reference MIME types png/jpg,
     lib/models/mime_type.py:11-12): header-only dimension probes emit a
@@ -1282,6 +1318,41 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS page_count
         FROM documents
     """,
+    "extract_pdf_htmlout": """
+        WITH esc AS (
+          SELECT doc_id, lang, source,
+                 replace(replace(replace(text, '&', '&amp;'),
+                         '<', '&lt;'), '>', '&gt;') AS t
+          FROM documents
+        )
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               '<p>' || t || '</p>' || chr(10)
+               || '<table><tr><td>k</td><td>v</td></tr>'
+               || '<tr><td>lang</td><td>' || lang || '</td></tr>'
+               || '<tr><td>source</td><td>' || source || '</td></tr>'
+               || '</table>' AS content
+        FROM esc
+    """,
+    "extract_pdf_jsonout": """
+        WITH t AS (
+          SELECT doc_id,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3],
+                                 ' ') AS h,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:],
+                                 ' ') AS b
+          FROM documents
+        )
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               '{"elements":[{"char_end":' || length(h)
+               || ',"char_start":0,"label":"header","page_no":1,"text":'
+               || CAST(to_json(h) AS VARCHAR)
+               || '},{"char_end":' || (length(h) + 1 + length(b))
+               || ',"char_start":' || (length(h) + 1)
+               || ',"label":"body","page_no":1,"text":'
+               || CAST(to_json(b) AS VARCHAR)
+               || '}],"page_number":1}' AS content
+        FROM t
+    """,
     "extract_image_metadata": """
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0
@@ -1994,6 +2065,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_formxobject": q_extract_pdf_formxobject,
         "extract_image_metadata": q_extract_image_metadata,
         "extract_pdf_markdown": q_extract_pdf_markdown,
+        "extract_pdf_htmlout": q_extract_pdf_htmlout,
+        "extract_pdf_jsonout": q_extract_pdf_jsonout,
         "extract_txt_content": q_extract_txt_content,
         "extract_docx_content": q_extract_docx_content,
         "extract_docx_tables": q_extract_docx_tables,

@@ -22,6 +22,12 @@ from dataclasses import dataclass, field
 
 FORMAT_TEXT = "text"
 FORMAT_MARKDOWN = "markdown"
+# round-4: the remaining two members of the reference enum
+# (DoclingOutputFormatEnum markdown/html/text/json,
+# src/models/docling_models.py:22-28; export dispatch at
+# docling_strategy_processor.py:1454-1465)
+FORMAT_HTML = "html"
+FORMAT_JSON = "json"
 
 
 @dataclass(frozen=True)

@@ -1533,12 +1533,79 @@ def _bbox_for(show: _Show, page_height: float, text: str) -> BBox:
 
 
 def _page_header(page_no: int, output_format: str) -> tuple[str, bool]:
-    """(header, bare_join) per pinned rule 5 / reference M4 templates."""
+    """(header, bare_join) per pinned rule 5 / reference M4 templates.
+    'html' and 'json' use the bare-join layer for element spans (their
+    content is re-rendered afterwards); unknown formats fall through to
+    the reference's bare "\\n"-join branch
+    (docling_strategy_processor.py:1293-1294)."""
     if output_format == "markdown":
         return f"# Page {page_no}\n\n", False
     if output_format == "text":
         return f"Page {page_no}\n\n", False
-    return "", True  # reference's non-text/markdown fallback: bare join
+    return "", True  # html/json/unknown: bare join for the span layer
+
+
+def _esc_html(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _render_html_page(lines, table_spans) -> str:
+    """M4 'html' renderer (reference DoclingOutputFormatEnum.HTML,
+    docling_models.py:22-28; doc.export_to_html dispatch at
+    docling_strategy_processor.py:1454-1465): minimal deterministic
+    markup over the line stream — header lines as <h1>, body lines as
+    <p>, each detected grid table as one <table> of <tr><td> cells —
+    joined with '\\n'. PINNED (golden surface for output_format='html')."""
+    span_start = {i: j for (i, j) in table_spans}
+    out: list[str] = []
+    li = 0
+    n = len(lines)
+    while li < n:
+        j = span_start.get(li)
+        if j is not None:
+            rows = "".join(
+                "<tr>"
+                + "".join(
+                    f"<td>{_esc_html(s.text)}</td>" for s in lines[k].shows
+                )
+                + "</tr>"
+                for k in range(li, j)
+            )
+            out.append(f"<table>{rows}</table>")
+            li = j
+            continue
+        line = lines[li]
+        text = _esc_html(" ".join(s.text for s in line.shows))
+        tag = "h1" if line.max_size >= HEADER_SIZE_MIN else "p"
+        out.append(f"<{tag}>{text}</{tag}>")
+        li += 1
+    return "\n".join(out)
+
+
+def _render_json_page(page_no: int, elements) -> str:
+    """M4 'json' renderer (reference DoclingOutputFormatEnum.JSON,
+    export_to_dict dispatch at docling_strategy_processor.py:1454-1465):
+    canonical sorted-key, no-whitespace dump of the page's element stream.
+    PINNED: keys are exactly char_end/char_start/label/page_no/text —
+    float fields (bbox) are EXCLUDED so the dump stays byte-stable across
+    writers/platforms; spans index the bare-join text layer."""
+    import json
+
+    obj = {
+        "elements": [
+            {
+                "char_end": e.char_end,
+                "char_start": e.char_start,
+                "label": e.label,
+                "page_no": e.page_no,
+                "text": e.text,
+            }
+            for e in elements
+        ],
+        "page_number": page_no,
+    }
+    return json.dumps(obj, sort_keys=True, separators=(",", ":"),
+                      ensure_ascii=False)
 
 
 def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
@@ -1630,6 +1697,10 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         content = "".join(parts)
         if bare_join and lines:
             content = content[:-1]  # "\n".join semantics: no trailing \n
+        if output_format == "html":
+            content = _render_html_page(lines, table_spans)
+        elif output_format == "json":
+            content = _render_json_page(page_no, elements)
 
         tables: list[TableRef] = []
         for (i, j) in table_spans:

@@ -57,8 +57,10 @@ def test_text_format_is_default_and_unchanged():
     )
 
 
-def test_other_formats_fall_through_to_bare_join():
-    for fmt in ("html", "json"):
+def test_unknown_formats_fall_through_to_bare_join():
+    # html/json render since round 4; anything OUTSIDE the reference enum
+    # still takes the reference's bare "\n"-join branch
+    for fmt in ("doctags", "yaml"):
         r = extract_pdf(PDF, "h", ExtractionConfig(output_format=fmt))
         assert r.pages[0].content == "Title Here\nbody words", fmt
         el = r.pages[0].elements[-1]
@@ -120,3 +122,60 @@ def test_content_invariance_under_structure_flags():
         ),
     )
     assert [r["content"] for r in on] == [r["content"] for r in off]
+
+
+def test_html_format_renders_minimal_markup():
+    """M4 'html' (reference DoclingOutputFormatEnum.HTML): h1 for header
+    lines, p for body, one <table> per detected grid, escaped text."""
+    r = extract_pdf(PDF, "h", ExtractionConfig(output_format="html"))
+    assert r.pages[0].content == "<h1>Title Here</h1>\n<p>body words</p>"
+    assert r.pages[1].content == "<p>page two body</p>"
+    # a grid table renders as tr/td cells
+    tbl = extract_pdf(
+        synth_pdf_table_payload("body line", "en", "src1"),
+        "h",
+        ExtractionConfig(output_format="html"),
+    )
+    assert tbl.pages[0].content == (
+        "<p>body line</p>\n"
+        "<table><tr><td>k</td><td>v</td></tr>"
+        "<tr><td>lang</td><td>en</td></tr>"
+        "<tr><td>source</td><td>src1</td></tr></table>"
+    )
+    # markup characters in page text are escaped
+    esc = extract_pdf(
+        write_pdf([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "a <b> & c")])]),
+        "h",
+        ExtractionConfig(output_format="html"),
+    )
+    assert esc.pages[0].content == "<p>a &lt;b&gt; &amp; c</p>"
+
+
+def test_json_format_is_canonical_sorted_dump():
+    """M4 'json' (reference DoclingOutputFormatEnum.JSON): sorted-key
+    compact dump of the element stream; spans index the bare-join layer."""
+    import json
+
+    r = extract_pdf(PDF, "h", ExtractionConfig(output_format="json"))
+    obj = json.loads(r.pages[0].content)
+    assert obj["page_number"] == 1
+    assert [e["label"] for e in obj["elements"]] == ["header", "body"]
+    el0, el1 = obj["elements"]
+    bare = "Title Here\nbody words"
+    assert bare[el0["char_start"] : el0["char_end"]] == "Title Here"
+    assert bare[el1["char_start"] : el1["char_end"]] == "body words"
+    # canonical: re-dumping with the pinned knobs is byte-identical
+    assert (
+        json.dumps(obj, sort_keys=True, separators=(",", ":"),
+                   ensure_ascii=False)
+        == r.pages[0].content
+    )
+
+
+def test_matrix_selects_html_json_per_type():
+    cfg = ConfigMatrix(
+        default=ExtractionConfig(),
+        per_type={"pdf": ExtractionConfig(output_format="json")},
+    )
+    rows = extract_rows_py("u9", PDF, config=cfg)
+    assert rows[0]["content"].startswith('{"elements":')
