@@ -358,6 +358,21 @@ def q_extract_pdf_jsonout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed scanned-PDF taxonomy (the OCR-shaped capability hole made
+    first-class — reference enable_ocr, docling_models.py:48): image-only
+    pages emit error_type='ScannedPdfNoTextError', never a generic
+    EmptyContentError, so an OCR system can consume the failure manifest."""
+    return _extracted(spark, sf_dir, "pdf_scanned").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "error_type",
+        "content",
+        F.col("page_number").cast("long").alias("page_number"),
+    )
+
+
 def q_extract_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG/JPEG inputs (reference MIME types png/jpg,
     lib/models/mime_type.py:11-12): header-only dimension probes emit a
@@ -1353,6 +1368,19 @@ _ORACLES: dict[str, str] = {
                || '}],"page_number":1}' AS content
         FROM t
     """,
+    "extract_pdf_scanned": """
+        SELECT doc_id, 'pdf' AS doc_type,
+               CASE WHEN doc_id % 2 = 0 THEN 'hard_failure'
+                    ELSE 'success' END AS status,
+               CASE WHEN doc_id % 2 = 0 THEN 'ScannedPdfNoTextError'
+                    ELSE NULL END AS error_type,
+               CASE WHEN doc_id % 2 = 0 THEN ''
+                    ELSE 'Page 1' || chr(10) || chr(10) || text || chr(10)
+                    END AS content,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
+                   AS page_number
+        FROM documents
+    """,
     "extract_image_metadata": """
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0
@@ -2067,6 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_markdown": q_extract_pdf_markdown,
         "extract_pdf_htmlout": q_extract_pdf_htmlout,
         "extract_pdf_jsonout": q_extract_pdf_jsonout,
+        "extract_pdf_scanned": q_extract_pdf_scanned,
         "extract_txt_content": q_extract_txt_content,
         "extract_docx_content": q_extract_docx_content,
         "extract_docx_tables": q_extract_docx_tables,

@@ -77,6 +77,7 @@ from .taxonomy import (
     CorruptedFileError,
     EmptyContentError,
     OversizeDocumentError,
+    ScannedPdfNoTextError,
     UnsupportedFormatError,
 )
 
@@ -1202,6 +1203,22 @@ def _form_xobjects(
     return out
 
 
+def _has_image_xobjects(objs: _Objects, resources) -> bool:
+    """True iff the page's /Resources name an /Subtype /Image XObject
+    (scanned-page signal; header dict read only, pixels never decoded)."""
+    res = objs.resolve(resources)
+    if not isinstance(res, dict):
+        return False
+    xdict = objs.resolve(res.get("XObject"))
+    if not isinstance(xdict, dict):
+        return False
+    for ref in xdict.values():
+        xobj = objs.resolve(ref)
+        if isinstance(xobj, _Stream) and xobj.dict.get("Subtype") == "Image":
+            return True
+    return False
+
+
 def _decode_shown(dec: tuple, raw: bytes) -> str:
     """Show-operand bytes -> text through the current font's decoder."""
     kind = dec[0]
@@ -1750,5 +1767,19 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         )
 
     if not any(p.elements for p in pages):
+        # distinguish the scanned-document shape (pages draw image
+        # XObjects, no text operators) from genuinely-empty documents:
+        # the reference OCRs these (enable_ocr, docling_models.py:48) —
+        # OCR is out of scope, so emit the typed first-class failure
+        # instead of a generic empty-content row (round-4 verdict task 4).
+        # Detection is resources-based; an inline-image-only page (rare
+        # for scanner output) still falls through to EmptyContentError.
+        if any(
+            _has_image_xobjects(objs, res) for _n, res in page_nodes
+        ):
+            raise ScannedPdfNoTextError(
+                "pages contain only image XObjects (no text operators); "
+                "OCR required"
+            )
         raise EmptyContentError("no text content in document")
     return ExtractionResult(doc_type=DOC_TYPE_PDF, pages=pages)

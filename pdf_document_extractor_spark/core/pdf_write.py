@@ -327,6 +327,49 @@ def table_grid(
     return shows
 
 
+def write_pdf_scanned(n_pages: int = 1, width: int = 8, height: int = 8) -> bytes:
+    """Scanned-document shape: every page draws ONE /Subtype /Image
+    XObject via Do and contains no text operators — the scanner-output
+    layout (reference OCRs these via enable_ocr, docling_models.py:48;
+    the parser classifies them as ScannedPdfNoTextError). Object layout:
+    1=Catalog, 2=Pages, 3=Image, 4..3+n page dicts, 4+n..3+2n content
+    streams."""
+    pixels = zlib.compress(bytes(width * height), 6)  # 8-bit gray
+    img = (
+        f"<< /Type /XObject /Subtype /Image /Width {width} "
+        f"/Height {height} /ColorSpace /DeviceGray /BitsPerComponent 8 "
+        f"/Filter /FlateDecode /Length {len(pixels)} >>".encode()
+        + b"\nstream\n" + pixels + b"\nendstream"
+    )
+    page_obj_ids = [4 + i for i in range(n_pages)]
+    content_obj_ids = [4 + n_pages + i for i in range(n_pages)]
+    objects: list[bytes] = []
+    objects.append(b"<< /Type /Catalog /Pages 2 0 R >>")
+    kids = " ".join(f"{oid} 0 R" for oid in page_obj_ids)
+    objects.append(
+        f"<< /Type /Pages /Kids [{kids}] /Count {n_pages} >>".encode()
+    )
+    objects.append(img)
+    for i in range(n_pages):
+        objects.append(
+            (
+                f"<< /Type /Page /Parent 2 0 R "
+                f"/MediaBox [0 0 {PAGE_WIDTH:g} {PAGE_HEIGHT:g}] "
+                f"/Contents {content_obj_ids[i]} 0 R "
+                f"/Resources << /XObject << /Im1 3 0 R >> >> >>"
+            ).encode()
+        )
+    content = (
+        f"q {PAGE_WIDTH:g} 0 0 {PAGE_HEIGHT:g} 0 0 cm /Im1 Do Q".encode()
+    )
+    for _ in range(n_pages):
+        objects.append(
+            f"<< /Length {len(content)} >>".encode()
+            + b"\nstream\n" + content + b"\nendstream"
+        )
+    return _serialize_classic(objects)
+
+
 def write_pdf_hex(pages: list[PdfPageSpec], compress: bool = False) -> bytes:
     """Classic layout, but every show operand is a ``<...>`` HEX string —
     the shape pdflatex/Ghostscript emit for subset fonts (parser: hex-string

@@ -24,6 +24,7 @@ ERROR_UNSUPPORTED = "UnsupportedFormatError"
 ERROR_EMPTY = "EmptyContentError"
 ERROR_VALIDATION = "ValidationError"
 ERROR_OVERSIZE = "OversizeDocumentError"
+ERROR_SCANNED = "ScannedPdfNoTextError"
 ERROR_INTERNAL = "InternalError"
 
 
@@ -47,6 +48,18 @@ class EmptyContentError(ExtractionError):
 
 class OversizeDocumentError(ExtractionError):
     error_type = ERROR_OVERSIZE
+
+
+class ScannedPdfNoTextError(ExtractionError):
+    """A PDF whose pages draw only image XObjects and no text operators —
+    the scanned-document shape. The reference runs Docling OCR on these
+    (``enable_ocr``, src/models/docling_models.py:48; per-type tuning
+    src/services/processing_config_manager.py:88-237); OCR is out of scope
+    here (no ML), so the failure mode is FIRST-CLASS instead of a generic
+    EmptyContentError — downstream consumers can route these rows to an
+    OCR system."""
+
+    error_type = ERROR_SCANNED
 
 
 def is_soft_failure(exc: BaseException) -> bool:

@@ -278,6 +278,17 @@ def synth_pdf_form_payload(text: str) -> bytes:
     return write_pdf_form([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
 
 
+def synth_pdf_scanned_payload(doc_id: int, text: str) -> bytes:
+    """Scanned-PDF taxonomy mode: every 2nd doc is an image-only PDF
+    (-> typed ScannedPdfNoTextError hard failure), the rest are normal
+    text PDFs — the mixed shape a crawl actually yields."""
+    if doc_id % 2 == 0:
+        from ..core.pdf_write import write_pdf_scanned
+
+        return write_pdf_scanned(n_pages=1)
+    return synth_pdf_payload(text)
+
+
 def synth_pdf_hdr_payload(text: str) -> bytes:
     """18pt header line (first 3 tokens) above a 10pt body line (the rest):
     the font-size header/body labeling signal (HEADER_SIZE_MIN=14)."""
@@ -404,6 +415,8 @@ def synth_payload(
         return synth_pdf_a85_payload(text)
     if mode == "pdf_form":
         return synth_pdf_form_payload(text)
+    if mode == "pdf_scanned":
+        return synth_pdf_scanned_payload(doc_id, text)
     if mode == "image":
         return synth_image_payload(doc_id)
     if mode == "doc":

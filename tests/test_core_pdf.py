@@ -953,3 +953,36 @@ def test_inline_image_length_key_beats_embedded_ei():
     )
     shows = _shows_from_content(content_bad_l)
     assert [s.text for s in shows] == ["before", "after"]
+
+
+def test_scanned_pdf_is_typed_first_class_failure():
+    """Image-only pages (scanner output) -> ScannedPdfNoTextError, never
+    a generic EmptyContentError; a truly empty text PDF stays
+    EmptyContentError (round-4 verdict task 4)."""
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf,
+        write_pdf_scanned,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import (
+        EmptyContentError,
+        ScannedPdfNoTextError,
+    )
+
+    with _pytest.raises(ScannedPdfNoTextError, match="image XObjects"):
+        extract_pdf(write_pdf_scanned(n_pages=2), "0" * 16)
+    # the dispatch layer commits it as a typed hard-failure row
+    r = extract_document("u", write_pdf_scanned())
+    assert r.status == "hard_failure"
+    assert r.error_type == "ScannedPdfNoTextError"
+    # no-image empty doc keeps the historical taxonomy
+    with _pytest.raises(EmptyContentError):
+        extract_pdf(write_pdf([PdfPageSpec(shows=[])]), "0" * 16)
+    # a doc with ANY text page is NOT scanned even if other pages are
+    mixed = write_pdf([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "t")])])
+    assert extract_pdf(mixed, "0" * 16).status == "success"
