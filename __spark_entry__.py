@@ -2146,7 +2146,51 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Registry order IS the verification-coverage policy: the driver
+    oracles only the first 50 entries each round, so entries are sorted
+    LEAST-RECENTLY-VERIFIED FIRST (round-4 verdict task 1) —
+
+    1. queries with stale or absent CORRECTNESS rows from round 3;
+    2. queries added this round;
+    3. queries whose implementation (or substrate) changed this round;
+    4. tail: queries green in round 3 whose code is untouched this round
+       (they rotate forward next round).
+
+    tests/test_staleness.py enforces this mechanically: any query without
+    a green row in the latest CORRECTNESS artifact must sit inside
+    queries()[:50], and nothing may go two consecutive rounds unchecked.
+    """
     return {
+        # -- 1. stale/absent round-3 rows (13) --------------------------
+        "sample_stratified": q_sample_stratified,
+        "events_rollup_cascade": q_events_rollup_cascade,
+        "mm_media_metadata": q_mm_media_metadata,
+        "pipeline_training_corpus": q_pipeline_training_corpus,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "sketch_ngram_counts": q_sketch_ngram_counts,
+        "dedup_lines": q_dedup_lines,
+        "text_redact_pii": q_text_redact_pii,
+        "filter_blocklist": q_filter_blocklist,
+        "url_canonicalize": q_url_canonicalize,
+        "text_chunking": q_text_chunking,
+        "sample_split": q_sample_split,
+        "decontaminate": q_decontaminate,
+        # -- 2. new in round 4 (4) --------------------------------------
+        "extract_pdf_htmlout": q_extract_pdf_htmlout,
+        "extract_pdf_jsonout": q_extract_pdf_jsonout,
+        "extract_pdf_scanned": q_extract_pdf_scanned,
+        "sim_ann_recall": q_sim_ann_recall,
+        # -- 3. changed this round: asset-metadata parity (9) -----------
+        "extract_html_tables": q_extract_html_tables,
+        "extract_html_figures": q_extract_html_figures,
+        "extract_pdf_grid_tables": q_extract_pdf_grid_tables,
+        "extract_docx_tables": q_extract_docx_tables,
+        "extract_xlsx_cells": q_extract_xlsx_cells,
+        "extract_xls_cells": q_extract_xls_cells,
+        "extract_pptx_slides": q_extract_pptx_slides,
+        "extract_element_spans": q_extract_element_spans,
+        "extract_image_metadata": q_extract_image_metadata,
+        # -- 3b. changed extract core (lazy forms, inline /L, schema) ---
         "extract_html_content": q_extract_html_content,
         "extract_html_charset": q_extract_html_charset,
         "extract_pdf_content": q_extract_pdf_content,
@@ -2157,32 +2201,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_encdiff": q_extract_pdf_encdiff,
         "extract_pdf_ascii85": q_extract_pdf_ascii85,
         "extract_pdf_formxobject": q_extract_pdf_formxobject,
-        "extract_image_metadata": q_extract_image_metadata,
         "extract_pdf_markdown": q_extract_pdf_markdown,
-        "extract_pdf_htmlout": q_extract_pdf_htmlout,
-        "extract_pdf_jsonout": q_extract_pdf_jsonout,
-        "extract_pdf_scanned": q_extract_pdf_scanned,
-        "extract_txt_content": q_extract_txt_content,
-        "extract_docx_content": q_extract_docx_content,
-        "extract_docx_tables": q_extract_docx_tables,
-        "extract_xlsx_cells": q_extract_xlsx_cells,
+        "extract_pdf_multipage": q_extract_pdf_multipage,
+        "extract_pdf_headers": q_extract_pdf_headers,
         "extract_doc_content": q_extract_doc_content,
-        "extract_xls_cells": q_extract_xls_cells,
-        "extract_pptx_slides": q_extract_pptx_slides,
+        "extract_doc_assembly": q_extract_doc_assembly,
         "extract_rtf_content": q_extract_rtf_content,
+        "extract_docx_content": q_extract_docx_content,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,
         "extract_heavy_split": q_extract_heavy_split,
         "extract_lineage_rollup": q_extract_lineage_rollup,
-        "extract_element_spans": q_extract_element_spans,
         "extract_salted_invariance": q_extract_salted_invariance,
-        "extract_html_tables": q_extract_html_tables,
-        "extract_pdf_multipage": q_extract_pdf_multipage,
-        "extract_pdf_headers": q_extract_pdf_headers,
-        "extract_pdf_grid_tables": q_extract_pdf_grid_tables,
-        "extract_html_figures": q_extract_html_figures,
-        "extract_doc_assembly": q_extract_doc_assembly,
+        "extract_txt_content": q_extract_txt_content,
+        # -- 4. tail: green r03, untouched r04 (rotate forward next) ----
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2193,7 +2226,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_embedding_neardup": q_sim_embedding_neardup,
         "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
         "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
-        "sim_ann_recall": q_sim_ann_recall,
         "text_token_stats": q_text_token_stats,
         "text_language_id": q_text_language_id,
         "text_quality_scores": q_text_quality_scores,
@@ -2201,19 +2233,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
-        "events_rollup_cascade": q_events_rollup_cascade,
-        "sketch_ngram_counts": q_sketch_ngram_counts,
-        "dedup_lines": q_dedup_lines,
-        "text_redact_pii": q_text_redact_pii,
-        "filter_blocklist": q_filter_blocklist,
-        "mm_media_metadata": q_mm_media_metadata,
-        "pipeline_training_corpus": q_pipeline_training_corpus,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "url_canonicalize": q_url_canonicalize,
-        "text_chunking": q_text_chunking,
-        "sample_split": q_sample_split,
-        "sample_stratified": q_sample_stratified,
-        "decontaminate": q_decontaminate,
     }
 
 

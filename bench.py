@@ -212,6 +212,19 @@ def main() -> None:
 
     measurable = ceiling_before is not None and ceiling_after is not None
     ceiling = min(ceiling_before, ceiling_after) if measurable else None
+    ceiling_valid = (ceiling >= 0.8) if ceiling is not None else None
+    # Throughput floor (round-4 verdict task 8): a VALID-ceiling window
+    # below this marks a real regression the next dialect widening must
+    # not sneak past (round-3 quiet headline: 26.5k docs/sec local[32]
+    # sf0.1). Interference-depressed windows (ceiling invalid) are
+    # exempt — they are unreadable, not regressed.
+    floor = float(os.environ.get("BENCH_FLOOR_DOCS_PER_SEC", "20000"))
+    regression = bool(
+        ceiling_valid
+        and thr["docs_per_sec"] < floor
+        and str(sf) == "0.1"
+        and cpus == 32
+    )
     out = {
         "metric": "extract_job_wall_sec",
         "value": thr["wall_s"],
@@ -227,9 +240,29 @@ def main() -> None:
         # scaling, ~1.0 quiet): ceiling < 0.8 marks the window invalid —
         # read the headline as interference-depressed, not a regression
         "ceiling": round(ceiling, 3) if ceiling is not None else None,
-        "ceiling_valid": (ceiling >= 0.8) if ceiling is not None else None,
+        "ceiling_valid": ceiling_valid,
+        "throughput_floor": floor,
+        "throughput_regression": regression,
     }
+    # full parsed object to a well-formed sidecar file: the round-3
+    # BENCH artifact recorded parsed:null because the stdout line outgrew
+    # the driver's capture (round-4 verdict task 5)
+    try:
+        self_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
+        )
+        with open(self_path, "w", encoding="utf-8") as fh:
+            json.dump(out, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
     print(json.dumps(out))
+    if regression:
+        print(
+            f"THROUGHPUT REGRESSION: {thr['docs_per_sec']} docs/sec < "
+            f"floor {floor} in a valid-ceiling window",
+            file=sys.stderr,
+        )
     spark.stop()
 
 
