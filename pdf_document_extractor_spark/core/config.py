@@ -12,8 +12,9 @@ the reference's ``"# Page {n}\\n\\n"`` template
 to the reference's bare ``"\\n"``-join branch (:1293-1294).
 
 Dropped knobs and why: ``enable_ocr`` (Docling ML path — no OCR engine in
-scope; scanned PDFs without text operators become EmptyContentError hard
-failures, mirroring the taxonomy), ``provider`` (no multi-backend).
+scope; scanned PDFs whose pages draw only image XObjects emit the typed
+``ScannedPdfNoTextError`` hard failure since round 4, so an OCR system
+can consume the manifest), ``provider`` (no multi-backend).
 """
 
 from __future__ import annotations
@@ -42,7 +43,8 @@ class ExtractionConfig:
     chunk_size: int = 20
     overlap_size: int = 5
     # content renderer (reference output_format, docling_models.py:47):
-    # 'text' | 'markdown' | anything else -> bare newline-join fallback
+    # 'text' | 'markdown' | 'html' | 'json' (full reference enum);
+    # anything else -> bare newline-join fallback
     output_format: str = FORMAT_TEXT
 
     def for_type(self, doc_type: str) -> "ExtractionConfig":
