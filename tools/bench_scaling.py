@@ -136,7 +136,16 @@ official datapoint uses N={n}.
 
 Measured {stamp}; regenerate with `python tools/bench_scaling.py {n} {replicas}`.
 """
-    (REPO / "BENCH.md").write_text(md)
+    # preserve everything from the "## History" marker down — per-round
+    # measurement history must survive regeneration (round-4 lesson: a
+    # full overwrite silently dropped the round-2/3 sections)
+    bench_path = REPO / "BENCH.md"
+    if bench_path.exists():
+        old = bench_path.read_text()
+        idx = old.find("## History")
+        if idx != -1:
+            md += "\n" + old[idx:]
+    bench_path.write_text(md)
 
 
 if __name__ == "__main__":
