@@ -209,11 +209,11 @@ class _BlockCollector(HTMLParser):
         self._cur_tcaption: list[str] | None = None  # inside <caption>
         self._tcaption_final: str | None = None  # closed-caption text
         self._cur_merged = False  # colspan/rowspan>1 seen in current table
-        # current <figure> assembly state (top-level figures only)
-        self._figure_depth = 0
+        # <figure> assembly: one frame per OPEN figure so nested figures
+        # keep their captions to themselves — frame = [caption|None,
+        # [figures_raw idxs of imgs directly inside this figure frame]]
+        self._fig_stack: list[list] = []
         self._figcap: list[str] | None = None  # inside <figcaption>
-        self._figcap_text: str | None = None
-        self._fig_imgs: list[int] = []  # figures_raw idxs in current figure
 
     # -- block flushing -------------------------------------------------
     def _flush(self) -> None:
@@ -238,8 +238,8 @@ class _BlockCollector(HTMLParser):
         if tag == "img":
             attr_map = dict(attrs)
             alt = attr_map.get("alt")
-            if self._figure_depth:
-                self._fig_imgs.append(len(self.figures_raw))
+            if self._fig_stack:
+                self._fig_stack[-1][1].append(len(self.figures_raw))
             self.figures_raw.append([normalize_ws(alt) if alt else None, None])
             return
         if tag == "table":
@@ -265,11 +265,8 @@ class _BlockCollector(HTMLParser):
                 self._cur_tcaption = []
             return
         if tag == "figure":
-            self._figure_depth += 1
-            if self._figure_depth == 1:
-                self._figcap_text = None
-                self._fig_imgs = []
-        elif tag == "figcaption" and self._figure_depth:
+            self._fig_stack.append([None, []])
+        elif tag == "figcaption" and self._fig_stack:
             self._figcap = []
         if tag == "a":
             self._anchor_depth += 1
@@ -314,20 +311,26 @@ class _BlockCollector(HTMLParser):
                 self._cur_tcaption = None
             return
         if tag == "figcaption" and self._figcap is not None:
-            self._figcap_text = normalize_ws("".join(self._figcap)) or None
-            self._figcap = None
-        elif tag == "figure" and self._figure_depth:
-            if self._figure_depth == 1:
-                if self._figcap_text is not None:
-                    for idx in self._fig_imgs:
-                        self.figures_raw[idx][1] = self._figcap_text
-                self._figcap_text = None
-                self._fig_imgs = []
-            self._figure_depth -= 1
+            self._close_figcaption()
+        elif tag == "figure" and self._fig_stack:
+            if self._figcap is not None:  # unclosed figcaption: finalize
+                self._close_figcaption()
+            caption, img_idxs = self._fig_stack.pop()
+            if caption is not None:
+                for idx in img_idxs:
+                    self.figures_raw[idx][1] = caption
         if tag == "a" and self._anchor_depth:
             self._anchor_depth -= 1
         if tag in BLOCK_TAGS:
             self._flush()
+
+    def _close_figcaption(self) -> None:
+        """Finalize the open <figcaption> into the innermost figure frame
+        (first caption wins — same rule as table <caption>)."""
+        text = normalize_ws("".join(self._figcap)) or None
+        self._figcap = None
+        if self._fig_stack and self._fig_stack[-1][0] is None:
+            self._fig_stack[-1][0] = text
 
     def _tcaption_text(self) -> str | None:
         """Finalized <caption> text for the table being closed (first

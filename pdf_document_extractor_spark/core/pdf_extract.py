@@ -55,6 +55,7 @@ PINNED SEMANTICS (byte-identical invariant surface):
 
 from __future__ import annotations
 
+import html
 import re
 import zlib
 from dataclasses import dataclass
@@ -1088,15 +1089,17 @@ class _FormEntry:
     shared decode-byte budget (advisor finding, round 4)."""
 
     __slots__ = ("objs", "xobj", "fres", "font_cache", "form_state",
-                 "depth", "drawing", "_value", "_state")
+                 "depth", "cache_key", "drawing", "_value", "_state")
 
-    def __init__(self, objs, xobj, fres, font_cache, form_state, depth):
+    def __init__(self, objs, xobj, fres, font_cache, form_state, depth,
+                 cache_key):
         self.objs = objs
         self.xobj = xobj
         self.fres = fres
         self.font_cache = font_cache
         self.form_state = form_state
         self.depth = depth
+        self.cache_key = cache_key  # into form_state['decoded']
         self.drawing = False  # Do-recursion cycle guard (consumer-managed)
         self._value = None
         self._state = 0  # 0 unresolved / 1 resolving / 2 done
@@ -1112,7 +1115,7 @@ class _FormEntry:
         self._state = 1
         try:
             decoded = self.form_state["decoded"]
-            cache_key = self.form_state["keys"][id(self)]
+            cache_key = self.cache_key
             if cache_key not in decoded:
                 try:
                     blob = self.xobj.decoded()
@@ -1155,8 +1158,6 @@ def _form_xobjects(
 
     ``form_state`` (per document) carries:
     - 'decoded': form obj num -> bytes (decode once per form, not per page);
-    - 'keys': id(entry) -> decode-cache key (kept off the entry to keep
-      _FormEntry slots minimal);
     - 'memo': (num, effective-resources identity) -> _FormEntry. The memo
       is what bounds the tree expansion: K sibling forms inheriting the
       same resources would otherwise re-expand per PATH (~K^8 calls under
@@ -1168,8 +1169,7 @@ def _form_xobjects(
     if depth >= MAX_FORM_DEPTH:
         return {}
     if form_state is None:
-        form_state = {"decoded": {}, "memo": {}, "bytes": 0, "keys": {}}
-    form_state.setdefault("keys", {})
+        form_state = {"decoded": {}, "memo": {}, "bytes": 0}
     res = objs.resolve(resources)
     if not isinstance(res, dict):
         return {}
@@ -1189,9 +1189,9 @@ def _form_xobjects(
         entry = memo.get(key)
         if entry is None:
             fres = xobj.dict.get("Resources", resources)
-            entry = _FormEntry(objs, xobj, fres, font_cache, form_state, depth)
-            form_state["keys"][id(entry)] = (
-                num if num is not None else id(xobj)
+            entry = _FormEntry(
+                objs, xobj, fres, font_cache, form_state, depth,
+                cache_key=num if num is not None else id(xobj),
             )
             if depth + 1 < MAX_FORM_DEPTH:
                 # entries whose children would be depth-truncated are NOT
@@ -1563,7 +1563,8 @@ def _page_header(page_no: int, output_format: str) -> tuple[str, bool]:
 
 
 def _esc_html(s: str) -> str:
-    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+    # stdlib escape, quotes excluded — the renderer emits no attributes
+    return html.escape(s, quote=False)
 
 
 def _render_html_page(lines, table_spans) -> str:
@@ -1642,7 +1643,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     font_cache: dict = {}  # font object -> decoder, shared across pages
     # shared per-document form state: decode-once cache, build memo
     # (bounds the tree expansion), combined decode-size budget
-    form_state: dict = {"decoded": {}, "memo": {}, "bytes": 0, "keys": {}}
+    form_state: dict = {"decoded": {}, "memo": {}, "bytes": 0}
     for page_no, (node, resources) in enumerate(page_nodes, start=1):
         fonts = _fonts_for_page(objs, resources, font_cache)
         xobjs = _form_xobjects(objs, resources, font_cache, form_state)
@@ -1677,19 +1678,26 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         parts: list[str] = [header]
         offset = len(header)
         elements: list[Element] = []
+        # cell boxes per local table idx, captured while building the
+        # cell Elements (the TableRef bbox union reuses them — no second
+        # _bbox_for pass over table-heavy pages)
+        table_boxes: dict[int, list[BBox]] = {}
         for li, line in enumerate(lines):
             if li in in_table_rows:
                 # table row: cells joined by single spaces
                 cell_texts = [s.text for s in line.shows]
                 line_text = " ".join(cell_texts)
                 cursor = offset
+                boxes = table_boxes.setdefault(in_table_rows[li], [])
                 for s, ct in zip(line.shows, cell_texts):
+                    cbox = _bbox_for(s, page_height, ct)
+                    boxes.append(cbox)
                     elements.append(
                         Element(
                             text=ct,
                             label=LABEL_TABLE_CELL,
                             page_no=page_no,
-                            bbox=_bbox_for(s, page_height, ct),
+                            bbox=cbox,
                             char_start=cursor,
                             char_end=cursor + len(ct),
                         )
@@ -1720,7 +1728,7 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
             content = _render_json_page(page_no, elements)
 
         tables: list[TableRef] = []
-        for (i, j) in table_spans:
+        for t_local, (i, j) in enumerate(table_spans):
             rows = [[s.text for s in lines[li].shows] for li in range(i, j)]
             # headers = first-row cells sorted by start column offset —
             # reference rule verbatim (docling_strategy_processor.py:1719-1726);
@@ -1729,12 +1737,9 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
             ncols = max(len(r) for r in rows)
             # table bbox = union of the cell boxes (reference TableMetadata
             # bbox, lib/models/extraction_models.py:151-179) — PDF is the
-            # one source format here that carries layout coordinates
-            cell_boxes = [
-                _bbox_for(s, page_height, s.text)
-                for li in range(i, j)
-                for s in lines[li].shows
-            ]
+            # one source format here that carries layout coordinates;
+            # boxes were computed with the cell Elements above
+            cell_boxes = table_boxes[t_local]
             tbbox = BBox(
                 left=min(b.left for b in cell_boxes),
                 top=min(b.top for b in cell_boxes),

@@ -408,3 +408,28 @@ def test_fast_scanner_differential_hypothesis():
             assert _state(fast) == _state(ref), text
 
     check()
+
+
+def test_nested_figure_captions_stay_scoped():
+    """A nested <figure>'s figcaption must caption ONLY its own images —
+    never leak onto the outer figure's images (round-4 review finding).
+    Multiple figcaptions in one figure: first wins (same rule as table
+    <caption>)."""
+    html = (
+        b"<html><body><p>text body</p>"
+        b"<figure><img src='a' alt='outer-img'>"
+        b"<figure><img src='b' alt='inner-img'>"
+        b"<figcaption>inner cap</figcaption></figure>"
+        b"</figure>"
+        b"<figure><img src='c' alt='two-caps'>"
+        b"<figcaption>first</figcaption><figcaption>second</figcaption>"
+        b"</figure>"
+        b"</body></html>"
+    )
+    r = extract_document("https://x/nf", html)
+    figs = r.pages[0].figures
+    assert [(f.alt_text, f.caption) for f in figs] == [
+        ("outer-img", None),
+        ("inner-img", "inner cap"),
+        ("two-caps", "first"),
+    ]
