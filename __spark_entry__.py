@@ -358,6 +358,42 @@ def q_extract_pdf_jsonout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_docx_jsonout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic (non-PDF) json renderer (M4 across ALL doc types — the
+    reference exports any converted document in the configured format):
+    docx pages re-render through the shared canonical element dump
+    (core/render.py)."""
+    from pdf_document_extractor_spark.core.config import ExtractionConfig
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    pages = synthesize_pages_from_documents(spark, sf_dir, "docx")
+    ext = extract_pages(pages, config=ExtractionConfig(output_format="json"))
+    return ext.withColumn("doc_id", _doc_id()).select(
+        "doc_id", "doc_type", "status", "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+def q_extract_html_htmlout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generic (non-PDF) html renderer (M4 across ALL doc types): the
+    html_table mode re-renders as <p> blocks + a <table> reconstructed
+    from the pinned CSV export."""
+    from pdf_document_extractor_spark.core.config import ExtractionConfig
+    from pdf_document_extractor_spark.operators.extract import extract_pages
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    pages = synthesize_pages_from_documents(spark, sf_dir, "html_table")
+    ext = extract_pages(pages, config=ExtractionConfig(output_format="html"))
+    return ext.withColumn("doc_id", _doc_id()).select(
+        "doc_id", "doc_type", "status", "content"
+    )
+
+
 def q_extract_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Typed scanned-PDF taxonomy (the OCR-shaped capability hole made
     first-class — reference enable_ocr, docling_models.py:48): image-only
@@ -1426,6 +1462,46 @@ _ORACLES: dict[str, str] = {
                || '}],"page_number":1}' AS content
         FROM t
     """,
+    "extract_docx_jsonout": """
+        -- word_count of the compact dump: whitespace only exists inside
+        -- the two "text" values, so splits = total source words - 1
+        WITH t AS (
+          SELECT doc_id,
+                 CAST(length(regexp_split_to_array(trim(text), '\\s+'))
+                      AS BIGINT) AS nw,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3],
+                                 ' ') AS p1,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:],
+                                 ' ') AS p2
+          FROM documents
+        )
+        SELECT doc_id, 'docx' AS doc_type, 'success' AS status,
+               '{"elements":[{"char_end":' || length(p1)
+               || ',"char_start":0,"label":"block","page_no":1,"text":'
+               || CAST(to_json(p1) AS VARCHAR)
+               || '},{"char_end":' || (length(p1) + 1 + length(p2))
+               || ',"char_start":' || (length(p1) + 1)
+               || ',"label":"block","page_no":1,"text":'
+               || CAST(to_json(p2) AS VARCHAR)
+               || '}],"page_number":1}' AS content,
+               nw - 1 AS word_count
+        FROM t
+    """,
+    "extract_html_htmlout": """
+        WITH esc AS (
+          SELECT doc_id, lang, source,
+                 replace(replace(replace(text, '&', '&amp;'),
+                         '<', '&lt;'), '>', '&gt;') AS t
+          FROM documents
+        )
+        SELECT doc_id, 'html' AS doc_type, 'success' AS status,
+               '<p>' || t || '</p>' || chr(10)
+               || '<table><tr><td>k</td><td>v</td></tr>'
+               || '<tr><td>lang</td><td>' || lang || '</td></tr>'
+               || '<tr><td>source</td><td>' || source || '</td></tr>'
+               || '</table>' AS content
+        FROM esc
+    """,
     "extract_pdf_scanned": """
         SELECT doc_id, 'pdf' AS doc_type,
                CASE WHEN doc_id % 2 = 0 THEN 'hard_failure'
@@ -2175,9 +2251,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "sample_split": q_sample_split,
         "decontaminate": q_decontaminate,
-        # -- 2. new in round 4 (4) --------------------------------------
+        # -- 2. new in round 4 (6) --------------------------------------
         "extract_pdf_htmlout": q_extract_pdf_htmlout,
         "extract_pdf_jsonout": q_extract_pdf_jsonout,
+        "extract_docx_jsonout": q_extract_docx_jsonout,
+        "extract_html_htmlout": q_extract_html_htmlout,
         "extract_pdf_scanned": q_extract_pdf_scanned,
         "sim_ann_recall": q_sim_ann_recall,
         # -- 3. changed this round: asset-metadata parity (9) -----------
@@ -2213,9 +2291,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_resume_antijoin": q_extract_resume_antijoin,
         "extract_heavy_split": q_extract_heavy_split,
         "extract_lineage_rollup": q_extract_lineage_rollup,
+        # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
         "extract_salted_invariance": q_extract_salted_invariance,
         "extract_txt_content": q_extract_txt_content,
-        # -- 4. tail: green r03, untouched r04 (rotate forward next) ----
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,

@@ -144,7 +144,20 @@ def extract_document(url: str, data: bytes, config=None) -> ExtractionResult:
     if config is not None and doc_type not in (DOC_TYPE_OOXML, DOC_TYPE_OLE2):
         cfg = config.for_type(doc_type)
     try:
-        return EXTRACTORS[doc_type](data, uh, config=cfg)
+        result = EXTRACTORS[doc_type](data, uh, config=cfg)
+        # M4 for non-PDF types: the reference exports ANY converted doc in
+        # the configured output format; PDF renders in-extractor (it
+        # interleaves tables positionally), every other type re-renders
+        # here from the element stream (core/render.py pinned semantics).
+        # Resolve per RESULT doc_type — the container subtype is only
+        # known now (e.g. ooxml -> docx/xlsx/pptx).
+        if config is not None and result.doc_type != DOC_TYPE_PDF:
+            fmt = config.for_type(result.doc_type).output_format
+            if fmt in ("html", "json"):
+                from .render import rerender_pages
+
+                rerender_pages(result, fmt)
+        return result
     except BaseException as exc:  # noqa: BLE001 — taxonomy decides
         status, error_type, message = classify_error(exc)
         if status == "soft_failure":

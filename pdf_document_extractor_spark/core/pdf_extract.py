@@ -1606,24 +1606,11 @@ def _render_json_page(page_no: int, elements) -> str:
     canonical sorted-key, no-whitespace dump of the page's element stream.
     PINNED: keys are exactly char_end/char_start/label/page_no/text —
     float fields (bbox) are EXCLUDED so the dump stays byte-stable across
-    writers/platforms; spans index the bare-join text layer."""
-    import json
+    writers/platforms; spans index the bare-join text layer. Delegates to
+    the shared canonical dump (core/render.py) used by every doc type."""
+    from .render import elements_json
 
-    obj = {
-        "elements": [
-            {
-                "char_end": e.char_end,
-                "char_start": e.char_start,
-                "label": e.label,
-                "page_no": e.page_no,
-                "text": e.text,
-            }
-            for e in elements
-        ],
-        "page_number": page_no,
-    }
-    return json.dumps(obj, sort_keys=True, separators=(",", ":"),
-                      ensure_ascii=False)
+    return elements_json(page_no, elements)
 
 
 def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:

@@ -179,3 +179,53 @@ def test_matrix_selects_html_json_per_type():
     )
     rows = extract_rows_py("u9", PDF, config=cfg)
     assert rows[0]["content"].startswith('{"elements":')
+
+
+def test_generic_renderers_apply_to_all_doc_types():
+    """M4 completion: html/json formats render for EVERY doc type via the
+    shared element-stream renderer (PDF keeps its positional in-extractor
+    renderer; both share one canonical json dump)."""
+    import json as _json
+
+    from pdf_document_extractor_spark.core.docx_write import write_pptx
+
+    docx = write_docx(["first para", "second para"])
+    rows = extract_rows_py(
+        "u1", docx, config=ExtractionConfig(output_format="json")
+    )
+    obj = _json.loads(rows[0]["content"])
+    assert [e["text"] for e in obj["elements"]] == [
+        "first para", "second para",
+    ]
+    bare = "first para\nsecond para"
+    for e in obj["elements"]:
+        assert bare[e["char_start"] : e["char_end"]] == e["text"]
+    assert rows[0]["word_count"] == len(rows[0]["content"].split())
+
+    rows = extract_rows_py(
+        "u2", docx, config=ExtractionConfig(output_format="html")
+    )
+    assert rows[0]["content"] == "<p>first para</p>\n<p>second para</p>"
+
+    # html input with a table: table reconstructed from the pinned CSV
+    html = (
+        b"<html><body><p>a & b</p>"
+        b"<table><tr><th>h</th></tr><tr><td>x</td></tr></table>"
+        b"</body></html>"
+    )
+    rows = extract_rows_py(
+        "u3", html, config=ExtractionConfig(output_format="html")
+    )
+    assert rows[0]["content"] == (
+        "<p>a &amp; b</p>\n<table><tr><td>h</td></tr><tr><td>x</td></tr>"
+        "</table>"
+    )
+
+    # pptx: per-page dump keeps page_no per slide
+    pptx = write_pptx([["slide one"], ["slide two"]])
+    rows = extract_rows_py(
+        "u4", pptx, config=ExtractionConfig(output_format="json")
+    )
+    pages = [_json.loads(r["content"]) for r in rows]
+    assert [p["page_number"] for p in pages] == [1, 2]
+    assert pages[1]["elements"][0]["page_no"] == 2
