@@ -140,3 +140,57 @@ def test_extract_total_on_corrupted_docx(junk, pos):
     mutated = doc[:pos] + junk + doc[pos + len(junk):]
     res = extract_document("https://h.example/x", mutated)
     assert res.status in ALLOWED
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=2048))
+def test_extract_total_on_ole2_magic_prefixed_garbage(data):
+    res = extract_document(
+        "https://h.example/x", b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + data
+    )
+    assert res.status in ALLOWED
+    if res.status == STATUS_HARD_FAILURE:
+        assert res.error_type
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(min_size=0, max_size=512))
+def test_extract_total_on_image_magic_prefixed_garbage(data):
+    for magic in (b"\x89PNG\r\n\x1a\n", b"\xff\xd8\xff"):
+        res = extract_document("https://h.example/x", magic + data)
+        assert res.status in ALLOWED
+        if res.status == STATUS_HARD_FAILURE:
+            assert res.error_type
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.binary(min_size=50, max_size=400),
+    st.integers(min_value=0, max_value=399),
+)
+def test_extract_total_on_corrupted_scanned_pdf(junk, pos):
+    from pdf_document_extractor_spark.core.pdf_write import write_pdf_scanned
+
+    base = bytearray(write_pdf_scanned())
+    pos = min(pos, len(base) - len(junk)) if len(base) > len(junk) else 0
+    base[pos : pos + len(junk)] = junk
+    res = extract_document("https://h.example/x", bytes(base))
+    assert res.status in ALLOWED
+    if res.status == STATUS_HARD_FAILURE:
+        assert res.error_type
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(min_size=0, max_size=1024), st.sampled_from(["html", "json"]))
+def test_renderers_total_on_arbitrary_bytes(data, fmt):
+    """The html/json render path must be as total as the default path —
+    a renderer crash on a weird-but-extractable document would be a new
+    escape hatch from the taxonomy."""
+    from pdf_document_extractor_spark.core.config import ExtractionConfig
+
+    res = extract_document(
+        "https://h.example/x", data, ExtractionConfig(output_format=fmt)
+    )
+    assert res.status in ALLOWED
+    if res.status == STATUS_HARD_FAILURE:
+        assert res.error_type
