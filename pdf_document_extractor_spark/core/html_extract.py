@@ -265,6 +265,12 @@ class _BlockCollector(HTMLParser):
                 self._cur_tcaption = []
             return
         if tag == "figure":
+            if self._figcap is not None:
+                # a figure OPENING inside an open <figcaption> (legal —
+                # figcaption allows flow content): the caption text so
+                # far belongs to the OUTER frame; finalize before the
+                # inner frame could steal it at its own </figure>
+                self._close_figcaption()
             self._fig_stack.append([None, []])
         elif tag == "figcaption" and self._fig_stack:
             self._figcap = []

@@ -55,7 +55,6 @@ PINNED SEMANTICS (byte-identical invariant surface):
 
 from __future__ import annotations
 
-import html
 import re
 import zlib
 from dataclasses import dataclass
@@ -1563,8 +1562,11 @@ def _page_header(page_no: int, output_format: str) -> tuple[str, bool]:
 
 
 def _esc_html(s: str) -> str:
-    # stdlib escape, quotes excluded — the renderer emits no attributes
-    return html.escape(s, quote=False)
+    # the shared pinned escape rule (core/render.py) — one definition for
+    # both the PDF and generic renderers so they cannot drift
+    from .render import esc_html
+
+    return esc_html(s)
 
 
 def _render_html_page(lines, table_spans) -> str:

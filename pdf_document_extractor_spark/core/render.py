@@ -41,8 +41,25 @@ import json
 from .model import LABEL_HEADER, PageResult, word_count
 
 
-def _esc(s: str) -> str:
+def esc_html(s: str) -> str:
+    """The ONE pinned escape rule for both renderers (PDF in-extractor
+    and generic): stdlib escape, quotes excluded — no attributes are ever
+    emitted."""
     return html.escape(s, quote=False)
+
+
+def _csv_rows(text: str) -> list[list[str]]:
+    """Inverse of model.table_csv. csv.reader enforces the module-global
+    field_size_limit (128 KiB default) — a crawl table cell can exceed it
+    and table_csv wrote it without limit, so raise the limit around the
+    read (Spark Python workers are single-threaded; restored either way)
+    rather than let the html format hard-fail a document the text format
+    extracts fine."""
+    old = csv.field_size_limit(1 << 30)
+    try:
+        return list(csv.reader(io.StringIO(text)))
+    finally:
+        csv.field_size_limit(old)
 
 
 def render_page_html(page: PageResult) -> str:
@@ -50,11 +67,13 @@ def render_page_html(page: PageResult) -> str:
     out: list[str] = []
     for e in page.elements:
         tag = "h1" if e.label == LABEL_HEADER else "p"
-        out.append(f"<{tag}>{_esc(e.text)}</{tag}>")
+        out.append(f"<{tag}>{esc_html(e.text)}</{tag}>")
     for t in page.tables:
-        rows = list(csv.reader(io.StringIO(t.csv))) if t.csv else []
+        rows = _csv_rows(t.csv) if t.csv else []
         body = "".join(
-            "<tr>" + "".join(f"<td>{_esc(c)}</td>" for c in row) + "</tr>"
+            "<tr>"
+            + "".join(f"<td>{esc_html(c)}</td>" for c in row)
+            + "</tr>"
             for row in rows
         )
         out.append(f"<table>{body}</table>")

@@ -150,7 +150,8 @@ def extract_rows_py(
     Returns the exact dict rows the Spark UDF emits (minus Arrow transport).
     ``config`` may be an ExtractionConfig or a per-type ConfigMatrix (D4);
     structure flags gate the tables/figures arrays, ``output_format``
-    selects the PDF content renderer (core/config.py).
+    selects the content renderer for EVERY doc type (core/config.py —
+    PDF renders in-extractor, other types via core/render.py).
 
     ``quarantine_soft``: normally soft (transient) failures re-raise so the
     TASK retries (reference: raise => no Kafka commit => redelivery). A
@@ -289,9 +290,10 @@ def extract_pages(
     Projects to (url, html) FIRST so column pruning reaches the scan, then
     runs the single fused mapInPandas extraction stage. ``config``
     (ExtractionConfig or per-type ConfigMatrix): STRUCTURE flags never
-    change content bytes, but ``output_format`` selects the PDF content
-    renderer — only the default 'text' format is the golden byte-identity
-    surface (core/config.py).
+    change content bytes, but ``output_format`` selects the content
+    renderer for every doc type (PDF in-extractor, others via
+    core/render.py) — only the default 'text' format is the golden
+    byte-identity surface (core/config.py).
     """
     return pages_df.select("url", "html").mapInPandas(
         _make_extract_batches(config, quarantine_soft),

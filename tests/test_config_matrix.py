@@ -229,3 +229,20 @@ def test_generic_renderers_apply_to_all_doc_types():
     pages = [_json.loads(r["content"]) for r in rows]
     assert [p["page_number"] for p in pages] == [1, 2]
     assert pages[1]["elements"][0]["page_no"] == 2
+
+
+def test_html_render_survives_giant_table_cell():
+    """A table cell beyond csv's 128 KiB field limit must render, not
+    hard-fail (round-4 second-review finding): table_csv wrote it
+    unlimited, so the html renderer's csv round-trip must read it back."""
+    big = "w" * 200_000
+    html = (
+        "<html><body><p>t</p><table><tr><td>"
+        + big
+        + "</td></tr></table></body></html>"
+    ).encode()
+    rows = extract_rows_py(
+        "u", html, config=ExtractionConfig(output_format="html")
+    )
+    assert rows[0]["status"] == "success"
+    assert f"<td>{big}</td>" in rows[0]["content"]

@@ -433,3 +433,22 @@ def test_nested_figure_captions_stay_scoped():
         ("inner-img", "inner cap"),
         ("two-caps", "first"),
     ]
+
+
+def test_figure_opening_inside_figcaption_keeps_outer_caption():
+    """figcaption allows flow content: a figure opening INSIDE an open
+    figcaption must not steal the caption text collected so far — it
+    belongs to the outer figure (round-4 second-review finding)."""
+    html = (
+        b"<html><body><p>body</p>"
+        b"<figure><img src='a' alt='x'>"
+        b"<figcaption>Cap<figure><img src='b' alt='y'></figure>"
+        b"</figcaption></figure>"
+        b"</body></html>"
+    )
+    r = extract_document("https://x/ff", html)
+    figs = r.pages[0].figures
+    assert [(f.alt_text, f.caption) for f in figs] == [
+        ("x", "Cap"),
+        ("y", None),
+    ]
