@@ -409,6 +409,39 @@ def q_extract_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_content_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14 content fallback chain (reference api_extraction_processor.py:
+    316-344): corrupt payloads (doc_id%17==0 in mixed_fail) fall back to
+    the row's provided WET-style text column; success rows keep the
+    extracted content; the terminal arm is a metadata JSON dump."""
+    from pdf_document_extractor_spark.operators.extract import (
+        coalesce_content,
+        extract_pages,
+    )
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    pages = synthesize_pages_from_documents(spark, sf_dir, "mixed_fail")
+    # the synthesized pages table carries text='' — refill it with the
+    # source text (the WET-payload shape the input_hint schema describes)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(
+            F.lit("https://synth.example/mixed_fail/"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+        "text",
+    )
+    pages = pages.drop("text").join(docs, "url")
+    out = coalesce_content(extract_pages(pages), pages)
+    return out.withColumn("doc_id", _doc_id()).select(
+        "doc_id",
+        "status",
+        "content_source",
+        F.col("content_final").alias("content_final"),
+    )
+
+
 def q_extract_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG/JPEG inputs (reference MIME types png/jpg,
     lib/models/mime_type.py:11-12): header-only dimension probes emit a
@@ -1515,6 +1548,18 @@ _ORACLES: dict[str, str] = {
                    AS page_number
         FROM documents
     """,
+    "extract_content_fallback": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 17 = 0 THEN 'hard_failure'
+                    ELSE 'success' END AS status,
+               CASE WHEN doc_id % 17 = 0 THEN 'provided_text'
+                    ELSE 'extracted' END AS content_source,
+               CASE WHEN doc_id % 17 = 0 THEN text
+                    WHEN doc_id % 2 = 0
+                    THEN 'Page 1' || chr(10) || chr(10) || text || chr(10)
+                    ELSE text END AS content_final
+        FROM documents
+    """,
     "extract_image_metadata": """
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0
@@ -2257,6 +2302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx_jsonout": q_extract_docx_jsonout,
         "extract_html_htmlout": q_extract_html_htmlout,
         "extract_pdf_scanned": q_extract_pdf_scanned,
+        "extract_content_fallback": q_extract_content_fallback,
         "sim_ann_recall": q_sim_ann_recall,
         # -- 3. changed this round: asset-metadata parity (9) -----------
         "extract_html_tables": q_extract_html_tables,
@@ -2290,8 +2336,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,
         "extract_heavy_split": q_extract_heavy_split,
-        "extract_lineage_rollup": q_extract_lineage_rollup,
         # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
+        "extract_lineage_rollup": q_extract_lineage_rollup,
         "extract_salted_invariance": q_extract_salted_invariance,
         "extract_txt_content": q_extract_txt_content,
         "dedup_exact": q_dedup_exact,

@@ -301,6 +301,56 @@ def extract_pages(
     )
 
 
+def coalesce_content(extracted: "DataFrame", pages: "DataFrame") -> "DataFrame":
+    """M14 content fallback chain, Spark-first.
+
+    The reference's API path coalesces alternative content fields and
+    terminates in a JSON dump of the raw payload
+    (``data.get("text") or data.get("content") or json.dumps(data)``,
+    api_extraction_processor.py:316-344). The crawl-pipeline analog: the
+    input table itself carries a pre-extracted ``text`` column
+    (WET-style, BASELINE.json input_hint), so a document whose byte
+    payload hard-fails can still contribute its provided text instead of
+    dropping out of the corpus. Chain, in order:
+
+      1. extracted ``content`` of a success row (non-empty);
+      2. the row's provided ``text`` column (non-empty);
+      3. terminal: canonical JSON dump of the failure metadata
+         (url/doc_type/error_type — the reference's ``json.dumps(data)``
+         arm, never empty, so nothing needs to raise).
+
+    Output: extracted columns + ``content_final`` + ``content_source``
+    ('extracted' | 'provided_text' | 'metadata_json'). Pure Catalyst
+    (coalesce/when/to_json) — no UDF. The url equi-join is shuffle-free
+    when both tables share the url-hash bucketing the north rule
+    prescribes; on unbucketed inputs it is one ordinary hash join.
+    """
+    from pyspark.sql import functions as F  # noqa: N812
+
+    provided = pages.select(
+        "url", F.col("text").alias("_provided_text")
+    )
+    joined = extracted.join(provided, "url", "left")
+
+    def nonempty(col):
+        return F.when(F.length(col) > 0, col)
+
+    extracted_arm = F.when(
+        F.col("status") == "success", nonempty(F.col("content"))
+    )
+    provided_arm = nonempty(F.col("_provided_text"))
+    terminal = F.to_json(F.struct("url", "doc_type", "error_type"))
+    return joined.withColumn(
+        "content_final",
+        F.coalesce(extracted_arm, provided_arm, terminal),
+    ).withColumn(
+        "content_source",
+        F.when(extracted_arm.isNotNull(), F.lit("extracted"))
+        .when(provided_arm.isNotNull(), F.lit("provided_text"))
+        .otherwise(F.lit("metadata_json")),
+    ).drop("_provided_text")
+
+
 DOC_JOINER = "\n\n---\n\n"  # reference docling_strategy_processor.py:1452
 
 

@@ -539,3 +539,39 @@ def test_asof_bucketed_parity_on_skewed_key(spark):
             ).collect()
         )
         assert got == want, f"bucket width {width} changed results"
+
+
+def test_content_fallback_chain_m14(spark):
+    """M14: extracted content > provided text > metadata JSON terminal
+    (reference api_extraction_processor.py:316-344 coalesce chain)."""
+    import json
+
+    from pdf_document_extractor_spark.operators.extract import (
+        coalesce_content,
+        extract_pages,
+    )
+    from pdf_document_extractor_spark.sources.pages import (
+        PAGES_SCHEMA,
+        synth_html_payload,
+    )
+
+    rows = [
+        # extractable html -> 'extracted'
+        ("u1", None, synth_html_payload(1, "good body text"), "wet text", "en"),
+        # corrupt pdf + provided text -> 'provided_text'
+        ("u2", None, b"%PDF-1.4 broken", "salvaged wet text", "en"),
+        # corrupt pdf + EMPTY provided text -> terminal metadata json
+        ("u3", None, b"%PDF-1.4 broken", "", "en"),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = {
+        r["url"]: r
+        for r in coalesce_content(extract_pages(pages), pages).collect()
+    }
+    assert out["u1"]["content_source"] == "extracted"
+    assert out["u1"]["content_final"] == "good body text"
+    assert out["u2"]["content_source"] == "provided_text"
+    assert out["u2"]["content_final"] == "salvaged wet text"
+    assert out["u3"]["content_source"] == "metadata_json"
+    meta = json.loads(out["u3"]["content_final"])
+    assert meta["url"] == "u3" and meta["error_type"]
