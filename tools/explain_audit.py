@@ -228,6 +228,30 @@ def main() -> None:
         )
     )
 
+    # -- M14 content fallback: plain equi-join, no nested loop ---------------
+    from pdf_document_extractor_spark.operators.extract import (
+        coalesce_content,
+    )
+
+    fb = coalesce_content(extract_pages(pages), pages)
+    fb_plan = capture(fb)
+    assert "BroadcastNestedLoopJoin" not in fb_plan and (
+        "CartesianProduct" not in fb_plan
+    ), "content fallback must be a hash equi-join on url, never a product"
+    print(f"{'content fallback is an equi-join on url':45s} OK")
+    SECTIONS.append(
+        (
+            "content fallback is an equi-join on url",
+            fb_plan,
+            ["NO BroadcastNestedLoopJoin", "NO CartesianProduct"],
+            "coalesce_content joins extracted rows back to the pages "
+            "table strictly on the url key (hash or sort-merge as AQE "
+            "chooses) — under the north rule's url-hash bucketing both "
+            "sides are co-partitioned and the join is shuffle-free; the "
+            "coalesce/when/to_json chain stays in codegen.",
+        )
+    )
+
     # -- PII redaction: pure codegen, zero exchange --------------------------
     red_plan = capture(redact_pii(docs))
     assert "Exchange" not in red_plan and "codegen id" in red_plan, (
