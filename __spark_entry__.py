@@ -409,6 +409,22 @@ def q_extract_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RC4-encrypted PDFs with empty user password (M1 dialect widening —
+    the 'owner-password' shape ubiquitous in crawls; standard security
+    handler, PDF 32000 7.6.3; reference decrypts transparently through
+    its PDF backend): R2/40-bit and R3/128-bit both decrypt to the same
+    byte-identical content as mode='pdf'."""
+    return _extracted(spark, sf_dir, "pdf_rc4").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("page_count").cast("long").alias("page_count"),
+    )
+
+
 def q_extract_content_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 content fallback chain (reference api_extraction_processor.py:
     316-344): corrupt payloads (doc_id%17==0 in mixed_fail) fall back to
@@ -1548,6 +1564,13 @@ _ORACLES: dict[str, str] = {
                    AS page_number
         FROM documents
     """,
+    "extract_pdf_encrypted": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
+               {_WORDS} + 2 AS word_count,
+               CAST(1 AS BIGINT) AS page_count
+        FROM documents
+    """,
     "extract_content_fallback": """
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 THEN 'hard_failure'
@@ -2302,6 +2325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_docx_jsonout": q_extract_docx_jsonout,
         "extract_html_htmlout": q_extract_html_htmlout,
         "extract_pdf_scanned": q_extract_pdf_scanned,
+        "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_content_fallback": q_extract_content_fallback,
         "sim_ann_recall": q_sim_ann_recall,
         # -- 3. changed this round: asset-metadata parity (9) -----------
@@ -2335,8 +2359,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,
-        "extract_heavy_split": q_extract_heavy_split,
         # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
+        "extract_heavy_split": q_extract_heavy_split,
         "extract_lineage_rollup": q_extract_lineage_rollup,
         "extract_salted_invariance": q_extract_salted_invariance,
         "extract_txt_content": q_extract_txt_content,

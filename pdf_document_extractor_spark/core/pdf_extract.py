@@ -118,6 +118,11 @@ class _Objects:
     def __init__(self, buf: bytes, offsets: dict[int, object]):
         self.buf = buf
         self.offsets = offsets
+        # stream decryptor (standard security handler, core/pdf_crypt.py):
+        # installed AFTER construction since the /Encrypt dict itself is
+        # fetched through this store; plain dict objects cached before
+        # installation carry no stream payload, so nothing stale survives
+        self.decryptor = None
         self._cache: dict[int, object] = {}
         self._objstm_cache: dict[int, dict[int, object]] = {}
 
@@ -146,6 +151,13 @@ class _Objects:
             data = self.buf[data_start : data_start + length]
             if len(data) != length:
                 raise CorruptedFileError(f"truncated stream in obj {num}")
+            if self.decryptor is not None:
+                # standard security handler: stream payloads decrypt with
+                # the per-object key BEFORE any /Filter runs (PDF 32000
+                # 7.6.2). Cross-reference streams never reach here (they
+                # are parsed outside the object store and are unencrypted
+                # by spec).
+                data = self.decryptor(num, int(m.group(2)), data)
             obj = _Stream(obj, data)
         self._cache[num] = obj
         return obj
@@ -1625,6 +1637,18 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         raise UnsupportedFormatError("missing %PDF- magic")
     offsets, trailer = _parse_xref(data)
     objs = _Objects(data, offsets)
+    enc = trailer.get("Encrypt")
+    if enc is not None:
+        # standard security handler (owner-password-only documents are
+        # routine in crawls): install the stream decryptor before any
+        # stream object is fetched (core/pdf_crypt.py; typed errors for
+        # AES/non-empty-user-password)
+        from .pdf_crypt import build_decryptor, trailer_id0
+
+        enc_dict = objs.resolve(enc)
+        if not isinstance(enc_dict, dict):
+            raise CorruptedFileError("/Encrypt is not a dictionary")
+        objs.decryptor = build_decryptor(enc_dict, trailer_id0(trailer))
     page_nodes = _page_objects(objs, trailer)
 
     pages: list[PageResult] = []

@@ -74,8 +74,12 @@ def _content_stream(page: PdfPageSpec, hex_strings: bool = False) -> bytes:
     return "\n".join(ops).encode("latin-1", errors="replace")
 
 
-def _serialize_classic(objects: list[bytes], version: str = "1.4") -> bytes:
-    """Number the bodies 1..N and emit a classic-xref PDF."""
+def _serialize_classic(
+    objects: list[bytes], version: str = "1.4", trailer_extra: str = ""
+) -> bytes:
+    """Number the bodies 1..N and emit a classic-xref PDF.
+    ``trailer_extra`` is spliced into the trailer dict (e.g. /Encrypt +
+    /ID entries for the RC4 writer)."""
     out = bytearray()
     out += f"%PDF-{version}\n".encode()
     offsets = [0]  # object 0 is the free head
@@ -90,7 +94,7 @@ def _serialize_classic(objects: list[bytes], version: str = "1.4") -> bytes:
     for off in offsets[1:]:
         out += f"{off:010d} 00000 n \n".encode()
     out += (
-        f"trailer\n<< /Size {n_objs} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {n_objs} /Root 1 0 R{trailer_extra} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n"
     ).encode()
     return bytes(out)
@@ -325,6 +329,71 @@ def table_grid(
         for ci, cell in enumerate(row):
             shows.append(TextShow(x0 + ci * col_w, y, SIZE_TABLE, cell))
     return shows
+
+
+def write_pdf_rc4(
+    pages: list[PdfPageSpec], r: int = 3, length_bits: int = 128
+) -> bytes:
+    """Standard-security-handler encrypted PDF with EMPTY user and owner
+    passwords (the ubiquitous "owner-password" crawl shape): valid /O and
+    /U entries per PDF 32000 Algorithms 3-5, every stream RC4-encrypted
+    with its per-object key (parser: core/pdf_crypt.py). ``r`` 2 => V1
+    40-bit, ``r`` 3 => V2 ``length_bits``."""
+    import hashlib
+
+    from .pdf_crypt import PAD, _expected_u, _file_key, object_key, rc4
+
+    if r == 2:
+        v, length_bits = 1, 40
+    else:
+        v = 2
+    n = length_bits // 8
+    id0 = b"\x01" * 16  # deterministic /ID
+    p = -44  # print+extract allowed, typical producer value
+
+    # Algorithm 3: /O for empty owner password (falls back to user = also
+    # empty); both pads are therefore PAD itself.
+    h = hashlib.md5(PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    o_key = h[:n]
+    o = rc4(o_key, PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = rc4(bytes(b ^ i for b in o_key), o)
+
+    key = _file_key(o, p, id0, r, n)
+    u = _expected_u(key, id0, r)
+    if r >= 3:
+        u = u + b"\x00" * 16  # R3 /U: 16 significant + 16 arbitrary bytes
+
+    objects, n_pages = _doc_objects(pages, compress=False)
+    # re-emit the content streams encrypted (objects 4+n..3+2n, gen 0)
+    for i in range(n_pages):
+        obj_num = 4 + n_pages + i
+        data = rc4(
+            object_key(key, obj_num, 0), _content_stream(pages[i])
+        )
+        objects[obj_num - 1] = (
+            f"<< /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    def hexs(b: bytes) -> str:
+        return "<" + b.hex() + ">"
+
+    enc_num = len(objects) + 1
+    objects.append(
+        (
+            f"<< /Filter /Standard /V {v} /R {r} /Length {length_bits} "
+            f"/P {p} /O {hexs(o)} /U {hexs(u)} >>"
+        ).encode()
+    )
+    extra = (
+        f" /Encrypt {enc_num} 0 R /ID [{hexs(id0)} {hexs(id0)}]"
+    )
+    return _serialize_classic(objects, trailer_extra=extra)
 
 
 def write_pdf_scanned(n_pages: int = 1, width: int = 8, height: int = 8) -> bytes:

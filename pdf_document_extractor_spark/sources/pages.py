@@ -278,6 +278,18 @@ def synth_pdf_form_payload(text: str) -> bytes:
     return write_pdf_form([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])])
 
 
+def synth_pdf_rc4_payload(doc_id: int, text: str) -> bytes:
+    """Standard-security-handler encrypted PDFs with empty user password
+    (the owner-password crawl shape): even doc_id -> R3/V2 128-bit, odd
+    -> R2/V1 40-bit. Same oracle as mode='pdf'."""
+    from ..core.pdf_write import write_pdf_rc4
+
+    r = 3 if doc_id % 2 == 0 else 2
+    return write_pdf_rc4(
+        [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])], r=r
+    )
+
+
 def synth_pdf_scanned_payload(doc_id: int, text: str) -> bytes:
     """Scanned-PDF taxonomy mode: every 2nd doc is an image-only PDF
     (-> typed ScannedPdfNoTextError hard failure), the rest are normal
@@ -417,6 +429,8 @@ def synth_payload(
         return synth_pdf_form_payload(text)
     if mode == "pdf_scanned":
         return synth_pdf_scanned_payload(doc_id, text)
+    if mode == "pdf_rc4":
+        return synth_pdf_rc4_payload(doc_id, text)
     if mode == "image":
         return synth_image_payload(doc_id)
     if mode == "doc":

@@ -986,3 +986,46 @@ def test_scanned_pdf_is_typed_first_class_failure():
     # a doc with ANY text page is NOT scanned even if other pages are
     mixed = write_pdf([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "t")])])
     assert extract_pdf(mixed, "0" * 16).status == "success"
+
+
+def test_rc4_encrypted_pdf_roundtrip_and_typed_degrades():
+    """Standard security handler (round 4): empty-user-password RC4 docs
+    decrypt to byte-identical content; AES and real-password docs degrade
+    TYPED (PDF 32000 7.6.3)."""
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf,
+        write_pdf_rc4,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import (
+        UnsupportedFormatError,
+    )
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "open text")])]
+    plain = extract_pdf(write_pdf(spec), "0" * 16)
+    for r in (2, 3):
+        enc = extract_pdf(write_pdf_rc4(spec, r=r), "0" * 16)
+        assert enc.pages[0].content == plain.pages[0].content
+
+    # AES (V4) -> typed unsupported, not a crash or garbage success
+    aes = write_pdf_rc4(spec, r=3)
+    aes = aes.replace(b"/V 2 /R 3", b"/V 4 /R 4")
+    with _pytest.raises(UnsupportedFormatError, match="AES"):
+        extract_pdf(aes, "0" * 16)
+
+    # tampered /U (stands in for a non-empty user password) -> typed
+    doc = bytearray(write_pdf_rc4(spec, r=3))
+    upos = doc.find(b"/U <")
+    doc[upos + 4 : upos + 8] = b"dead"
+    with _pytest.raises(UnsupportedFormatError, match="password-protected"):
+        extract_pdf(bytes(doc), "0" * 16)
+
+    # the dispatch layer commits typed rows
+    r = extract_document("u", bytes(doc))
+    assert r.status == "hard_failure"
+    assert r.error_type == "UnsupportedFormatError"
