@@ -12,9 +12,12 @@ module every such document would be a false hard failure.
 Scope (documented degrade, core/taxonomy discipline):
 - ``/Filter /Standard``, ``V`` 1 or 2, ``R`` 2 or 3 (RC4 40-128 bit):
   decrypted.
-- ``V`` 4/5 (``R`` 4/5/6 — AESV2/AESV3 crypt filters): typed
-  ``UnsupportedFormatError`` (no AES primitive in the stdlib; implement
-  if the corpus demands it).
+- ``V`` 4 ``R`` 4 with ``/AESV2`` (AES-128-CBC), ``/V2`` (RC4) or
+  ``/Identity`` stream crypt filters: decrypted (AES implemented below,
+  FIPS-197, pure stdlib).
+- ``V`` 5 ``R`` 5/6 (``/AESV3``, AES-256-CBC; R6 = ISO 32000-2
+  Algorithm 2.B password hashing): decrypted.
+- Unknown versions/filters: typed ``UnsupportedFormatError``.
 - Non-empty user password (the ``/U`` check fails): typed
   ``UnsupportedFormatError`` — the document is genuinely locked.
 - Only STREAM payloads are decrypted (content streams, ObjStm, ToUnicode
@@ -31,6 +34,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+from functools import lru_cache
 
 from .taxonomy import CorruptedFileError, UnsupportedFormatError
 
@@ -43,6 +47,235 @@ PAD = bytes(
         0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
     ]
 )
+
+
+# --------------------------------------------------------------------------
+# AES (FIPS-197) — pure stdlib, needed for /AESV2 (V4/R4) and /AESV3
+# (V5/R6) crypt filters. Tables generated at import; correctness pinned
+# by the FIPS-197 appendix-C vectors in tests/test_core_pdf.py. Only
+# encrypted documents pay this path, and PDF payloads are small — the
+# pure-Python cost is bounded per document like every other decode.
+# --------------------------------------------------------------------------
+
+
+def _aes_tables():
+    exp = [0] * 512
+    log = [0] * 256
+    x = 1
+    for i in range(255):
+        exp[i] = x
+        log[x] = i
+        x ^= (x << 1) ^ (0x1B if x & 0x80 else 0)
+        x &= 0xFF
+    for i in range(255, 512):
+        exp[i] = exp[i - 255]
+
+    def rotl8(b, n):
+        return ((b << n) | (b >> (8 - n))) & 0xFF
+
+    sbox = [0] * 256
+    for a in range(256):
+        s = exp[255 - log[a]] if a else 0
+        sbox[a] = (
+            s ^ rotl8(s, 1) ^ rotl8(s, 2) ^ rotl8(s, 3) ^ rotl8(s, 4) ^ 0x63
+        )
+    inv_sbox = [0] * 256
+    for i, v in enumerate(sbox):
+        inv_sbox[v] = i
+
+    def gmul(a, b):
+        if a == 0 or b == 0:
+            return 0
+        return exp[log[a] + log[b]]
+
+    return sbox, inv_sbox, gmul
+
+
+_SBOX, _INV_SBOX, _GMUL = _aes_tables()
+
+
+def _aes_ttables():
+    """Combined SubBytes+MixColumns lookup tables (the classic 4x256
+    32-bit construction): Algorithm 2.B encrypts tens of thousands of
+    blocks per password hash, and the schoolbook round is ~15x slower."""
+    t0, t1, t2, t3 = [], [], [], []
+    for a in range(256):
+        s = _SBOX[a]
+        g2, g3 = _GMUL(s, 2), _GMUL(s, 3)
+        t0.append((g2 << 24) | (s << 16) | (s << 8) | g3)
+        t1.append((g3 << 24) | (g2 << 16) | (s << 8) | s)
+        t2.append((s << 24) | (g3 << 16) | (g2 << 8) | s)
+        t3.append((s << 24) | (s << 16) | (g3 << 8) | g2)
+    return t0, t1, t2, t3
+
+
+_T0, _T1, _T2, _T3 = _aes_ttables()
+
+
+@lru_cache(maxsize=256)
+def _aes_expand_key_cols(key: bytes) -> list[tuple[int, int, int, int]]:
+    """Round keys as 4 big-endian column ints per round (T-table form)."""
+    return [
+        tuple(
+            (rk[4 * c] << 24) | (rk[4 * c + 1] << 16)
+            | (rk[4 * c + 2] << 8) | rk[4 * c + 3]
+            for c in range(4)
+        )
+        for rk in _aes_expand_key(key)
+    ]
+
+
+@lru_cache(maxsize=256)
+def _aes_expand_key(key: bytes) -> list[list[int]]:
+    # cached per key (a document reuses its per-object/file keys across
+    # streams); the returned schedule is treated as read-only everywhere
+    nk = len(key) // 4
+    nr = nk + 6
+    words = [list(key[4 * i : 4 * i + 4]) for i in range(nk)]
+    rcon = 1
+    for i in range(nk, 4 * (nr + 1)):
+        t = list(words[i - 1])
+        if i % nk == 0:
+            t = t[1:] + t[:1]
+            t = [_SBOX[b] for b in t]
+            t[0] ^= rcon
+            rcon = _GMUL(rcon, 2) if rcon != 0x80 else 0x1B
+        elif nk > 6 and i % nk == 4:
+            t = [_SBOX[b] for b in t]
+        words.append([a ^ b for a, b in zip(words[i - nk], t)])
+    return [
+        [b for w in words[4 * r : 4 * r + 4] for b in w]
+        for r in range(nr + 1)
+    ]
+
+
+def _aes_encrypt_cols(
+    rk: list[tuple[int, int, int, int]], c0: int, c1: int, c2: int, c3: int
+) -> tuple[int, int, int, int]:
+    """One full encryption over column ints (T-table rounds)."""
+    nr = len(rk) - 1
+    k = rk[0]
+    c0 ^= k[0]
+    c1 ^= k[1]
+    c2 ^= k[2]
+    c3 ^= k[3]
+    t0, t1, t2, t3 = _T0, _T1, _T2, _T3
+    for rnd in range(1, nr):
+        k = rk[rnd]
+        n0 = (
+            t0[c0 >> 24] ^ t1[(c1 >> 16) & 0xFF]
+            ^ t2[(c2 >> 8) & 0xFF] ^ t3[c3 & 0xFF] ^ k[0]
+        )
+        n1 = (
+            t0[c1 >> 24] ^ t1[(c2 >> 16) & 0xFF]
+            ^ t2[(c3 >> 8) & 0xFF] ^ t3[c0 & 0xFF] ^ k[1]
+        )
+        n2 = (
+            t0[c2 >> 24] ^ t1[(c3 >> 16) & 0xFF]
+            ^ t2[(c0 >> 8) & 0xFF] ^ t3[c1 & 0xFF] ^ k[2]
+        )
+        n3 = (
+            t0[c3 >> 24] ^ t1[(c0 >> 16) & 0xFF]
+            ^ t2[(c1 >> 8) & 0xFF] ^ t3[c2 & 0xFF] ^ k[3]
+        )
+        c0, c1, c2, c3 = n0, n1, n2, n3
+    # final round: SubBytes + ShiftRows, no MixColumns
+    sb = _SBOX
+    k = rk[nr]
+    o0 = (
+        (sb[c0 >> 24] << 24) | (sb[(c1 >> 16) & 0xFF] << 16)
+        | (sb[(c2 >> 8) & 0xFF] << 8) | sb[c3 & 0xFF]
+    ) ^ k[0]
+    o1 = (
+        (sb[c1 >> 24] << 24) | (sb[(c2 >> 16) & 0xFF] << 16)
+        | (sb[(c3 >> 8) & 0xFF] << 8) | sb[c0 & 0xFF]
+    ) ^ k[1]
+    o2 = (
+        (sb[c2 >> 24] << 24) | (sb[(c3 >> 16) & 0xFF] << 16)
+        | (sb[(c0 >> 8) & 0xFF] << 8) | sb[c1 & 0xFF]
+    ) ^ k[2]
+    o3 = (
+        (sb[c3 >> 24] << 24) | (sb[(c0 >> 16) & 0xFF] << 16)
+        | (sb[(c1 >> 8) & 0xFF] << 8) | sb[c2 & 0xFF]
+    ) ^ k[3]
+    return o0, o1, o2, o3
+
+
+def _aes_encrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    """Block-oriented wrapper over the T-table core (used directly only
+    by tests; CBC drives _aes_encrypt_cols)."""
+    cols = _aes_expand_key_cols_from(rk)
+    c = struct.unpack(">IIII", block)
+    return struct.pack(">IIII", *_aes_encrypt_cols(cols, *c))
+
+
+def _aes_expand_key_cols_from(rk: list[list[int]]) -> list[tuple[int, int, int, int]]:
+    return [
+        tuple(
+            (r[4 * c] << 24) | (r[4 * c + 1] << 16)
+            | (r[4 * c + 2] << 8) | r[4 * c + 3]
+            for c in range(4)
+        )
+        for r in rk
+    ]
+
+
+def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
+    nr = len(rk) - 1
+    s = [b ^ k for b, k in zip(block, rk[nr])]
+    for rnd in range(nr - 1, -1, -1):
+        # InvShiftRows then InvSubBytes
+        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
+        s = [_INV_SBOX[b] for b in s]
+        s = [b ^ k for b, k in zip(s, rk[rnd])]
+        if rnd > 0:
+            t = []
+            for c in range(4):
+                a = s[4 * c : 4 * c + 4]
+                t += [
+                    _GMUL(a[0], 14) ^ _GMUL(a[1], 11)
+                    ^ _GMUL(a[2], 13) ^ _GMUL(a[3], 9),
+                    _GMUL(a[0], 9) ^ _GMUL(a[1], 14)
+                    ^ _GMUL(a[2], 11) ^ _GMUL(a[3], 13),
+                    _GMUL(a[0], 13) ^ _GMUL(a[1], 9)
+                    ^ _GMUL(a[2], 14) ^ _GMUL(a[3], 11),
+                    _GMUL(a[0], 11) ^ _GMUL(a[1], 13)
+                    ^ _GMUL(a[2], 9) ^ _GMUL(a[3], 14),
+                ]
+            s = t
+    return bytes(s)
+
+
+def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC, NO padding added (callers pad per their spec)."""
+    if len(data) % 16:
+        raise ValueError("aes_cbc_encrypt requires 16-byte-aligned input")
+    cols = _aes_expand_key_cols(key)
+    p0, p1, p2, p3 = struct.unpack(">IIII", iv)
+    out = []
+    for i in range(0, len(data), 16):
+        b0, b1, b2, b3 = struct.unpack_from(">IIII", data, i)
+        p0, p1, p2, p3 = _aes_encrypt_cols(
+            cols, b0 ^ p0, b1 ^ p1, b2 ^ p2, b3 ^ p3
+        )
+        out.append(struct.pack(">IIII", p0, p1, p2, p3))
+    return b"".join(out)
+
+
+def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+    """AES-CBC, NO padding stripped."""
+    if len(data) % 16:
+        raise CorruptedFileError("AES stream length not 16-byte aligned")
+    rk = _aes_expand_key(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        block = data[i : i + 16]
+        out += bytes(
+            a ^ b for a, b in zip(_aes_decrypt_block(rk, block), prev)
+        )
+        prev = block
+    return bytes(out)
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
@@ -102,20 +335,137 @@ def _entry_bytes(enc: dict, key: str) -> bytes:
     return v.encode("latin-1")
 
 
+_AES_SALT = b"sAlT"  # Algorithm 1 AES extension (PDF 32000 7.6.2)
+
+
+def _strip_pkcs7(data: bytes) -> bytes:
+    if not data:
+        raise CorruptedFileError("empty AES plaintext (missing padding)")
+    n = data[-1]
+    if not (1 <= n <= 16) or n > len(data):
+        raise CorruptedFileError(f"bad AES padding byte {n}")
+    return data[:-n]
+
+
+def _aes_object_key(file_key: bytes, num: int, gen: int) -> bytes:
+    ext = struct.pack("<I", num)[:3] + struct.pack("<H", gen & 0xFFFF)
+    h = hashlib.md5(file_key + ext + _AES_SALT).digest()
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _aes_stream_decrypt(obj_key: bytes, data: bytes) -> bytes:
+    if len(data) < 16:
+        raise CorruptedFileError("AES stream shorter than its IV")
+    return _strip_pkcs7(aes_cbc_decrypt(obj_key, data[:16], data[16:]))
+
+
+@lru_cache(maxsize=1024)
+def _alg2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (R6 password hash).
+
+    ~64+ AES-CBC rounds over multi-KB buffers — by far the most
+    expensive primitive here in pure Python (~0.2 s). Cached: within a
+    worker, documents from the same producer share /U salts (and the
+    fixture corpus shares them entirely), so the hash runs once, not
+    once per document."""
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt(k[:16], k[16:32], k1)
+        m = sum(e[:16]) % 3
+        k = (hashlib.sha256, hashlib.sha384, hashlib.sha512)[m](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
+def _build_v4(enc: dict, id0: bytes):
+    """V4 (R4): named crypt filters — /AESV2 (AES-128-CBC) or /V2 (RC4)
+    under /StdCF; key derivation is the R3 algorithm (with the
+    /EncryptMetadata false marker)."""
+    cf = enc.get("CF")
+    stmf = enc.get("StmF", "Identity")
+    cfm = None
+    if stmf == "Identity":
+        cfm = "Identity"
+    elif isinstance(cf, dict) and isinstance(cf.get(stmf), dict):
+        cfm = cf[stmf].get("CFM")
+    if cfm not in ("AESV2", "V2", "Identity"):
+        raise UnsupportedFormatError(
+            f"unsupported V4 crypt filter method /{cfm}"
+        )
+    length_bits = enc.get("Length", 128)
+    if not isinstance(length_bits, int) or length_bits % 8 or not (
+        40 <= length_bits <= 128
+    ):
+        raise CorruptedFileError(f"bad /Encrypt /Length {length_bits!r}")
+    n = length_bits // 8
+    o = _entry_bytes(enc, "O")
+    u = _entry_bytes(enc, "U")
+    p = enc.get("P")
+    if not isinstance(p, int):
+        raise CorruptedFileError("/Encrypt missing integer /P")
+    extra = (
+        b"\xff\xff\xff\xff" if enc.get("EncryptMetadata") is False else b""
+    )
+    h = hashlib.md5(PAD + o[:32] + struct.pack("<i", p) + id0 + extra).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:n]).digest()
+    key = h[:n]
+    if u[:16] != _expected_u(key, id0, 3)[:16]:
+        raise UnsupportedFormatError(
+            "password-protected PDF (non-empty user password)"
+        )
+    if cfm == "Identity":
+        return lambda num, gen, data: data
+    if cfm == "V2":
+        return lambda num, gen, data: rc4(object_key(key, num, gen), data)
+    return lambda num, gen, data: _aes_stream_decrypt(
+        _aes_object_key(key, num, gen), data
+    )
+
+
+def _build_v5(enc: dict, r: int):
+    """V5 (R5/R6): AES-256; the file key is unwrapped from /UE with the
+    password-derived intermediate key (Algorithm 2.A; R6 passwords hash
+    through Algorithm 2.B, legacy R5 through plain SHA-256)."""
+    u = _entry_bytes(enc, "U")
+    ue = _entry_bytes(enc, "UE")
+    if len(u) < 48 or len(ue) < 32:
+        raise CorruptedFileError("short /U or /UE entry for V5 encryption")
+    vsalt, ksalt = u[32:40], u[40:48]
+
+    def pw_hash(pw: bytes, salt: bytes) -> bytes:
+        if r == 6:
+            return _alg2b(pw, salt, b"")
+        return hashlib.sha256(pw + salt).digest()
+
+    if pw_hash(b"", vsalt) != u[:32]:
+        raise UnsupportedFormatError(
+            "password-protected PDF (non-empty user password)"
+        )
+    intermediate = pw_hash(b"", ksalt)
+    file_key = aes_cbc_decrypt(intermediate, b"\x00" * 16, ue[:32])
+    return lambda num, gen, data: _aes_stream_decrypt(file_key, data)
+
+
 def build_decryptor(enc: dict, id0: bytes):
     """/Encrypt dict + first /ID string -> callable(num, gen, data) that
-    decrypts a stream payload. Raises typed errors for unsupported
-    handlers/versions and for non-empty user passwords."""
+    decrypts a stream payload. Supports the standard handler V1/V2 (RC4),
+    V4 (/AESV2 or /V2 crypt filters), V5 R5/R6 (/AESV3, AES-256). Raises
+    typed errors for non-standard handlers, unknown versions, and
+    non-empty user passwords."""
     if enc.get("Filter") != "Standard":
         raise UnsupportedFormatError(
             f"non-standard security handler /{enc.get('Filter')}"
         )
     v = enc.get("V", 0)
     r = enc.get("R", 0)
-    if v in (4, 5) or r in (4, 5, 6):
-        raise UnsupportedFormatError(
-            f"AES-encrypted PDF (V={v} R={r}) unsupported"
-        )
+    if v == 4 and r == 4:
+        return _build_v4(enc, id0)
+    if v == 5 and r in (5, 6):
+        return _build_v5(enc, r)
     if v not in (1, 2) or r not in (2, 3):
         raise UnsupportedFormatError(
             f"unsupported encryption version V={v} R={r}"

@@ -396,6 +396,108 @@ def write_pdf_rc4(
     return _serialize_classic(objects, trailer_extra=extra)
 
 
+def write_pdf_aes(pages: list[PdfPageSpec]) -> bytes:
+    """V4/R4 ``/AESV2`` encrypted PDF, empty passwords: R3-style /O //U
+    entries, every stream AES-128-CBC encrypted (deterministic per-object
+    IV, PKCS#7 padding) with the Algorithm-1 AES object key."""
+    import hashlib
+
+    from .pdf_crypt import (
+        PAD,
+        _aes_object_key,
+        _expected_u,
+        _file_key,
+        aes_cbc_encrypt,
+        rc4,
+    )
+
+    n = 16  # /Length 128
+    id0 = b"\x02" * 16
+    p = -44
+    h = hashlib.md5(PAD).digest()
+    for _ in range(50):
+        h = hashlib.md5(h[:n]).digest()
+    o_key = h[:n]
+    o = rc4(o_key, PAD)
+    for i in range(1, 20):
+        o = rc4(bytes(b ^ i for b in o_key), o)
+    key = _file_key(o, p, id0, 3, n)
+    u = _expected_u(key, id0, 3) + b"\x00" * 16
+
+    objects, n_pages = _doc_objects(pages, compress=False)
+    for i in range(n_pages):
+        obj_num = 4 + n_pages + i
+        raw = _content_stream(pages[i])
+        pad = 16 - len(raw) % 16
+        iv = hashlib.md5(b"iv" + str(obj_num).encode()).digest()
+        data = iv + aes_cbc_encrypt(
+            _aes_object_key(key, obj_num, 0), iv, raw + bytes([pad]) * pad
+        )
+        objects[obj_num - 1] = (
+            f"<< /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    enc_num = len(objects) + 1
+    objects.append(
+        (
+            "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+            f"/P {p} /O <{o.hex()}> /U <{u.hex()}> "
+            "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+            "/StmF /StdCF /StrF /StdCF >>"
+        ).encode()
+    )
+    extra = f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
+    return _serialize_classic(objects, trailer_extra=extra)
+
+
+def write_pdf_aes256(pages: list[PdfPageSpec], r: int = 6) -> bytes:
+    """V5 ``/AESV3`` AES-256 encrypted PDF, empty passwords (R6 by
+    default; R5 legacy hashing on request): deterministic salts and file
+    key, /U //UE //O //OE computed per ISO 32000-2 Algorithms 8-9."""
+    import hashlib
+
+    from .pdf_crypt import _alg2b, aes_cbc_encrypt
+
+    def pw_hash(salt: bytes, udata: bytes = b"") -> bytes:
+        if r == 6:
+            return _alg2b(b"", salt, udata)
+        return hashlib.sha256(b"" + salt + udata).digest()
+
+    file_key = bytes(range(32))  # deterministic fixture key
+    uvs, uks = b"\x03" * 8, b"\x04" * 8
+    u = pw_hash(uvs) + uvs + uks
+    ue = aes_cbc_encrypt(pw_hash(uks), b"\x00" * 16, file_key)
+    ovs, oks = b"\x05" * 8, b"\x06" * 8
+    o = pw_hash(ovs, u[:48]) + ovs + oks
+    oe = aes_cbc_encrypt(pw_hash(oks, u[:48]), b"\x00" * 16, file_key)
+
+    objects, n_pages = _doc_objects(pages, compress=False)
+    for i in range(n_pages):
+        obj_num = 4 + n_pages + i
+        raw = _content_stream(pages[i])
+        pad = 16 - len(raw) % 16
+        iv = hashlib.md5(b"iv" + str(obj_num).encode()).digest()
+        data = iv + aes_cbc_encrypt(file_key, iv, raw + bytes([pad]) * pad)
+        objects[obj_num - 1] = (
+            f"<< /Length {len(data)} >>".encode()
+            + b"\nstream\n" + data + b"\nendstream"
+        )
+
+    enc_num = len(objects) + 1
+    objects.append(
+        (
+            f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P -44 "
+            f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> "
+            f"/UE <{ue.hex()}> "
+            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+            "/StmF /StdCF /StrF /StdCF >>"
+        ).encode()
+    )
+    extra = f" /Encrypt {enc_num} 0 R"
+    return _serialize_classic(objects, version="1.7", trailer_extra=extra)
+
+
 def write_pdf_scanned(n_pages: int = 1, width: int = 8, height: int = 8) -> bytes:
     """Scanned-document shape: every page draws ONE /Subtype /Image
     XObject via Do and contains no text operators — the scanner-output

@@ -290,6 +290,18 @@ def synth_pdf_rc4_payload(doc_id: int, text: str) -> bytes:
     )
 
 
+def synth_pdf_aes_payload(doc_id: int, text: str) -> bytes:
+    """AES-encrypted PDFs with empty user password: even doc_id ->
+    V4/R4 /AESV2 (AES-128-CBC), odd -> V5/R6 /AESV3 (AES-256-CBC,
+    Algorithm 2.B hashing). Same oracle as mode='pdf'."""
+    from ..core.pdf_write import write_pdf_aes, write_pdf_aes256
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, text)])]
+    if doc_id % 2 == 0:
+        return write_pdf_aes(spec)
+    return write_pdf_aes256(spec)
+
+
 def synth_pdf_scanned_payload(doc_id: int, text: str) -> bytes:
     """Scanned-PDF taxonomy mode: every 2nd doc is an image-only PDF
     (-> typed ScannedPdfNoTextError hard failure), the rest are normal
@@ -431,6 +443,8 @@ def synth_payload(
         return synth_pdf_scanned_payload(doc_id, text)
     if mode == "pdf_rc4":
         return synth_pdf_rc4_payload(doc_id, text)
+    if mode == "pdf_aes":
+        return synth_pdf_aes_payload(doc_id, text)
     if mode == "image":
         return synth_image_payload(doc_id)
     if mode == "doc":

@@ -1012,10 +1012,16 @@ def test_rc4_encrypted_pdf_roundtrip_and_typed_degrades():
         enc = extract_pdf(write_pdf_rc4(spec, r=r), "0" * 16)
         assert enc.pages[0].content == plain.pages[0].content
 
-    # AES (V4) -> typed unsupported, not a crash or garbage success
+    # V4 dict without /StmF defaults to Identity (spec) — on a doc whose
+    # streams ARE encrypted that reads as garbage and must fail TYPED
+    # (the unknown-CFM typed degrade is covered in the AES test)
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+    )
+
     aes = write_pdf_rc4(spec, r=3)
     aes = aes.replace(b"/V 2 /R 3", b"/V 4 /R 4")
-    with _pytest.raises(UnsupportedFormatError, match="AES"):
+    with _pytest.raises(CorruptedFileError):
         extract_pdf(aes, "0" * 16)
 
     # tampered /U (stands in for a non-empty user password) -> typed
@@ -1029,3 +1035,68 @@ def test_rc4_encrypted_pdf_roundtrip_and_typed_degrades():
     r = extract_document("u", bytes(doc))
     assert r.status == "hard_failure"
     assert r.error_type == "UnsupportedFormatError"
+
+
+def test_aes_block_cipher_matches_fips197_vectors():
+    """The pure-stdlib AES core is pinned to the FIPS-197 appendix-C
+    vectors — the encrypted-PDF path depends on it wholesale."""
+    from pdf_document_extractor_spark.core.pdf_crypt import (
+        _aes_decrypt_block,
+        _aes_encrypt_block,
+        _aes_expand_key,
+    )
+
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    k256 = bytes.fromhex(
+        "000102030405060708090a0b0c0d0e0f"
+        "101112131415161718191a1b1c1d1e1f"
+    )
+    rk = _aes_expand_key(k128)
+    ct = _aes_encrypt_block(rk, pt)
+    assert ct.hex() == "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert _aes_decrypt_block(rk, ct) == pt
+    rk = _aes_expand_key(k256)
+    ct = _aes_encrypt_block(rk, pt)
+    assert ct.hex() == "8ea2b7ca516745bfeafc49904b496089"
+    assert _aes_decrypt_block(rk, ct) == pt
+
+
+def test_aes_encrypted_pdf_roundtrip_and_typed_degrades():
+    """AESV2 (V4/R4) and AESV3 (V5, R5 legacy + R6) decrypt to
+    byte-identical content; tampered credentials and unknown crypt
+    filters degrade typed."""
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf,
+        write_pdf_aes,
+        write_pdf_aes256,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import (
+        UnsupportedFormatError,
+    )
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "open text")])]
+    plain = extract_pdf(write_pdf(spec), "0" * 16).pages[0].content
+    for pdf in (
+        write_pdf_aes(spec),
+        write_pdf_aes256(spec),
+        write_pdf_aes256(spec, r=5),
+    ):
+        assert extract_pdf(pdf, "0" * 16).pages[0].content == plain
+
+    # unknown crypt filter method -> typed
+    doc = write_pdf_aes(spec).replace(b"/CFM /AESV2", b"/CFM /AESV9")
+    with _pytest.raises(UnsupportedFormatError, match="crypt filter"):
+        extract_pdf(doc, "0" * 16)
+
+    # tampered V5 /U hash (stands in for a real user password) -> typed
+    doc = bytearray(write_pdf_aes256(spec))
+    upos = doc.find(b"/U <")
+    doc[upos + 4 : upos + 8] = b"beef"
+    with _pytest.raises(UnsupportedFormatError, match="password-protected"):
+        extract_pdf(bytes(doc), "0" * 16)
