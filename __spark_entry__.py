@@ -440,6 +440,20 @@ def q_extract_pdf_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_badxref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-reference repair (M1 robustness — broken xrefs are routine
+    in crawled PDFs): startxref points nowhere, the object-header scan
+    rebuilds the table, content stays byte-identical to mode='pdf'."""
+    return _extracted(spark, sf_dir, "pdf_badxref").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.col("page_count").cast("long").alias("page_count"),
+    )
+
+
 def q_extract_content_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 content fallback chain (reference api_extraction_processor.py:
     316-344): corrupt payloads (doc_id%17==0 in mixed_fail) fall back to
@@ -1593,6 +1607,13 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS page_count
         FROM documents
     """,
+    "extract_pdf_badxref": f"""
+        SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
+               'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
+               {_WORDS} + 2 AS word_count,
+               CAST(1 AS BIGINT) AS page_count
+        FROM documents
+    """,
     "extract_content_fallback": """
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 THEN 'hard_failure'
@@ -2349,6 +2370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_scanned": q_extract_pdf_scanned,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
         "extract_pdf_aes": q_extract_pdf_aes,
+        "extract_pdf_badxref": q_extract_pdf_badxref,
         "extract_content_fallback": q_extract_content_fallback,
         "sim_ann_recall": q_sim_ann_recall,
         # -- 3. changed this round: asset-metadata parity (9) -----------
@@ -2380,8 +2402,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_rtf_content": q_extract_rtf_content,
         "extract_docx_content": q_extract_docx_content,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
-        "extract_failure_taxonomy": q_extract_failure_taxonomy,
         # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
+        "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,
         "extract_heavy_split": q_extract_heavy_split,
         "extract_lineage_rollup": q_extract_lineage_rollup,

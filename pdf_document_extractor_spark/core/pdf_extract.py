@@ -726,6 +726,53 @@ def _parse_xref_stream_section(
     return offsets, sdict
 
 
+# object header at a line start — anchoring at line boundaries keeps
+# binary stream bytes that happen to contain "N 0 obj" from poisoning
+# the rebuilt table (the standard reader-repair heuristic)
+_REBUILD_OBJ_RE = re.compile(rb"(?:^|[\r\n])[\x00\t\x0c ]*(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
+_REBUILD_TRAILER_RE = re.compile(rb"trailer\b")
+_REBUILD_CATALOG_RE = re.compile(rb"/Type[\x00\t\n\x0c\r ]*/Catalog\b")
+
+
+def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
+    """Reader-repair fallback when every xref section is unusable: scan
+    for ``N G obj`` headers at line starts (LAST occurrence of an object
+    number wins — incremental updates append replacements), recover the
+    trailer from the last parseable ``trailer`` dict, and fall back to
+    locating the ``/Type /Catalog`` object for /Root. Truncated objects
+    still fail typed downstream (a rebuilt table only says where objects
+    START)."""
+    offsets: dict[int, object] = {}
+    for m in _REBUILD_OBJ_RE.finditer(buf):
+        start = m.start(1)
+        offsets[int(m.group(1))] = start
+    if not offsets:
+        raise CorruptedFileError("xref unusable and no object headers found")
+
+    trailer: dict = {}
+    for m in _REBUILD_TRAILER_RE.finditer(buf):
+        try:
+            d, _pos = _parse_object(buf, _skip_ws(buf, m.end()))
+        except CorruptedFileError:
+            continue
+        if isinstance(d, dict):
+            trailer = d  # last parseable trailer wins (newest update)
+    if "Root" not in trailer:
+        # xref-stream files have no classic trailer: find the catalog
+        cm = None
+        for cm in _REBUILD_CATALOG_RE.finditer(buf):
+            pass  # last occurrence
+        if cm is not None:
+            hm = None
+            for hm in _REBUILD_OBJ_RE.finditer(buf, 0, cm.start()):
+                pass  # enclosing (nearest preceding) object header
+            if hm is not None:
+                trailer["Root"] = _Ref((int(hm.group(1)), 0))
+    if "Root" not in trailer:
+        raise CorruptedFileError("rebuilt xref found no document catalog")
+    return offsets, trailer
+
+
 def _parse_xref(buf: bytes) -> tuple[dict[int, object], dict]:
     """All xref sections, newest first: classic tables AND xref streams,
     following ``/Prev`` chains (incremental updates — a newer section's
@@ -1635,7 +1682,15 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     output_format = config.output_format if config is not None else "text"
     if not data.startswith(b"%PDF-"):
         raise UnsupportedFormatError("missing %PDF- magic")
-    offsets, trailer = _parse_xref(data)
+    try:
+        offsets, trailer = _parse_xref(data)
+    except CorruptedFileError:
+        # broken cross-reference tables are ROUTINE in crawled PDFs
+        # (truncated tails, wrong startxref after naive concatenation,
+        # generators that lie about offsets); every real reader rebuilds
+        # by scanning object headers, so a busted xref alone must not
+        # cost the document
+        offsets, trailer = _rebuild_xref(data)
     objs = _Objects(data, offsets)
     enc = trailer.get("Encrypt")
     if enc is not None:

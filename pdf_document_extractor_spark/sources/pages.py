@@ -302,6 +302,16 @@ def synth_pdf_aes_payload(doc_id: int, text: str) -> bytes:
     return write_pdf_aes256(spec)
 
 
+def synth_pdf_badxref_payload(text: str) -> bytes:
+    """PDF with a destroyed cross-reference: startxref points nowhere —
+    the reader-repair fallback (object-header scan) must recover it.
+    Same oracle as mode='pdf'."""
+    import re as _re
+
+    good = synth_pdf_payload(text)
+    return _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", good)
+
+
 def synth_pdf_scanned_payload(doc_id: int, text: str) -> bytes:
     """Scanned-PDF taxonomy mode: every 2nd doc is an image-only PDF
     (-> typed ScannedPdfNoTextError hard failure), the rest are normal
@@ -445,6 +455,8 @@ def synth_payload(
         return synth_pdf_rc4_payload(doc_id, text)
     if mode == "pdf_aes":
         return synth_pdf_aes_payload(doc_id, text)
+    if mode == "pdf_badxref":
+        return synth_pdf_badxref_payload(text)
     if mode == "image":
         return synth_image_payload(doc_id)
     if mode == "doc":

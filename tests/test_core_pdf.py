@@ -1100,3 +1100,55 @@ def test_aes_encrypted_pdf_roundtrip_and_typed_degrades():
     doc[upos + 4 : upos + 8] = b"beef"
     with _pytest.raises(UnsupportedFormatError, match="password-protected"):
         extract_pdf(bytes(doc), "0" * 16)
+
+
+def test_broken_xref_is_rebuilt_by_object_scan():
+    """A wrong startxref / zeroed xref table must not cost the document:
+    the reader-repair fallback rebuilds the table from object headers
+    (round 4). Hopeless inputs stay typed-corrupt."""
+    import re as _re
+
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import CorruptedFileError
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "survives repair")])]
+    good = write_pdf(spec)
+    want = extract_pdf(good, "0" * 16).pages[0].content
+
+    # startxref pointing nowhere
+    broken = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", good)
+    assert extract_pdf(broken, "0" * 16).pages[0].content == want
+
+    # xref table bytes trashed in place (offsets all wrong)
+    tpos = good.find(b"xref")
+    trashed = good[:tpos] + b"joke" + good[tpos + 4 :]
+    assert extract_pdf(trashed, "0" * 16).pages[0].content == want
+
+    # incremental update: repair must keep the NEWEST object versions
+    from pdf_document_extractor_spark.core.pdf_write import (
+        append_incremental,
+        content_stream_obj,
+    )
+
+    upd = append_incremental(
+        good,
+        {5: content_stream_obj(
+            PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "newer text")])
+        )},
+    )
+    upd_broken = _re.sub(rb"startxref\s+\d+", b"startxref\n999999999", upd)
+    assert (
+        extract_pdf(upd_broken, "0" * 16).pages[0].content
+        == "Page 1\n\nnewer text\n"
+    )
+
+    # no object headers at all -> still typed corrupt
+    with _pytest.raises(CorruptedFileError):
+        extract_pdf(b"%PDF-1.4\njust noise, no objects", "0" * 16)
