@@ -112,6 +112,102 @@ def _aes_ttables():
 _T0, _T1, _T2, _T3 = _aes_ttables()
 
 
+def _aes_inv_ttables():
+    """Inverse tables (InvSubBytes+InvMixColumns) for the
+    equivalent-inverse cipher — stream DECRYPTION is the extraction hot
+    path and deserves the same 15x as encryption."""
+    t0, t1, t2, t3 = [], [], [], []
+    for a in range(256):
+        s = _INV_SBOX[a]
+        g9, gb = _GMUL(s, 9), _GMUL(s, 11)
+        gd, ge = _GMUL(s, 13), _GMUL(s, 14)
+        t0.append((ge << 24) | (g9 << 16) | (gd << 8) | gb)
+        t1.append((gb << 24) | (ge << 16) | (g9 << 8) | gd)
+        t2.append((gd << 24) | (gb << 16) | (ge << 8) | g9)
+        t3.append((g9 << 24) | (gd << 16) | (gb << 8) | ge)
+    return t0, t1, t2, t3
+
+
+_IT0, _IT1, _IT2, _IT3 = _aes_inv_ttables()
+
+
+def _inv_mix_col(col: int) -> int:
+    a0, a1 = col >> 24, (col >> 16) & 0xFF
+    a2, a3 = (col >> 8) & 0xFF, col & 0xFF
+    g = _GMUL
+    return (
+        ((g(a0, 14) ^ g(a1, 11) ^ g(a2, 13) ^ g(a3, 9)) << 24)
+        | ((g(a0, 9) ^ g(a1, 14) ^ g(a2, 11) ^ g(a3, 13)) << 16)
+        | ((g(a0, 13) ^ g(a1, 9) ^ g(a2, 14) ^ g(a3, 11)) << 8)
+        | (g(a0, 11) ^ g(a1, 13) ^ g(a2, 9) ^ g(a3, 14))
+    )
+
+
+@lru_cache(maxsize=256)
+def _aes_inv_key_cols(key: bytes) -> list[tuple[int, int, int, int]]:
+    """Equivalent-inverse-cipher round keys: reversed schedule with
+    InvMixColumns applied to the middle rounds (FIPS-197 5.3.5)."""
+    cols = _aes_expand_key_cols(key)
+    nr = len(cols) - 1
+    out = [cols[nr]]
+    for rnd in range(nr - 1, 0, -1):
+        out.append(tuple(_inv_mix_col(c) for c in cols[rnd]))
+    out.append(cols[0])
+    return out
+
+
+def _aes_decrypt_cols(
+    dk: list[tuple[int, int, int, int]], c0: int, c1: int, c2: int, c3: int
+) -> tuple[int, int, int, int]:
+    """Equivalent-inverse cipher over column ints (inverse T-tables)."""
+    nr = len(dk) - 1
+    k = dk[0]
+    c0 ^= k[0]
+    c1 ^= k[1]
+    c2 ^= k[2]
+    c3 ^= k[3]
+    t0, t1, t2, t3 = _IT0, _IT1, _IT2, _IT3
+    for rnd in range(1, nr):
+        k = dk[rnd]
+        # InvShiftRows gathers row r from column (c - r) % 4 == (c+4-r)%4
+        n0 = (
+            t0[c0 >> 24] ^ t1[(c3 >> 16) & 0xFF]
+            ^ t2[(c2 >> 8) & 0xFF] ^ t3[c1 & 0xFF] ^ k[0]
+        )
+        n1 = (
+            t0[c1 >> 24] ^ t1[(c0 >> 16) & 0xFF]
+            ^ t2[(c3 >> 8) & 0xFF] ^ t3[c2 & 0xFF] ^ k[1]
+        )
+        n2 = (
+            t0[c2 >> 24] ^ t1[(c1 >> 16) & 0xFF]
+            ^ t2[(c0 >> 8) & 0xFF] ^ t3[c3 & 0xFF] ^ k[2]
+        )
+        n3 = (
+            t0[c3 >> 24] ^ t1[(c2 >> 16) & 0xFF]
+            ^ t2[(c1 >> 8) & 0xFF] ^ t3[c0 & 0xFF] ^ k[3]
+        )
+        c0, c1, c2, c3 = n0, n1, n2, n3
+    sb = _INV_SBOX
+    k = dk[nr]
+    o0 = (
+        (sb[c0 >> 24] << 24) | (sb[(c3 >> 16) & 0xFF] << 16)
+        | (sb[(c2 >> 8) & 0xFF] << 8) | sb[c1 & 0xFF]
+    ) ^ k[0]
+    o1 = (
+        (sb[c1 >> 24] << 24) | (sb[(c0 >> 16) & 0xFF] << 16)
+        | (sb[(c3 >> 8) & 0xFF] << 8) | sb[c2 & 0xFF]
+    ) ^ k[1]
+    o2 = (
+        (sb[c2 >> 24] << 24) | (sb[(c1 >> 16) & 0xFF] << 16)
+        | (sb[(c0 >> 8) & 0xFF] << 8) | sb[c3 & 0xFF]
+    ) ^ k[2]
+    o3 = (
+        (sb[c3 >> 24] << 24) | (sb[(c2 >> 16) & 0xFF] << 16)
+        | (sb[(c1 >> 8) & 0xFF] << 8) | sb[c0 & 0xFF]
+    ) ^ k[3]
+    return o0, o1, o2, o3
+
+
 @lru_cache(maxsize=256)
 def _aes_expand_key_cols(key: bytes) -> list[tuple[int, int, int, int]]:
     """Round keys as 4 big-endian column ints per round (T-table form)."""
@@ -221,29 +317,19 @@ def _aes_expand_key_cols_from(rk: list[list[int]]) -> list[tuple[int, int, int, 
 
 
 def _aes_decrypt_block(rk: list[list[int]], block: bytes) -> bytes:
-    nr = len(rk) - 1
-    s = [b ^ k for b, k in zip(block, rk[nr])]
-    for rnd in range(nr - 1, -1, -1):
-        # InvShiftRows then InvSubBytes
-        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
-        s = [_INV_SBOX[b] for b in s]
-        s = [b ^ k for b, k in zip(s, rk[rnd])]
-        if rnd > 0:
-            t = []
-            for c in range(4):
-                a = s[4 * c : 4 * c + 4]
-                t += [
-                    _GMUL(a[0], 14) ^ _GMUL(a[1], 11)
-                    ^ _GMUL(a[2], 13) ^ _GMUL(a[3], 9),
-                    _GMUL(a[0], 9) ^ _GMUL(a[1], 14)
-                    ^ _GMUL(a[2], 11) ^ _GMUL(a[3], 13),
-                    _GMUL(a[0], 13) ^ _GMUL(a[1], 9)
-                    ^ _GMUL(a[2], 14) ^ _GMUL(a[3], 11),
-                    _GMUL(a[0], 11) ^ _GMUL(a[1], 13)
-                    ^ _GMUL(a[2], 9) ^ _GMUL(a[3], 14),
-                ]
-            s = t
-    return bytes(s)
+    """Block wrapper over the equivalent-inverse core (tests/vectors)."""
+    cols = _aes_expand_key_cols_from(rk)
+    nr = len(cols) - 1
+    dk = (
+        [cols[nr]]
+        + [
+            tuple(_inv_mix_col(c) for c in cols[r])
+            for r in range(nr - 1, 0, -1)
+        ]
+        + [cols[0]]
+    )
+    c = struct.unpack(">IIII", block)
+    return struct.pack(">IIII", *_aes_decrypt_cols(dk, *c))
 
 
 def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
@@ -266,16 +352,17 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC, NO padding stripped."""
     if len(data) % 16:
         raise CorruptedFileError("AES stream length not 16-byte aligned")
-    rk = _aes_expand_key(key)
-    out = bytearray()
-    prev = iv
+    dk = _aes_inv_key_cols(key)
+    p0, p1, p2, p3 = struct.unpack(">IIII", iv)
+    out = []
     for i in range(0, len(data), 16):
-        block = data[i : i + 16]
-        out += bytes(
-            a ^ b for a, b in zip(_aes_decrypt_block(rk, block), prev)
+        b0, b1, b2, b3 = struct.unpack_from(">IIII", data, i)
+        d0, d1, d2, d3 = _aes_decrypt_cols(dk, b0, b1, b2, b3)
+        out.append(
+            struct.pack(">IIII", d0 ^ p0, d1 ^ p1, d2 ^ p2, d3 ^ p3)
         )
-        prev = block
-    return bytes(out)
+        p0, p1, p2, p3 = b0, b1, b2, b3
+    return b"".join(out)
 
 
 def rc4(key: bytes, data: bytes) -> bytes:
@@ -296,11 +383,16 @@ def rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
-def _file_key(o: bytes, p: int, id0: bytes, r: int, n: int) -> bytes:
+def _file_key(
+    o: bytes, p: int, id0: bytes, r: int, n: int, extra: bytes = b""
+) -> bytes:
     """Algorithm 2: file encryption key for the EMPTY user password.
-    ``n`` = key length in bytes (5 for 40-bit R2, /Length/8 for R3)."""
+    ``n`` = key length in bytes (5 for 40-bit R2, /Length/8 for R3/R4);
+    ``extra`` = the 4xFF EncryptMetadata-false marker (R4). /P is packed
+    as its 32-bit BIT PATTERN — real producers emit it signed OR unsigned
+    (e.g. 4294967292 for -4), and both must derive the same key."""
     h = hashlib.md5(
-        PAD + o[:32] + struct.pack("<i", p) + id0
+        PAD + o[:32] + struct.pack("<I", p & 0xFFFFFFFF) + id0 + extra
     ).digest()
     if r >= 3:
         for _ in range(50):
@@ -409,10 +501,7 @@ def _build_v4(enc: dict, id0: bytes):
     extra = (
         b"\xff\xff\xff\xff" if enc.get("EncryptMetadata") is False else b""
     )
-    h = hashlib.md5(PAD + o[:32] + struct.pack("<i", p) + id0 + extra).digest()
-    for _ in range(50):
-        h = hashlib.md5(h[:n]).digest()
-    key = h[:n]
+    key = _file_key(o, p, id0, 4, n, extra)
     if u[:16] != _expected_u(key, id0, 3)[:16]:
         raise UnsupportedFormatError(
             "password-protected PDF (non-empty user password)"
@@ -430,6 +519,20 @@ def _build_v5(enc: dict, r: int):
     """V5 (R5/R6): AES-256; the file key is unwrapped from /UE with the
     password-derived intermediate key (Algorithm 2.A; R6 passwords hash
     through Algorithm 2.B, legacy R5 through plain SHA-256)."""
+    # resolve the stream crypt filter like V4 does: /StmF /Identity means
+    # streams are NOT encrypted — 'decrypting' plaintext would corrupt a
+    # readable document
+    cf = enc.get("CF")
+    stmf = enc.get("StmF", "Identity")
+    cfm = None
+    if stmf == "Identity":
+        cfm = "Identity"
+    elif isinstance(cf, dict) and isinstance(cf.get(stmf), dict):
+        cfm = cf[stmf].get("CFM")
+    if cfm not in ("AESV3", "Identity"):
+        raise UnsupportedFormatError(
+            f"unsupported V5 crypt filter method /{cfm}"
+        )
     u = _entry_bytes(enc, "U")
     ue = _entry_bytes(enc, "UE")
     if len(u) < 48 or len(ue) < 32:
@@ -445,6 +548,8 @@ def _build_v5(enc: dict, r: int):
         raise UnsupportedFormatError(
             "password-protected PDF (non-empty user password)"
         )
+    if cfm == "Identity":
+        return lambda num, gen, data: data
     intermediate = pw_hash(b"", ksalt)
     file_key = aes_cbc_decrypt(intermediate, b"\x00" * 16, ue[:32])
     return lambda num, gen, data: _aes_stream_decrypt(file_key, data)

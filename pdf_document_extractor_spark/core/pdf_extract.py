@@ -744,8 +744,16 @@ def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
     START)."""
     offsets: dict[int, object] = {}
     for m in _REBUILD_OBJ_RE.finditer(buf):
-        start = m.start(1)
-        offsets[int(m.group(1))] = start
+        num = int(m.group(1))
+        if num in offsets:
+            # conflicting candidate (header-like bytes inside a stream
+            # payload can mimic one): the later candidate only wins if an
+            # object actually parses there — otherwise keep the earlier
+            try:
+                _parse_object(buf, _skip_ws(buf, m.end()))
+            except CorruptedFileError:
+                continue
+        offsets[num] = m.start(1)
     if not offsets:
         raise CorruptedFileError("xref unusable and no object headers found")
 
@@ -756,7 +764,10 @@ def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
         except CorruptedFileError:
             continue
         if isinstance(d, dict):
-            trailer = d  # last parseable trailer wins (newest update)
+            # merge PER KEY, newest (later) trailer winning — an appended
+            # update's minimal trailer must not drop the original's
+            # /Encrypt or /ID (mirrors _parse_xref's setdefault merge)
+            trailer.update(d)
     if "Root" not in trailer:
         # xref-stream files have no classic trailer: find the catalog
         cm = None
@@ -1678,19 +1689,38 @@ def extract_pdf(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     """Extract text/elements/tables from PDF bytes. Raises typed failures.
 
     ``config.output_format`` selects the content renderer (pinned rule 5);
-    structure flags are applied by the caller (operators/extract.py)."""
-    output_format = config.output_format if config is not None else "text"
+    structure flags are applied by the caller (operators/extract.py).
+
+    Broken cross-reference tables are ROUTINE in crawled PDFs (truncated
+    tails, wrong startxref after naive concatenation, generators that lie
+    about offsets); every real reader repairs by rescanning object
+    headers. Two repair triggers: an xref that fails to PARSE rebuilds
+    up front, and an xref that parses but then fails to RESOLVE (a
+    CorruptedFileError anywhere downstream) retries the whole extraction
+    once on the rebuilt table — at-most-doubled work, still inside every
+    per-document decode budget."""
     if not data.startswith(b"%PDF-"):
         raise UnsupportedFormatError("missing %PDF- magic")
     try:
         offsets, trailer = _parse_xref(data)
+        rebuilt = False
     except CorruptedFileError:
-        # broken cross-reference tables are ROUTINE in crawled PDFs
-        # (truncated tails, wrong startxref after naive concatenation,
-        # generators that lie about offsets); every real reader rebuilds
-        # by scanning object headers, so a busted xref alone must not
-        # cost the document
         offsets, trailer = _rebuild_xref(data)
+        rebuilt = True
+    try:
+        return _extract_pdf_with(data, url_hash, config, offsets, trailer)
+    except CorruptedFileError:
+        if rebuilt:
+            raise
+        offsets, trailer = _rebuild_xref(data)
+        return _extract_pdf_with(data, url_hash, config, offsets, trailer)
+
+
+def _extract_pdf_with(
+    data: bytes, url_hash: str, config, offsets: dict, trailer: dict
+) -> ExtractionResult:
+    """One extraction attempt against a given object table."""
+    output_format = config.output_format if config is not None else "text"
     objs = _Objects(data, offsets)
     enc = trailer.get("Encrypt")
     if enc is not None:

@@ -331,28 +331,13 @@ def table_grid(
     return shows
 
 
-def write_pdf_rc4(
-    pages: list[PdfPageSpec], r: int = 3, length_bits: int = 128
-) -> bytes:
-    """Standard-security-handler encrypted PDF with EMPTY user and owner
-    passwords (the ubiquitous "owner-password" crawl shape): valid /O and
-    /U entries per PDF 32000 Algorithms 3-5, every stream RC4-encrypted
-    with its per-object key (parser: core/pdf_crypt.py). ``r`` 2 => V1
-    40-bit, ``r`` 3 => V2 ``length_bits``."""
+def _empty_password_o(r: int, n: int) -> bytes:
+    """Algorithm 3: /O for empty owner password (falls back to user =
+    also empty; both pads are PAD itself)."""
     import hashlib
 
-    from .pdf_crypt import PAD, _expected_u, _file_key, object_key, rc4
+    from .pdf_crypt import PAD, rc4
 
-    if r == 2:
-        v, length_bits = 1, 40
-    else:
-        v = 2
-    n = length_bits // 8
-    id0 = b"\x01" * 16  # deterministic /ID
-    p = -44  # print+extract allowed, typical producer value
-
-    # Algorithm 3: /O for empty owner password (falls back to user = also
-    # empty); both pads are therefore PAD itself.
     h = hashlib.md5(PAD).digest()
     if r >= 3:
         for _ in range(50):
@@ -362,93 +347,106 @@ def write_pdf_rc4(
     if r >= 3:
         for i in range(1, 20):
             o = rc4(bytes(b ^ i for b in o_key), o)
+    return o
 
-    key = _file_key(o, p, id0, r, n)
-    u = _expected_u(key, id0, r)
-    if r >= 3:
-        u = u + b"\x00" * 16  # R3 /U: 16 significant + 16 arbitrary bytes
 
+def _encrypted_doc(
+    pages: list[PdfPageSpec],
+    enc_fn,
+    enc_dict: str,
+    trailer_id: bytes | None,
+    version: str = "1.4",
+) -> bytes:
+    """Shared encrypted-fixture assembly: re-emit every content stream
+    through ``enc_fn(obj_num, raw) -> bytes``, splice the /Encrypt
+    dictionary, serialize with the /Encrypt (+ optional /ID) trailer."""
     objects, n_pages = _doc_objects(pages, compress=False)
-    # re-emit the content streams encrypted (objects 4+n..3+2n, gen 0)
     for i in range(n_pages):
-        obj_num = 4 + n_pages + i
-        data = rc4(
-            object_key(key, obj_num, 0), _content_stream(pages[i])
-        )
+        obj_num = 4 + n_pages + i  # content streams, gen 0
+        data = enc_fn(obj_num, _content_stream(pages[i]))
         objects[obj_num - 1] = (
             f"<< /Length {len(data)} >>".encode()
             + b"\nstream\n" + data + b"\nendstream"
         )
-
-    def hexs(b: bytes) -> str:
-        return "<" + b.hex() + ">"
-
     enc_num = len(objects) + 1
-    objects.append(
-        (
-            f"<< /Filter /Standard /V {v} /R {r} /Length {length_bits} "
-            f"/P {p} /O {hexs(o)} /U {hexs(u)} >>"
-        ).encode()
+    objects.append(enc_dict.encode())
+    extra = f" /Encrypt {enc_num} 0 R"
+    if trailer_id is not None:
+        extra += f" /ID [<{trailer_id.hex()}> <{trailer_id.hex()}>]"
+    return _serialize_classic(objects, version=version, trailer_extra=extra)
+
+
+def _aes_iv(obj_num: int) -> bytes:
+    import hashlib
+
+    return hashlib.md5(b"iv" + str(obj_num).encode()).digest()
+
+
+def write_pdf_rc4(
+    pages: list[PdfPageSpec], r: int = 3, length_bits: int = 128
+) -> bytes:
+    """Standard-security-handler encrypted PDF with EMPTY user and owner
+    passwords (the ubiquitous "owner-password" crawl shape): valid /O and
+    /U entries per PDF 32000 Algorithms 3-5, every stream RC4-encrypted
+    with its per-object key (parser: core/pdf_crypt.py). ``r`` 2 => V1
+    40-bit, ``r`` 3 => V2 ``length_bits``."""
+    from .pdf_crypt import _expected_u, _file_key, object_key, rc4
+
+    if r == 2:
+        v, length_bits = 1, 40
+    else:
+        v = 2
+    n = length_bits // 8
+    id0 = b"\x01" * 16  # deterministic /ID
+    p = -44  # print+extract allowed, typical producer value
+    o = _empty_password_o(r, n)
+    key = _file_key(o, p, id0, r, n)
+    u = _expected_u(key, id0, r)
+    if r >= 3:
+        u = u + b"\x00" * 16  # R3 /U: 16 significant + 16 arbitrary bytes
+    return _encrypted_doc(
+        pages,
+        lambda num, raw: rc4(object_key(key, num, 0), raw),
+        f"<< /Filter /Standard /V {v} /R {r} /Length {length_bits} "
+        f"/P {p} /O <{o.hex()}> /U <{u.hex()}> >>",
+        id0,
     )
-    extra = (
-        f" /Encrypt {enc_num} 0 R /ID [{hexs(id0)} {hexs(id0)}]"
-    )
-    return _serialize_classic(objects, trailer_extra=extra)
 
 
 def write_pdf_aes(pages: list[PdfPageSpec]) -> bytes:
     """V4/R4 ``/AESV2`` encrypted PDF, empty passwords: R3-style /O //U
     entries, every stream AES-128-CBC encrypted (deterministic per-object
     IV, PKCS#7 padding) with the Algorithm-1 AES object key."""
-    import hashlib
-
     from .pdf_crypt import (
-        PAD,
         _aes_object_key,
         _expected_u,
         _file_key,
         aes_cbc_encrypt,
-        rc4,
     )
 
     n = 16  # /Length 128
     id0 = b"\x02" * 16
     p = -44
-    h = hashlib.md5(PAD).digest()
-    for _ in range(50):
-        h = hashlib.md5(h[:n]).digest()
-    o_key = h[:n]
-    o = rc4(o_key, PAD)
-    for i in range(1, 20):
-        o = rc4(bytes(b ^ i for b in o_key), o)
+    o = _empty_password_o(3, n)
     key = _file_key(o, p, id0, 3, n)
     u = _expected_u(key, id0, 3) + b"\x00" * 16
 
-    objects, n_pages = _doc_objects(pages, compress=False)
-    for i in range(n_pages):
-        obj_num = 4 + n_pages + i
-        raw = _content_stream(pages[i])
+    def enc(num: int, raw: bytes) -> bytes:
         pad = 16 - len(raw) % 16
-        iv = hashlib.md5(b"iv" + str(obj_num).encode()).digest()
-        data = iv + aes_cbc_encrypt(
-            _aes_object_key(key, obj_num, 0), iv, raw + bytes([pad]) * pad
-        )
-        objects[obj_num - 1] = (
-            f"<< /Length {len(data)} >>".encode()
-            + b"\nstream\n" + data + b"\nendstream"
+        iv = _aes_iv(num)
+        return iv + aes_cbc_encrypt(
+            _aes_object_key(key, num, 0), iv, raw + bytes([pad]) * pad
         )
 
-    enc_num = len(objects) + 1
-    objects.append(
-        (
-            "<< /Filter /Standard /V 4 /R 4 /Length 128 "
-            f"/P {p} /O <{o.hex()}> /U <{u.hex()}> "
-            "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-            "/StmF /StdCF /StrF /StdCF >>"
-        ).encode()
+    return _encrypted_doc(
+        pages,
+        enc,
+        "<< /Filter /Standard /V 4 /R 4 /Length 128 "
+        f"/P {p} /O <{o.hex()}> /U <{u.hex()}> "
+        "/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+        "/StmF /StdCF /StrF /StdCF >>",
+        id0,
     )
-    extra = f" /Encrypt {enc_num} 0 R /ID [<{id0.hex()}> <{id0.hex()}>]"
-    return _serialize_classic(objects, trailer_extra=extra)
 
 
 def write_pdf_aes256(pages: list[PdfPageSpec], r: int = 6) -> bytes:
@@ -472,30 +470,22 @@ def write_pdf_aes256(pages: list[PdfPageSpec], r: int = 6) -> bytes:
     o = pw_hash(ovs, u[:48]) + ovs + oks
     oe = aes_cbc_encrypt(pw_hash(oks, u[:48]), b"\x00" * 16, file_key)
 
-    objects, n_pages = _doc_objects(pages, compress=False)
-    for i in range(n_pages):
-        obj_num = 4 + n_pages + i
-        raw = _content_stream(pages[i])
+    def enc(num: int, raw: bytes) -> bytes:
         pad = 16 - len(raw) % 16
-        iv = hashlib.md5(b"iv" + str(obj_num).encode()).digest()
-        data = iv + aes_cbc_encrypt(file_key, iv, raw + bytes([pad]) * pad)
-        objects[obj_num - 1] = (
-            f"<< /Length {len(data)} >>".encode()
-            + b"\nstream\n" + data + b"\nendstream"
-        )
+        iv = _aes_iv(num)
+        return iv + aes_cbc_encrypt(file_key, iv, raw + bytes([pad]) * pad)
 
-    enc_num = len(objects) + 1
-    objects.append(
-        (
-            f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P -44 "
-            f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> "
-            f"/UE <{ue.hex()}> "
-            "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
-            "/StmF /StdCF /StrF /StdCF >>"
-        ).encode()
+    return _encrypted_doc(
+        pages,
+        enc,
+        f"<< /Filter /Standard /V 5 /R {r} /Length 256 /P -44 "
+        f"/O <{o.hex()}> /U <{u.hex()}> /OE <{oe.hex()}> "
+        f"/UE <{ue.hex()}> "
+        "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+        "/StmF /StdCF /StrF /StdCF >>",
+        None,
+        version="1.7",
     )
-    extra = f" /Encrypt {enc_num} 0 R"
-    return _serialize_classic(objects, version="1.7", trailer_extra=extra)
 
 
 def write_pdf_scanned(n_pages: int = 1, width: int = 8, height: int = 8) -> bytes:

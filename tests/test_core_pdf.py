@@ -1152,3 +1152,52 @@ def test_broken_xref_is_rebuilt_by_object_scan():
     # no object headers at all -> still typed corrupt
     with _pytest.raises(CorruptedFileError):
         extract_pdf(b"%PDF-1.4\njust noise, no objects", "0" * 16)
+
+
+def test_crypt_review_fixes_round4():
+    """Pins for the third-review findings: unsigned /P packs to the same
+    key; V5 /StmF /Identity passes streams through untouched; rebuilt
+    trailers merge per-key so /Encrypt survives a minimal appended
+    trailer."""
+    import re as _re
+
+    from pdf_document_extractor_spark.core.pdf_crypt import (
+        _build_v5,
+        build_decryptor,
+        trailer_id0,
+    )
+    from pdf_document_extractor_spark.core.pdf_extract import extract_pdf
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf_aes256,
+        write_pdf_rc4,
+    )
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "p packing")])]
+
+    # /P emitted unsigned (bit pattern of -44) must derive the same key
+    doc = write_pdf_rc4(spec)
+    unsigned = doc.replace(b"/P -44", b"/P 4294967252")
+    assert extract_pdf(unsigned, "0" * 16).pages[0].content == \
+        "Page 1\n\np packing\n"
+
+    # V5 with /StmF /Identity: decryptor is a passthrough (streams are
+    # NOT encrypted; only strings would use /StrF)
+    aes = write_pdf_aes256(spec)
+    m = _re.search(
+        rb"<< /Filter /Standard /V 5.*?/StrF /StdCF >>", aes, _re.S
+    )
+    enc_src = m.group(0).replace(b"/StmF /StdCF", b"/StmF /Identity")
+    from pdf_document_extractor_spark.core.pdf_extract import _parse_object
+
+    enc_dict, _ = _parse_object(enc_src, 0)
+    dec = _build_v5(enc_dict, 6)
+    assert dec(7, 0, b"plaintext bytes") == b"plaintext bytes"
+
+    # rebuilt trailer merges per-key: append a minimal trailer with a
+    # broken startxref — /Encrypt and /ID from the ORIGINAL trailer must
+    # survive for decryption to work
+    appended = doc + b"\ntrailer\n<< /Size 99 >>\nstartxref\n999999999\n%%EOF\n"
+    assert extract_pdf(appended, "0" * 16).pages[0].content == \
+        "Page 1\n\np packing\n"

@@ -103,9 +103,21 @@ def test_chained_incremental_updates_newest_wins():
 
 
 def test_free_tombstone_shadows_older_offset():
+    """The xref layer honors the tombstone (object 1 deleted), and the
+    reader-repair fallback then SALVAGES the still-present catalog bytes
+    (round 4): crawl-first behavior — a deliberate delete whose bytes
+    remain recoverable extracts rather than hard-fails. When the catalog
+    bytes are genuinely gone, the document stays typed-corrupt."""
     doc = append_incremental(write_pdf(PAGES), {1: None})  # delete catalog
+    assert extract_pdf(doc, "h").status == "success"  # repair salvages
+
+    # scrub the catalog object bytes too: nothing left to salvage
+    gone = bytearray(doc)
+    start = gone.find(b"1 0 obj")
+    end = gone.find(b"endobj", start) + len(b"endobj")
+    gone[start:end] = b" " * (end - start)
     with pytest.raises(CorruptedFileError):
-        extract_pdf(doc, "h")
+        extract_pdf(bytes(gone), "h")
 
 
 def test_hybrid_xrefstm_pointer():
@@ -137,8 +149,13 @@ def test_prev_cycle_raises():
         f"xref\ntrailer\n<< /Size 10 /Root 1 0 R /Prev {pos} >>\n"
         f"startxref\n{pos}\n%%EOF\n"
     ).encode()
+    # the xref layer detects the /Prev cycle (typed), and since round 4
+    # the reader-repair fallback salvages the intact objects
     with pytest.raises(CorruptedFileError):
-        extract_pdf(doc, "h")
+        from pdf_document_extractor_spark.core.pdf_extract import _parse_xref
+
+        _parse_xref(doc)
+    assert extract_pdf(doc, "h").status == "success"
 
 
 def test_corrupt_xref_stream_taxonomy():
