@@ -487,6 +487,37 @@ def q_extract_content_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_gzip_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transparent gunzip of crawl payloads (round 4 — mishandled
+    Content-Encoding leaves gzip-wrapped bodies everywhere in crawls):
+    the inner html extracts byte-identically; doc_type is the INNER
+    type (the wrapper is transport)."""
+    return _extracted(spark, sf_dir, "gzip_html").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
+def q_extract_gif_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF inputs (round 4 — completes the raster trio with PNG/JPEG):
+    logical-screen-descriptor dimension probe emits a success metadata
+    row; truncated headers (doc_id%17==0) degrade typed."""
+    ext = _extracted(spark, sf_dir, "gif")
+    fig = F.try_element_at("figures", F.lit(1))
+    return ext.select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "error_type",
+        fig["image_format"].alias("image_format"),
+        fig["image_width"].cast("long").alias("image_width"),
+        fig["image_height"].cast("long").alias("image_height"),
+    )
+
+
 def q_extract_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PNG/JPEG inputs (reference MIME types png/jpg,
     lib/models/mime_type.py:11-12): header-only dimension probes emit a
@@ -1626,6 +1657,26 @@ _ORACLES: dict[str, str] = {
                     ELSE text END AS content_final
         FROM documents
     """,
+    "extract_gzip_content": f"""
+        SELECT doc_id, 'html' AS doc_type, 'success' AS status,
+               text AS content,
+               {_WORDS} AS word_count
+        FROM documents
+    """,
+    "extract_gif_metadata": """
+        SELECT doc_id, 'gif' AS doc_type,
+               CASE WHEN doc_id % 17 = 0 THEN 'hard_failure'
+                    ELSE 'success' END AS status,
+               CASE WHEN doc_id % 17 = 0 THEN 'CorruptedFileError'
+                    ELSE NULL END AS error_type,
+               CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 'gif' END
+                   AS image_format,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(16 + doc_id % 97 AS BIGINT) END AS image_width,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE CAST(16 + doc_id % 53 AS BIGINT) END AS image_height
+        FROM documents
+    """,
     "extract_image_metadata": """
         SELECT doc_id,
                CASE WHEN doc_id % 17 = 0 OR doc_id % 2 = 0
@@ -2372,6 +2423,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_aes": q_extract_pdf_aes,
         "extract_pdf_badxref": q_extract_pdf_badxref,
         "extract_content_fallback": q_extract_content_fallback,
+        "extract_gzip_content": q_extract_gzip_content,
+        "extract_gif_metadata": q_extract_gif_metadata,
         "sim_ann_recall": q_sim_ann_recall,
         # -- 3. changed this round: asset-metadata parity (9) -----------
         "extract_html_tables": q_extract_html_tables,
@@ -2401,8 +2454,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doc_assembly": q_extract_doc_assembly,
         "extract_rtf_content": q_extract_rtf_content,
         "extract_docx_content": q_extract_docx_content,
-        "extract_dispatch_mixed": q_extract_dispatch_mixed,
         # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
+        "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,
         "extract_heavy_split": q_extract_heavy_split,

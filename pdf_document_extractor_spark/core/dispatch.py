@@ -21,6 +21,7 @@ from .html_extract import extract_html
 from .image_extract import extract_image
 from .ole_extract import extract_ole2
 from .model import (
+    DOC_TYPE_GIF,
     DOC_TYPE_HTML,
     DOC_TYPE_JPG,
     DOC_TYPE_OOXML,
@@ -44,19 +45,43 @@ ZIP_MAGIC = b"PK\x03\x04"
 # formats are RECOGNIZED (named in the failure row) even though extraction
 # is out of scope. Everything else falls through to the HTML/TXT paths,
 # whose binary-junk guards catch the residue (html_extract.py pinned
-# rule 7). PNG/JPEG route to the image-metadata extractor instead
-# (reference MIME types png/jpg, lib/models/mime_type.py:11-12).
+# rule 7). PNG/JPEG/GIF route to the image-metadata extractor and gzip
+# streams decompress transparently (round 4) — crawl payloads routinely
+# arrive gzip-wrapped when upstream mishandled Content-Encoding.
 CONTAINER_MAGICS: tuple[tuple[bytes, str], ...] = (
-    (b"GIF87a", "gif image"),
-    (b"GIF89a", "gif image"),
-    (b"\x1f\x8b", "gzip stream"),
     (b"%!PS", "postscript document"),
 )
+
+GZIP_MAGIC = b"\x1f\x8b"
+# decompressed-payload bomb guard (a 42-byte gzip can declare 4 GB)
+MAX_GUNZIP_BYTES = 256 << 20
+# gzip-in-gzip nesting cap (crafted-input territory beyond 3)
+MAX_GZIP_DEPTH = 3
+
+
+def _gunzip_payload(data: bytes) -> bytes:
+    """Bounded transparent gunzip of a crawl payload (typed errors)."""
+    import zlib
+
+    from .taxonomy import CorruptedFileError, OversizeDocumentError
+
+    try:
+        d = zlib.decompressobj(wbits=31)  # gzip wrapper
+        out = d.decompress(data, MAX_GUNZIP_BYTES)
+        if d.unconsumed_tail:
+            raise OversizeDocumentError(
+                f"gzip payload inflates past {MAX_GUNZIP_BYTES} bytes"
+            )
+        if not d.eof:
+            raise CorruptedFileError("truncated gzip payload")
+        return out
+    except zlib.error as exc:
+        raise CorruptedFileError(f"gzip decode failed: {exc}") from exc
 
 # magic constants come from the modules that parse them — the sniffer
 # and the extractor can never drift apart (same rule as the image caps)
 from .cfb import CFB_MAGIC as OLE2_MAGIC  # noqa: E402
-from .image_extract import JPEG_MAGIC, PNG_MAGIC  # noqa: E402
+from .image_extract import GIF_MAGICS, JPEG_MAGIC, PNG_MAGIC  # noqa: E402
 
 DOC_TYPE_OLE2 = "ole2"  # sniffed container before doc/xls subtype resolves
 
@@ -88,6 +113,8 @@ def sniff_doc_type(data: bytes) -> str:
         return DOC_TYPE_PNG
     if data[: len(JPEG_MAGIC)] == JPEG_MAGIC:
         return DOC_TYPE_JPG
+    if data[:6] in GIF_MAGICS:
+        return DOC_TYPE_GIF
     if data[: len(OLE2_MAGIC)] == OLE2_MAGIC:
         return DOC_TYPE_OLE2
     head = data[:TEXT_SNIFF_WINDOW]
@@ -109,6 +136,7 @@ EXTRACTORS = {
     DOC_TYPE_RTF: extract_rtf,
     DOC_TYPE_PNG: extract_image,
     DOC_TYPE_JPG: extract_image,
+    DOC_TYPE_GIF: extract_image,
     DOC_TYPE_OLE2: extract_ole2,
 }
 
@@ -124,6 +152,25 @@ def extract_document(url: str, data: bytes, config=None) -> ExtractionResult:
     (processing_config_manager.py:88-237)."""
     uh = url_hash(url)
     data = data or b""
+    # transparent gunzip BEFORE sniffing: the document type is the INNER
+    # payload's (the gzip wrapper is transport, like a mislabeled
+    # Content-Encoding); nesting capped, typed errors inside
+    depth = 0
+    while data[:2] == GZIP_MAGIC and depth < MAX_GZIP_DEPTH:
+        try:
+            data = _gunzip_payload(data)
+        except BaseException as exc:  # noqa: BLE001 — taxonomy decides
+            status, error_type, message = classify_error(exc)
+            if status == "soft_failure":
+                raise
+            return ExtractionResult(
+                doc_type="gzip",
+                status=status,
+                error_type=error_type,
+                error_message=message,
+                pages=[],
+            )
+        depth += 1
     for magic, label in CONTAINER_MAGICS:
         if data[: len(magic)] == magic:
             return ExtractionResult(

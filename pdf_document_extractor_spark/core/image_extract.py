@@ -31,6 +31,7 @@ from __future__ import annotations
 import struct
 
 from .model import (
+    DOC_TYPE_GIF,
     DOC_TYPE_JPG,
     DOC_TYPE_PNG,
     FigureRef,
@@ -41,6 +42,7 @@ from .taxonomy import CorruptedFileError, OversizeDocumentError
 
 PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 JPEG_MAGIC = b"\xff\xd8\xff"
+GIF_MAGICS = (b"GIF87a", b"GIF89a")
 
 # Pixel-dimension bomb caps (shared with operators/multimodal.py).
 MAX_IMAGE_PIXELS = 100_000_000
@@ -91,6 +93,15 @@ def jpeg_dimensions(data: bytes) -> tuple[int, int]:
     raise CorruptedFileError("jpeg has no SOF frame header")
 
 
+def gif_dimensions(data: bytes) -> tuple[int, int]:
+    """(width, height) from the GIF logical screen descriptor (bytes
+    6-10, little-endian u16 each — GIF89a spec §18)."""
+    if len(data) < 10:
+        raise CorruptedFileError("truncated gif header")
+    w, h = struct.unpack("<HH", data[6:10])
+    return w, h
+
+
 def _validate_dims(width: int, height: int) -> None:
     """Pinned rule 3 (reference image_validator.py:36-150)."""
     if width <= 0 or height <= 0:
@@ -114,8 +125,11 @@ def extract_image(data: bytes, url_hash: str, config=None) -> ExtractionResult:
     elif data[:3] == JPEG_MAGIC:
         doc_type = DOC_TYPE_JPG
         width, height = jpeg_dimensions(data)
+    elif data[:6] in GIF_MAGICS:
+        doc_type = DOC_TYPE_GIF
+        width, height = gif_dimensions(data)
     else:
-        raise CorruptedFileError("not a png or jpeg payload")
+        raise CorruptedFileError("not a png/jpeg/gif payload")
     _validate_dims(width, height)
     figure = FigureRef(
         figure_id=f"{url_hash}_figure_0",

@@ -41,6 +41,7 @@ DOC_TYPE_RTF = "rtf"
 DOC_TYPE_OOXML = "ooxml"  # sniffed PK-zip before the part decides subtype
 DOC_TYPE_PNG = "png"
 DOC_TYPE_JPG = "jpg"
+DOC_TYPE_GIF = "gif"
 
 
 @dataclass(frozen=True)

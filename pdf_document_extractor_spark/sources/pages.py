@@ -387,6 +387,17 @@ def synth_jpeg_payload(width: int, height: int) -> bytes:
     return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
+def synth_gif_payload(width: int, height: int) -> bytes:
+    """Minimal GIF89a: header + logical screen descriptor + trailer —
+    the header probe reads only bytes 6-10."""
+    import struct
+
+    return (
+        b"GIF89a" + struct.pack("<HH", width, height)
+        + b"\x00\x00\x00" + b"\x3b"
+    )
+
+
 _CORRUPT_PNG = b"\x89PNG\r\n\x1a\nxx"  # signature but no IHDR
 
 
@@ -402,6 +413,18 @@ def synth_image_payload(doc_id: int) -> bytes:
     if doc_id % 2 == 0:
         return synth_png_payload(w, h)
     return synth_jpeg_payload(w, h)
+
+
+def synth_gzip_payload(doc_id: int, text: str) -> bytes:
+    """gzip-wrapped html payload (mtime 0 for determinism): the
+    transparent-gunzip dispatch path; oracle identical to mode='html'."""
+    import gzip
+    import io
+
+    buf = io.BytesIO()
+    with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+        gz.write(synth_html_payload(doc_id, text))
+    return buf.getvalue()
 
 
 def synth_payload(
@@ -459,6 +482,12 @@ def synth_payload(
         return synth_pdf_badxref_payload(text)
     if mode == "image":
         return synth_image_payload(doc_id)
+    if mode == "gif":
+        if doc_id % 17 == 0:
+            return b"GIF89a\x01"  # truncated header -> CorruptedFileError
+        return synth_gif_payload(16 + doc_id % 97, 16 + doc_id % 53)
+    if mode == "gzip_html":
+        return synth_gzip_payload(doc_id, text)
     if mode == "doc":
         return synth_doc_payload(text)
     if mode == "xls":

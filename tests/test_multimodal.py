@@ -254,9 +254,22 @@ def test_jpeg_probe_walks_app_segments():
     assert jpeg_dimensions(b"\xff\xd8" + com + app1 + sof2 + b"\xff\xd9") == (22, 11)
 
 
-def test_gif_and_ole2_stay_named_unsupported():
+def test_gif_extracts_metadata_since_round4():
+    """GIF graduated from named-unsupported to a metadata extraction
+    (logical screen descriptor probe), completing the raster trio."""
+    import struct
+
     from pdf_document_extractor_spark.core.dispatch import extract_document
 
+    gif = b"GIF89a" + struct.pack("<HH", 37, 21) + b"\x00\x00\x00\x3b"
+    res = extract_document("https://x/img/7", gif)
+    assert res.status == "success" and res.doc_type == "gif"
+    f = res.pages[0].figures[0]
+    assert (f.image_format, f.image_width, f.image_height) == ("gif", 37, 21)
+    # zero-dimension screen descriptor -> typed corrupt
     res = extract_document("https://x/img/7", b"GIF89a" + b"\x00" * 10)
-    assert res.error_type == "UnsupportedFormatError"
-    assert "gif" in res.error_message
+    assert res.error_type == "CorruptedFileError"
+    # dimension bomb guard applies to gif too
+    bomb = b"GIF89a" + struct.pack("<HH", 9000, 9000) + b"\x00\x00\x00\x3b"
+    res = extract_document("https://x/img/7", bomb)
+    assert res.error_type == "OversizeDocumentError"

@@ -63,15 +63,19 @@ def test_known_containers_get_typed_unsupported_failures():
     letting them bleed into the HTML path."""
     from pdf_document_extractor_spark.core.dispatch import extract_document
 
-    cases = {
-        b"GIF89a;;;": "gif",
-        b"\x1f\x8b\x08gz": "gzip",
-        b"%!PS-Adobe": "postscript",
-    }
-    for payload, label in cases.items():
+    # postscript stays a NAMED unsupported container; gif and gzip became
+    # supported formats in round 4 — their malformed shapes now classify
+    # as typed corruption instead
+    r = extract_document("u", b"%!PS-Adobe")
+    assert r.status == "hard_failure"
+    assert r.error_type == "UnsupportedFormatError"
+    for payload, label in {
+        b"GIF89a;;;": "truncated gif",
+        b"\x1f\x8b\x08gz": "corrupt gzip",
+    }.items():
         r = extract_document("u", payload)
         assert r.status == "hard_failure", label
-        assert r.error_type == "UnsupportedFormatError", label
+        assert r.error_type == "CorruptedFileError", label
     # a PARTIAL OLE2 magic (4 of 8 bytes) matches no container rule and
     # falls through to the TXT binary-junk guard — still a typed row
     r = extract_document("u", b"\xd0\xcf\x11\xe0....")
