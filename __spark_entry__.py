@@ -487,6 +487,46 @@ def q_extract_content_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_odt_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument text (.odt — beyond the reference's 10 MIME types,
+    high crawl volume): paragraphs split at token 3, 3x2 k/v table —
+    identical oracle shape to docx."""
+    ext = _extracted(spark, sf_dir, "odt")
+    t = ext.select(
+        "doc_id", "doc_type", "status", "content",
+        F.col("word_count").cast("long").alias("word_count"),
+        F.explode("tables").alias("t"),
+    )
+    return t.select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        "word_count",
+        F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
+        F.col("t.csv").alias("csv"),
+    )
+
+
+def q_extract_ods_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument spreadsheet (.ods): sheet = page, rows as lines —
+    identical oracle shape to xlsx."""
+    ext = _extracted(spark, sf_dir, "ods")
+    t = ext.select(
+        "doc_id", "doc_type", "status", "content",
+        F.explode("tables").alias("t"),
+    )
+    return t.select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "content",
+        F.array_join(F.col("t.headers"), "|").alias("headers_joined"),
+        F.col("t.cell_count").cast("long").alias("cell_count"),
+        F.col("t.csv").alias("csv"),
+    )
+
+
 def q_extract_gzip_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent gunzip of crawl payloads (round 4 — mishandled
     Content-Encoding leaves gzip-wrapped bodies everywhere in crawls):
@@ -1657,6 +1697,33 @@ _ORACLES: dict[str, str] = {
                     ELSE text END AS content_final
         FROM documents
     """,
+    "extract_odt_content": f"""
+        WITH t AS (
+          SELECT doc_id, lang, source, {_WORDS} AS wc,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[1:3],
+                                 ' ') AS p1,
+                 array_to_string(regexp_split_to_array(trim(text), '\\s+')[4:],
+                                 ' ') AS p2
+          FROM documents
+        )
+        SELECT doc_id, 'odt' AS doc_type, 'success' AS status,
+               p1 || chr(10) || p2 AS content,
+               wc AS word_count,
+               'k|v' AS headers_joined,
+               'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
+               'source,' || source || chr(10) AS csv
+        FROM t
+    """,
+    "extract_ods_cells": """
+        SELECT doc_id, 'ods' AS doc_type, 'success' AS status,
+               'k v' || chr(10) || 'lang ' || lang || chr(10)
+                   || 'source ' || source AS content,
+               'k|v' AS headers_joined,
+               CAST(6 AS BIGINT) AS cell_count,
+               'k,v' || chr(10) || 'lang,' || lang || chr(10) ||
+               'source,' || source || chr(10) AS csv
+        FROM documents
+    """,
     "extract_gzip_content": f"""
         SELECT doc_id, 'html' AS doc_type, 'success' AS status,
                text AS content,
@@ -2425,6 +2492,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_content_fallback": q_extract_content_fallback,
         "extract_gzip_content": q_extract_gzip_content,
         "extract_gif_metadata": q_extract_gif_metadata,
+        "extract_odt_content": q_extract_odt_content,
+        "extract_ods_cells": q_extract_ods_cells,
         "sim_ann_recall": q_sim_ann_recall,
         # -- 3. changed this round: asset-metadata parity (9) -----------
         "extract_html_tables": q_extract_html_tables,
@@ -2453,8 +2522,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_doc_content": q_extract_doc_content,
         "extract_doc_assembly": q_extract_doc_assembly,
         "extract_rtf_content": q_extract_rtf_content,
-        "extract_docx_content": q_extract_docx_content,
         # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
+        "extract_docx_content": q_extract_docx_content,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
         "extract_resume_antijoin": q_extract_resume_antijoin,

@@ -178,8 +178,13 @@ def extract_ooxml(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         return _xlsx_from_zip(zf, names, url_hash)
     if "ppt/presentation.xml" in names:
         return _pptx_from_zip(zf, names, url_hash)
+    if "content.xml" in names:
+        # OpenDocument container (odt/ods — round 4)
+        from .odf_extract import extract_odf
+
+        return extract_odf(zf, url_hash, config)
     raise UnsupportedFormatError(
-        "zip container without a recognized ooxml part"
+        "zip container without a recognized ooxml/odf part"
     )
 
 

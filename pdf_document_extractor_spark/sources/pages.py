@@ -162,6 +162,26 @@ def synth_rtf_payload(text: str) -> bytes:
     ).encode("ascii")
 
 
+def synth_odt_payload(text: str, lang: str, source: str) -> bytes:
+    """OpenDocument text: same two-paragraph split at token 3 + 3x2 k/v
+    table as docx -> identical oracle shape."""
+    from ..core.odf_extract import write_odt
+
+    toks = text.split()
+    return write_odt(
+        [" ".join(toks[:3]), " ".join(toks[3:])],
+        tables=[[["k", "v"], ["lang", lang], ["source", source]]],
+    )
+
+
+def synth_ods_payload(lang: str, source: str) -> bytes:
+    """OpenDocument spreadsheet: the standard 3x2 k/v grid -> same
+    content/table oracle shape as xlsx."""
+    from ..core.odf_extract import write_ods
+
+    return write_ods([[["k", "v"], ["lang", lang], ["source", source]]])
+
+
 def synth_doc_payload(text: str) -> bytes:
     """Legacy Word binary (.doc): same two-paragraph split at token 3 as
     docx -> content == p1 + '\\n' + p2; the piece table always carries one
@@ -488,6 +508,10 @@ def synth_payload(
         return synth_gif_payload(16 + doc_id % 97, 16 + doc_id % 53)
     if mode == "gzip_html":
         return synth_gzip_payload(doc_id, text)
+    if mode == "odt":
+        return synth_odt_payload(text, lang, source)
+    if mode == "ods":
+        return synth_ods_payload(lang, source)
     if mode == "doc":
         return synth_doc_payload(text)
     if mode == "xls":

@@ -156,3 +156,68 @@ def test_zip_bomb_declared_size_guard():
         oe._parse_part(zf2, "word/document.xml")
     r = extract_document("u", data)
     assert r.status == "success"  # un-tampered doc still parses
+
+
+def test_odf_extraction_and_taxonomy():
+    """OpenDocument (.odt/.ods) — round 4 widening beyond the reference's
+    MIME table: same output contract as docx/xlsx; malformed containers
+    degrade typed."""
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.core.odf_extract import (
+        write_ods,
+        write_odt,
+    )
+    from pdf_document_extractor_spark.core.office_extract import extract_ooxml
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+        EmptyContentError,
+        UnsupportedFormatError,
+    )
+
+    odt = write_odt(
+        ["alpha beta", "gamma delta"],
+        tables=[[["h1", "h2"], ["a", "b"]]],
+    )
+    r = extract_document("https://x/odt", odt)
+    assert r.doc_type == "odt" and r.status == "success"
+    assert r.pages[0].content == "alpha beta\ngamma delta"
+    t = r.pages[0].tables[0]
+    assert t.headers == ("h1", "h2") and t.csv == "h1,h2\na,b\n"
+    # table paragraphs never leak into content
+    leak = extract_document(
+        "u", write_odt(["outside"], tables=[[["inside"]]])
+    )
+    assert leak.pages[0].content == "outside"
+
+    ods = write_ods([[["k", "v"]], [["x", "y"], ["1", "2"]]])
+    r = extract_document("u", ods)
+    assert r.doc_type == "ods" and len(r.pages) == 2
+    assert r.pages[1].content == "x y\n1 2"
+    assert r.pages[1].tables[0].page_number == 2
+
+    # taxonomy: empty text body / bad xml / unknown body type
+    with _pytest.raises(EmptyContentError):
+        extract_ooxml(write_odt([]), "h")
+    import io
+    import zipfile
+
+    def zip_with(content: bytes) -> bytes:
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("content.xml", content)
+        return buf.getvalue()
+
+    with _pytest.raises(CorruptedFileError):
+        extract_ooxml(zip_with(b"<not-closed"), "h")
+    with _pytest.raises(UnsupportedFormatError, match="presentation"):
+        extract_ooxml(
+            zip_with(
+                b'<office:document-content '
+                b'xmlns:office="urn:oasis:names:tc:opendocument:xmlns:office:1.0">'
+                b"<office:body><office:presentation/></office:body>"
+                b"</office:document-content>"
+            ),
+            "h",
+        )
