@@ -527,6 +527,20 @@ def q_extract_ods_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_epub_chapters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPUB e-books (round 4, beyond the reference's MIME table): spine
+    chapters become pages through the shared HTML block-scoring core;
+    two chapters split at token 5."""
+    return _extracted(spark, sf_dir, "epub").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        F.col("page_number").cast("long").alias("page_number"),
+        F.col("page_count").cast("long").alias("page_count"),
+        "content",
+    )
+
+
 def q_extract_gzip_content(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transparent gunzip of crawl payloads (round 4 — mishandled
     Content-Encoding leaves gzip-wrapped bodies everywhere in crawls):
@@ -1697,6 +1711,21 @@ _ORACLES: dict[str, str] = {
                     ELSE text END AS content_final
         FROM documents
     """,
+    "extract_epub_chapters": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id, 'epub' AS doc_type, 'success' AS status,
+               CAST(1 AS BIGINT) AS page_number,
+               CAST(2 AS BIGINT) AS page_count,
+               array_to_string(toks[1:5], ' ') AS content
+        FROM t
+        UNION ALL
+        SELECT doc_id, 'epub', 'success', CAST(2 AS BIGINT),
+               CAST(2 AS BIGINT), array_to_string(toks[6:], ' ')
+        FROM t
+    """,
     "extract_odt_content": f"""
         WITH t AS (
           SELECT doc_id, lang, source, {_WORDS} AS wc,
@@ -2494,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_gif_metadata": q_extract_gif_metadata,
         "extract_odt_content": q_extract_odt_content,
         "extract_ods_cells": q_extract_ods_cells,
+        "extract_epub_chapters": q_extract_epub_chapters,
         "sim_ann_recall": q_sim_ann_recall,
         # -- 3. changed this round: asset-metadata parity (9) -----------
         "extract_html_tables": q_extract_html_tables,
@@ -2519,10 +2549,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_markdown": q_extract_pdf_markdown,
         "extract_pdf_multipage": q_extract_pdf_multipage,
         "extract_pdf_headers": q_extract_pdf_headers,
+        # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
         "extract_doc_content": q_extract_doc_content,
         "extract_doc_assembly": q_extract_doc_assembly,
         "extract_rtf_content": q_extract_rtf_content,
-        # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
         "extract_docx_content": q_extract_docx_content,
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,

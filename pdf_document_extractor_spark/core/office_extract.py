@@ -178,6 +178,12 @@ def extract_ooxml(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         return _xlsx_from_zip(zf, names, url_hash)
     if "ppt/presentation.xml" in names:
         return _pptx_from_zip(zf, names, url_hash)
+    if "META-INF/container.xml" in names:
+        # EPUB e-book (round 4): spine of XHTML chapters through the
+        # shared HTML block-scoring core
+        from .epub_extract import extract_epub
+
+        return extract_epub(zf, names, url_hash, config)
     if "content.xml" in names:
         # OpenDocument container (odt/ods — round 4)
         from .odf_extract import extract_odf

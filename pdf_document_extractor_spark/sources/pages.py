@@ -182,6 +182,20 @@ def synth_ods_payload(lang: str, source: str) -> bytes:
     return write_ods([[["k", "v"], ["lang", lang], ["source", source]]])
 
 
+def synth_epub_payload(text: str) -> bytes:
+    """EPUB with two XHTML chapters split at token 5 -> one page per
+    spine chapter; content == the chapter's text."""
+    from ..core.epub_extract import write_epub
+
+    toks = text.split()
+    return write_epub(
+        [
+            "<p>" + " ".join(toks[:5]) + "</p>",
+            "<p>" + " ".join(toks[5:]) + "</p>",
+        ]
+    )
+
+
 def synth_doc_payload(text: str) -> bytes:
     """Legacy Word binary (.doc): same two-paragraph split at token 3 as
     docx -> content == p1 + '\\n' + p2; the piece table always carries one
@@ -512,6 +526,8 @@ def synth_payload(
         return synth_odt_payload(text, lang, source)
     if mode == "ods":
         return synth_ods_payload(lang, source)
+    if mode == "epub":
+        return synth_epub_payload(text)
     if mode == "doc":
         return synth_doc_payload(text)
     if mode == "xls":

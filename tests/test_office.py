@@ -221,3 +221,75 @@ def test_odf_extraction_and_taxonomy():
             ),
             "h",
         )
+
+
+def test_epub_extraction_and_taxonomy():
+    """EPUB spine chapters = pages through the shared HTML core; broken
+    containers degrade typed (round 4)."""
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.core.epub_extract import write_epub
+    from pdf_document_extractor_spark.core.office_extract import extract_ooxml
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+    )
+
+    epub = write_epub(
+        [
+            "<p>chapter one body</p>",
+            "<nav><a href='/'>toc</a></nav><p>chapter two body</p>"
+            "<table><tr><td>c</td></tr></table>",
+        ]
+    )
+    r = extract_document("https://x/e", epub)
+    assert r.doc_type == "epub" and r.status == "success"
+    assert [p.content for p in r.pages] == [
+        "chapter one body", "chapter two body",
+    ]
+    assert r.pages[1].tables[0].page_number == 2
+    assert r.pages[1].elements[0].page_no == 2
+
+    def zip_parts(parts):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            for n, p in parts:
+                zf.writestr(n, p)
+        return buf.getvalue()
+
+    # container naming a missing OPF -> typed corrupt
+    with _pytest.raises(CorruptedFileError):
+        extract_ooxml(
+            zip_parts(
+                [
+                    (
+                        "META-INF/container.xml",
+                        '<container><rootfiles><rootfile '
+                        'full-path="missing.opf"/></rootfiles></container>',
+                    )
+                ]
+            ),
+            "h",
+        )
+    # spine with no readable chapter -> typed corrupt
+    with _pytest.raises(CorruptedFileError, match="spine"):
+        extract_ooxml(
+            zip_parts(
+                [
+                    (
+                        "META-INF/container.xml",
+                        '<container><rootfiles><rootfile '
+                        'full-path="c.opf"/></rootfiles></container>',
+                    ),
+                    (
+                        "c.opf",
+                        "<package><manifest/><spine>"
+                        '<itemref idref="nope"/></spine></package>',
+                    ),
+                ]
+            ),
+            "h",
+        )
