@@ -60,23 +60,31 @@ MAX_GZIP_DEPTH = 3
 
 
 def _gunzip_payload(data: bytes) -> bytes:
-    """Bounded transparent gunzip of a crawl payload (typed errors)."""
+    """Bounded transparent gunzip of a crawl payload (typed errors).
+    RFC 1952 allows CONCATENATED members and crawl servers routinely emit
+    them — all members decompress (a first-member-only read would commit
+    a silent-truncation success row), sharing one total-size budget."""
     import zlib
 
     from .taxonomy import CorruptedFileError, OversizeDocumentError
 
+    out = bytearray()
     try:
-        d = zlib.decompressobj(wbits=31)  # gzip wrapper
-        out = d.decompress(data, MAX_GUNZIP_BYTES)
-        if d.unconsumed_tail:
-            raise OversizeDocumentError(
-                f"gzip payload inflates past {MAX_GUNZIP_BYTES} bytes"
-            )
-        if not d.eof:
-            raise CorruptedFileError("truncated gzip payload")
-        return out
+        while data:
+            d = zlib.decompressobj(wbits=31)  # gzip wrapper
+            out += d.decompress(data, MAX_GUNZIP_BYTES - len(out) + 1)
+            if len(out) > MAX_GUNZIP_BYTES or d.unconsumed_tail:
+                raise OversizeDocumentError(
+                    f"gzip payload inflates past {MAX_GUNZIP_BYTES} bytes"
+                )
+            if not d.eof:
+                raise CorruptedFileError("truncated gzip payload")
+            data = d.unused_data.lstrip(b"\x00")  # next member (if any)
+            if data and data[:2] != GZIP_MAGIC:
+                break  # trailing garbage: keep what decoded
     except zlib.error as exc:
         raise CorruptedFileError(f"gzip decode failed: {exc}") from exc
+    return bytes(out)
 
 # magic constants come from the modules that parse them — the sniffer
 # and the extractor can never drift apart (same rule as the image caps)
@@ -171,6 +179,16 @@ def extract_document(url: str, data: bytes, config=None) -> ExtractionResult:
                 pages=[],
             )
         depth += 1
+    if data[:2] == GZIP_MAGIC and depth >= MAX_GZIP_DEPTH:
+        # nesting beyond the cap is crafted-input territory: a TYPED
+        # gzip row, not a mislabeled txt/html junk failure
+        return ExtractionResult(
+            doc_type="gzip",
+            status="hard_failure",
+            error_type="CorruptedFileError",
+            error_message=f"gzip nesting exceeds {MAX_GZIP_DEPTH} levels",
+            pages=[],
+        )
     for magic, label in CONTAINER_MAGICS:
         if data[: len(magic)] == magic:
             return ExtractionResult(

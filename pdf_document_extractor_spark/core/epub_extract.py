@@ -34,20 +34,23 @@ import posixpath
 import zipfile
 from xml.etree import ElementTree
 
-from .html_extract import LINK_DENSITY_MAX, _collect, decode_html_bytes
-from .model import (
-    LABEL_BLOCK,
-    Element,
-    ExtractionResult,
-    FigureRef,
-    PageResult,
-    TableRef,
-    table_csv,
-    word_count,
+from .html_extract import (
+    _collect,
+    build_page_from_collector,
+    decode_html_bytes,
 )
-from .taxonomy import CorruptedFileError, EmptyContentError
+from .model import ExtractionResult, PageResult
+from .taxonomy import (
+    CorruptedFileError,
+    EmptyContentError,
+    OversizeDocumentError,
+)
 
 DOC_TYPE_EPUB = "epub"
+
+# declared-size cap per chapter/xml part (mirrors office_extract's
+# MAX_PART_BYTES zip-bomb discipline)
+MAX_CHAPTER_BYTES = 256 << 20
 
 
 def _local(tag: str) -> str:
@@ -56,8 +59,15 @@ def _local(tag: str) -> str:
 
 def _parse_xml(zf: zipfile.ZipFile, name: str):
     try:
+        if zf.getinfo(name).file_size > MAX_CHAPTER_BYTES:
+            raise OversizeDocumentError(
+                f"{name} declares {zf.getinfo(name).file_size} bytes "
+                f"(> {MAX_CHAPTER_BYTES} cap) — zip bomb guard"
+            )
         with zf.open(name) as fh:
             return ElementTree.parse(fh).getroot()
+    except OversizeDocumentError:
+        raise
     except Exception as exc:  # noqa: BLE001 — missing member / bad XML
         raise CorruptedFileError(f"malformed {name}: {exc}") from exc
 
@@ -110,72 +120,31 @@ def extract_epub(
     table_counter = 0
     any_text = False
     for page_no, path in enumerate(_spine_chapter_paths(zf, names), start=1):
+        info = zf.getinfo(path)
+        if info.file_size > MAX_CHAPTER_BYTES:
+            raise OversizeDocumentError(
+                f"{path} declares {info.file_size} bytes "
+                f"(> {MAX_CHAPTER_BYTES} cap) — zip bomb guard"
+            )
         try:
             with zf.open(path) as fh:
                 raw = fh.read()
         except Exception as exc:  # noqa: BLE001
             raise CorruptedFileError(f"unreadable chapter {path}: {exc}") from exc
-        parser = _collect(decode_html_bytes(raw))
-        kept = [
-            (t, ld) for t, ld in parser.blocks if ld <= LINK_DENSITY_MAX
-        ]
-        content = "\n".join(t for t, _ in kept)
-        if content:
-            any_text = True
-        elements: list[Element] = []
-        offset = 0
-        for t, _ld in kept:
-            elements.append(
-                Element(
-                    text=t,
-                    label=LABEL_BLOCK,
-                    page_no=page_no,
-                    bbox=None,
-                    char_start=offset,
-                    char_end=offset + len(t),
-                )
-            )
-            offset += len(t) + 1
-        tables: list[TableRef] = []
-        for rows, caption, merged in parser.tables_raw:
-            if not rows:
-                continue
-            tables.append(
-                TableRef(
-                    table_id=f"{url_hash}_table_{table_counter}",
-                    page_number=page_no,
-                    num_rows=len(rows),
-                    num_cols=max(len(r) for r in rows),
-                    headers=tuple(rows[0]),
-                    cell_count=sum(len(r) for r in rows),
-                    csv=table_csv(rows),
-                    caption=caption,
-                    has_merged_cells=merged,
-                )
-            )
-            table_counter += 1
-        figures: list[FigureRef] = []
-        for alt, caption in parser.figures_raw:
-            figures.append(
-                FigureRef(
-                    figure_id=f"{url_hash}_figure_{fig_counter}",
-                    page_number=page_no,
-                    caption=caption,
-                    alt_text=alt,
-                    label="picture",
-                )
-            )
-            fig_counter += 1
-        pages.append(
-            PageResult(
-                page_number=page_no,
-                content=content,
-                word_count=word_count(content),
-                elements=elements,
-                tables=tables,
-                figures=figures,
-            )
+        # the SHARED standalone-page builder: one definition of the
+        # block/junk/table/figure rules for html pages and epub chapters
+        page = build_page_from_collector(
+            _collect(decode_html_bytes(raw)),
+            page_no,
+            url_hash,
+            fig_start=fig_counter,
+            table_start=table_counter,
         )
+        fig_counter += len(page.figures)
+        table_counter += len(page.tables)
+        if page.content:
+            any_text = True
+        pages.append(page)
     if not any_text:
         raise EmptyContentError("no text in any epub chapter")
     return ExtractionResult(doc_type=DOC_TYPE_EPUB, pages=pages)

@@ -482,39 +482,44 @@ def _collect(text: str) -> _BlockCollector:
     return parser
 
 
-def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
-    """Extract main content from HTML bytes. Raises typed hard failures.
-    ``config`` is accepted for registry uniformity; the HTML path has no
-    format knob (reference's API extraction path returns one text body)."""
-    text = decode_html_bytes(data)
-    parser = _collect(text)
-
+def build_page_from_collector(
+    parser: _BlockCollector,
+    page_no: int,
+    url_hash: str,
+    fig_start: int = 0,
+    table_start: int = 0,
+) -> PageResult:
+    """Collector state -> one PageResult under the PINNED standalone-page
+    rules (kept-filter, '\\n' join, binary-junk guard, char-span
+    elements, table/figure structs). Shared by extract_html and the EPUB
+    chapter path so the block semantics exist ONCE. Never raises for
+    empty content (the caller decides: a standalone page hard-fails, an
+    individual epub chapter may be empty); the junk guard raises."""
     kept = [(t, ld) for t, ld in parser.blocks if ld <= LINK_DENSITY_MAX]
     content = "\n".join(t for t, _ in kept)
-    if not content:
-        raise EmptyContentError("empty extracted content")
     # Binary-junk guard (pinned): only fires when raw CONTROL chars survive
     # into content (legit pages never contain them; a few stray U+FFFD from
     # bad encodings alone never trigger it). Regex fast path: clean pages
     # (the overwhelming majority) pay one C-speed scan, not a Python loop.
-    ctrl = len(_CTRL_RE.findall(content))
-    if ctrl > 0:
-        repl = content.count("�")
-        if (ctrl + repl) / len(content) > 0.10:
-            raise UnsupportedFormatError(
-                "binary payload without recognized magic bytes"
-            )
+    if content:
+        ctrl = len(_CTRL_RE.findall(content))
+        if ctrl > 0:
+            repl = content.count("�")
+            if (ctrl + repl) / len(content) > 0.10:
+                raise UnsupportedFormatError(
+                    "binary payload without recognized magic bytes"
+                )
 
     elements: list[Element] = []
     offset = 0
-    for i, (t, _ld) in enumerate(kept):
+    for t, _ld in kept:
         start = offset
         end = start + len(t)
         elements.append(
             Element(
                 text=t,
                 label=LABEL_BLOCK,
-                page_no=1,
+                page_no=page_no,
                 bbox=None,
                 char_start=start,
                 char_end=end,
@@ -523,29 +528,29 @@ def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         offset = end + 1  # the "\n" separator
 
     tables: list[TableRef] = []
-    for ti, (rows, caption, merged) in enumerate(parser.tables_raw):
+    ti = table_start
+    for rows, caption, merged in parser.tables_raw:
         if not rows:
             continue
-        ncols = max(len(r) for r in rows)
-        headers = tuple(rows[0])
         tables.append(
             TableRef(
                 table_id=f"{url_hash}_table_{ti}",
-                page_number=1,
+                page_number=page_no,
                 num_rows=len(rows),
-                num_cols=ncols,
-                headers=headers,
+                num_cols=max(len(r) for r in rows),
+                headers=tuple(rows[0]),
                 cell_count=sum(len(r) for r in rows),
                 csv=_table_csv(rows),
                 caption=caption,
                 has_merged_cells=merged,
             )
         )
+        ti += 1
 
     figures = [
         FigureRef(
-            figure_id=f"{url_hash}_figure_{fi}",
-            page_number=1,
+            figure_id=f"{url_hash}_figure_{fig_start + fi}",
+            page_number=page_no,
             caption=caption,
             alt_text=alt,
             label="picture",
@@ -553,12 +558,23 @@ def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
         for fi, (alt, caption) in enumerate(parser.figures_raw)
     ]
 
-    page = PageResult(
-        page_number=1,
+    return PageResult(
+        page_number=page_no,
         content=content,
         word_count=word_count(content),
         elements=elements,
         tables=tables,
         figures=figures,
     )
+
+
+def extract_html(data: bytes, url_hash: str, config=None) -> ExtractionResult:
+    """Extract main content from HTML bytes. Raises typed hard failures.
+    ``config`` is accepted for registry uniformity; the HTML path has no
+    format knob (reference's API extraction path returns one text body)."""
+    text = decode_html_bytes(data)
+    parser = _collect(text)
+    page = build_page_from_collector(parser, 1, url_hash)
+    if not page.content:
+        raise EmptyContentError("empty extracted content")
     return ExtractionResult(doc_type=DOC_TYPE_HTML, pages=[page])

@@ -70,11 +70,12 @@ def extract_odf(
     zf: zipfile.ZipFile, url_hash: str, config=None
 ) -> ExtractionResult:
     """Route an OpenDocument container by its office:body child."""
-    try:
-        with zf.open("content.xml") as fh:
-            root = ElementTree.parse(fh).getroot()
-    except Exception as exc:  # noqa: BLE001 — bad zip member / bad XML
-        raise CorruptedFileError(f"malformed content.xml: {exc}") from exc
+    # shared zip-bomb guard + typed parse errors (office_extract rule:
+    # a 42KB bomb declaring 4GB of content.xml costs a failure row, not
+    # an executor OOM)
+    from .office_extract import _parse_part
+
+    root = _parse_part(zf, "content.xml")
     body = next(
         (n for n in root.iter() if _local(n.tag) == "body"), None
     )
@@ -100,6 +101,101 @@ def _in_table_set(body) -> set[int]:
             for n in t.iter():
                 inside.add(id(n))
     return inside
+
+
+def _top_level_tables(body) -> list:
+    """Tables that are not nested inside another table (docx discipline:
+    an inner table's text rides in the containing cell, never as a
+    separate flattened TableRef)."""
+    nested: set[int] = set()
+    for t in body.iter():
+        if _local(t.tag) == "table":
+            for n in t.iter():
+                if n is not t and _local(n.tag) == "table":
+                    nested.add(id(n))
+    return [
+        t
+        for t in body.iter()
+        if _local(t.tag) == "table" and id(t) not in nested
+    ]
+
+
+def _direct_rows(table) -> list:
+    """table-row DIRECT children (plus those under header/row-group
+    wrappers) — t.iter() would descend into nested tables' rows."""
+    rows: list = []
+
+    def walk(node) -> None:
+        for c in node:
+            ln = _local(c.tag)
+            if ln == "table-row":
+                rows.append(c)
+            elif ln in (
+                "table-header-rows",
+                "table-rows",
+                "table-row-group",
+            ):
+                walk(c)
+
+    walk(table)
+    return rows
+
+
+# cell-expansion budget per sheet: LibreOffice writes huge
+# number-columns-repeated counts for filler; non-empty repeats beyond
+# this are a bomb, not a spreadsheet
+MAX_SHEET_CELLS = 1 << 20
+
+
+def _row_cells(tr, budget: list) -> list[str]:
+    """Non-empty cell texts of one row, honoring
+    table:number-columns-repeated (adjacent equal cells are stored once —
+    dropping the repeat count would silently collapse real columns)."""
+    out: list[str] = []
+    for tc in tr:
+        if _local(tc.tag) not in ("table-cell", "covered-table-cell"):
+            continue
+        text = _text_of(tc)
+        if not text:
+            continue  # empty cells (incl. giant empty filler repeats) drop
+        repeat = 1
+        for k, v in tc.attrib.items():
+            if _local(k) == "number-columns-repeated":
+                try:
+                    repeat = max(1, int(v))
+                except ValueError:
+                    pass
+        budget[0] -= repeat
+        if budget[0] < 0:
+            from .taxonomy import OversizeDocumentError
+
+            raise OversizeDocumentError(
+                f"sheet expands past {MAX_SHEET_CELLS} cells "
+                "(number-columns-repeated bomb)"
+            )
+        out.extend([text] * repeat)
+    return out
+
+
+def _expand_rows(tr, cells: list[str], budget: list) -> list[list[str]]:
+    """Apply table:number-rows-repeated under the same cell budget (a
+    giant repeated NON-empty row is a bomb like its column twin)."""
+    repeat = 1
+    for k, v in tr.attrib.items():
+        if _local(k) == "number-rows-repeated":
+            try:
+                repeat = max(1, int(v))
+            except ValueError:
+                pass
+    budget[0] -= len(cells) * (repeat - 1)
+    if budget[0] < 0:
+        from .taxonomy import OversizeDocumentError
+
+        raise OversizeDocumentError(
+            f"sheet expands past {MAX_SHEET_CELLS} cells "
+            "(number-rows-repeated bomb)"
+        )
+    return [cells] * repeat
 
 
 def _extract_odt(body, url_hash: str) -> ExtractionResult:
@@ -131,17 +227,13 @@ def _extract_odt(body, url_hash: str) -> ExtractionResult:
 
     tables: list[TableRef] = []
     ti = 0
-    for t in (n for n in body.iter() if _local(n.tag) == "table"):
+    for t in _top_level_tables(body):
+        budget = [MAX_SHEET_CELLS]
         rows = []
-        for tr in (n for n in t.iter() if _local(n.tag) == "table-row"):
-            cells = [
-                c
-                for tc in tr
-                if _local(tc.tag) == "table-cell"
-                if (c := _text_of(tc))
-            ]
+        for tr in _direct_rows(t):
+            cells = _row_cells(tr, budget)
             if cells:
-                rows.append(cells)
+                rows.extend(_expand_rows(tr, cells, budget))
         if rows:
             tables.append(
                 TableRef(
@@ -171,18 +263,14 @@ def _extract_ods(body, url_hash: str) -> ExtractionResult:
     pages: list[PageResult] = []
     table_counter = 0
     any_text = False
-    sheets = [n for n in body.iter() if _local(n.tag) == "table"]
+    sheets = _top_level_tables(body)
     for page_no, sheet in enumerate(sheets, start=1):
+        budget = [MAX_SHEET_CELLS]
         rows = []
-        for tr in (n for n in sheet.iter() if _local(n.tag) == "table-row"):
-            cells = [
-                c
-                for tc in tr
-                if _local(tc.tag) == "table-cell"
-                if (c := _text_of(tc))
-            ]
+        for tr in _direct_rows(sheet):
+            cells = _row_cells(tr, budget)
             if cells:
-                rows.append(cells)
+                rows.extend(_expand_rows(tr, cells, budget))
         lines = [" ".join(r) for r in rows]
         content = "\n".join(lines)
         if content:

@@ -293,3 +293,81 @@ def test_epub_extraction_and_taxonomy():
             ),
             "h",
         )
+
+
+def test_fourth_review_fixes_round4():
+    """Pins: multi-member gzip concatenation, gzip depth cap typing, ODF
+    nested-table scoping, number-columns/rows-repeated expansion with
+    bomb budget, epub binary-junk guard via the shared page builder."""
+    import gzip
+    import io
+    import zipfile
+
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.core.odf_extract import _ODF_NS
+    from pdf_document_extractor_spark.core.office_extract import extract_ooxml
+
+    # RFC 1952 concatenated members all decompress
+    two = gzip.compress(b"<html><body><p>part one ") + gzip.compress(
+        b"and part two</p></body></html>"
+    )
+    r = extract_document("u", two)
+    assert r.pages[0].content == "part one and part two"
+
+    # nesting past the cap -> typed gzip row, not mislabeled txt junk
+    x = b"payload"
+    for _ in range(5):
+        x = gzip.compress(x)
+    r = extract_document("u", x)
+    assert (r.doc_type, r.error_type) == ("gzip", "CorruptedFileError")
+
+    def odf_zip(content, mt):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr("mimetype", mt)
+            zf.writestr("content.xml", content)
+        return buf.getvalue()
+
+    # nested ODT table: ONE TableRef, inner rows not flattened/duplicated
+    nested = (
+        '<?xml version="1.0"?><office:document-content ' + _ODF_NS + ">"
+        "<office:body><office:text><text:p>body para</text:p>"
+        "<table:table><table:table-row><table:table-cell>"
+        "<table:table><table:table-row><table:table-cell>"
+        "<text:p>inner</text:p></table:table-cell></table:table-row>"
+        "</table:table></table:table-cell></table:table-row></table:table>"
+        "</office:text></office:body></office:document-content>"
+    )
+    r = extract_ooxml(
+        odf_zip(nested, "application/vnd.oasis.opendocument.text"), "h"
+    )
+    assert len(r.pages[0].tables) == 1
+    assert r.pages[0].tables[0].num_rows == 1
+
+    # column repeats expand; giant empty filler drops; non-empty bombs typed
+    rep = (
+        '<?xml version="1.0"?><office:document-content ' + _ODF_NS + ">"
+        "<office:body><office:spreadsheet><table:table><table:table-row>"
+        '<table:table-cell table:number-columns-repeated="3">'
+        "<text:p>x</text:p></table:table-cell>"
+        '<table:table-cell table:number-columns-repeated="100000"/>'
+        "</table:table-row></table:table></office:spreadsheet>"
+        "</office:body></office:document-content>"
+    )
+    mt = "application/vnd.oasis.opendocument.spreadsheet"
+    r = extract_ooxml(odf_zip(rep, mt), "h")
+    assert r.pages[0].content == "x x x"
+    assert r.pages[0].tables[0].cell_count == 3
+    bomb = rep.replace('"3"', '"1000000000"')
+    rb = extract_document("u", odf_zip(bomb, mt))
+    assert rb.error_type == "OversizeDocumentError"
+
+    # epub chapter full of control bytes hits the shared junk guard
+    from pdf_document_extractor_spark.core.epub_extract import write_epub
+
+    junk = write_epub(["<p>" + "\x01\x02\x03" * 50 + "</p>"])
+    r = extract_document("u", junk)
+    assert r.status == "hard_failure"
+    assert r.error_type == "UnsupportedFormatError"
