@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import io
 import posixpath
+import urllib.parse
 import zipfile
 from xml.etree import ElementTree
 
@@ -104,6 +105,9 @@ def _spine_chapter_paths(zf: zipfile.ZipFile, names: set) -> list[str]:
         href, mtype = entry
         if mtype and "html" not in mtype:
             continue  # ncx/css/images in a sloppy spine
+        # OPF hrefs are IRIs: spaces etc. arrive percent-encoded while
+        # the zip member name is the decoded form
+        href = urllib.parse.unquote(href)
         path = posixpath.normpath(posixpath.join(base, href)) if base else href
         if path in names:
             out.append(path)

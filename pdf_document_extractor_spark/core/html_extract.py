@@ -393,13 +393,17 @@ def _table_csv(rows: list[list[str]]) -> str | None:
 
 _FAST_REJECT = re.compile(r"&|<[!?]|</?(?:script|style)\b", re.IGNORECASE)
 _FAST_TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)([^<>]*)>")
+# Unquoted attribute values INCLUDE a trailing '/' — html.parser absorbs
+# it into the value ('<td colspan=2/>' -> colspan='2/', NOT self-close),
+# and since the collector now reads td/th attrs that difference is
+# semantic (has_merged_cells), not just an event-shape nicety.
 _FAST_ATTRS = re.compile(
     r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
-    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s\"'<>/]*))?)*\s*(/?)"
+    r"(?:\s*=\s*(?:\"[^\"<>]*\"|'[^'<>]*'|[^\s\"'<>]*))?)*\s*(/?)"
 )
 _ATTR_PAIR = re.compile(
     r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
-    r"(?:\s*=\s*(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s\"'<>/]*)))?"
+    r"(?:\s*=\s*(?:\"([^\"<>]*)\"|'([^'<>]*)'|([^\s\"'<>]*)))?"
 )
 
 

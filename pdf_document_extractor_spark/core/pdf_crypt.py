@@ -472,10 +472,10 @@ def _alg2b(pw: bytes, salt: bytes, udata: bytes) -> bytes:
             return k[:32]
 
 
-def _build_v4(enc: dict, id0: bytes):
-    """V4 (R4): named crypt filters — /AESV2 (AES-128-CBC) or /V2 (RC4)
-    under /StdCF; key derivation is the R3 algorithm (with the
-    /EncryptMetadata false marker)."""
+def _stream_cfm(enc: dict, allowed: tuple, version: str) -> str:
+    """Resolve the STREAM crypt-filter method (/StmF through /CF; the
+    default /StmF is Identity = streams not encrypted). One definition
+    for V4 and V5."""
     cf = enc.get("CF")
     stmf = enc.get("StmF", "Identity")
     cfm = None
@@ -483,10 +483,18 @@ def _build_v4(enc: dict, id0: bytes):
         cfm = "Identity"
     elif isinstance(cf, dict) and isinstance(cf.get(stmf), dict):
         cfm = cf[stmf].get("CFM")
-    if cfm not in ("AESV2", "V2", "Identity"):
+    if cfm not in allowed:
         raise UnsupportedFormatError(
-            f"unsupported V4 crypt filter method /{cfm}"
+            f"unsupported {version} crypt filter method /{cfm}"
         )
+    return cfm
+
+
+def _build_v4(enc: dict, id0: bytes):
+    """V4 (R4): named crypt filters — /AESV2 (AES-128-CBC) or /V2 (RC4)
+    under /StdCF; key derivation is the R3 algorithm (with the
+    /EncryptMetadata false marker)."""
+    cfm = _stream_cfm(enc, ("AESV2", "V2", "Identity"), "V4")
     length_bits = enc.get("Length", 128)
     if not isinstance(length_bits, int) or length_bits % 8 or not (
         40 <= length_bits <= 128
@@ -519,20 +527,9 @@ def _build_v5(enc: dict, r: int):
     """V5 (R5/R6): AES-256; the file key is unwrapped from /UE with the
     password-derived intermediate key (Algorithm 2.A; R6 passwords hash
     through Algorithm 2.B, legacy R5 through plain SHA-256)."""
-    # resolve the stream crypt filter like V4 does: /StmF /Identity means
-    # streams are NOT encrypted — 'decrypting' plaintext would corrupt a
-    # readable document
-    cf = enc.get("CF")
-    stmf = enc.get("StmF", "Identity")
-    cfm = None
-    if stmf == "Identity":
-        cfm = "Identity"
-    elif isinstance(cf, dict) and isinstance(cf.get(stmf), dict):
-        cfm = cf[stmf].get("CFM")
-    if cfm not in ("AESV3", "Identity"):
-        raise UnsupportedFormatError(
-            f"unsupported V5 crypt filter method /{cfm}"
-        )
+    # /StmF /Identity means streams are NOT encrypted — 'decrypting'
+    # plaintext would corrupt a readable document
+    cfm = _stream_cfm(enc, ("AESV3", "Identity"), "V5")
     u = _entry_bytes(enc, "U")
     ue = _entry_bytes(enc, "UE")
     if len(u) < 48 or len(ue) < 32:

@@ -732,6 +732,7 @@ def _parse_xref_stream_section(
 _REBUILD_OBJ_RE = re.compile(rb"(?:^|[\r\n])[\x00\t\x0c ]*(\d+)[\x00\t\n\x0c\r ]+(\d+)[\x00\t\n\x0c\r ]+obj\b")
 _REBUILD_TRAILER_RE = re.compile(rb"trailer\b")
 _REBUILD_CATALOG_RE = re.compile(rb"/Type[\x00\t\n\x0c\r ]*/Catalog\b")
+_REBUILD_XREF_TYPE_RE = re.compile(rb"/Type[\x00\t\n\x0c\r ]*/XRef\b")
 
 
 def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
@@ -768,6 +769,27 @@ def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
             # update's minimal trailer must not drop the original's
             # /Encrypt or /ID (mirrors _parse_xref's setdefault merge)
             trailer.update(d)
+    if "Root" not in trailer or "Encrypt" not in trailer:
+        # xref-stream files carry the trailer entries (/Root /Encrypt /ID)
+        # in the /Type /XRef stream dict, not behind a 'trailer' keyword —
+        # without this the round-4 repair and decryption features would
+        # not compose for PDF 1.5+ encrypted documents
+        xref_dicts: list[dict] = []
+        for xm in _REBUILD_XREF_TYPE_RE.finditer(buf):
+            hm = None
+            for hm in _REBUILD_OBJ_RE.finditer(buf, 0, xm.start()):
+                pass  # nearest preceding object header
+            if hm is None:
+                continue
+            try:
+                d, _pos = _parse_object(buf, _skip_ws(buf, hm.end()))
+            except CorruptedFileError:
+                continue
+            if isinstance(d, dict) and d.get("Type") == "XRef":
+                xref_dicts.append(d)
+        for d in reversed(xref_dicts):  # newest section first
+            for k, v in d.items():
+                trailer.setdefault(k, v)
     if "Root" not in trailer:
         # xref-stream files have no classic trailer: find the catalog
         cm = None
@@ -1249,7 +1271,13 @@ def _form_xobjects(
     out: dict[str, _FormEntry] = {}
     for name, ref in xdict.items():
         num = ref[0] if isinstance(ref, _Ref) else None
-        xobj = objs.resolve(ref)
+        try:
+            xobj = objs.resolve(ref)
+        except CorruptedFileError:
+            # dangling XObject reference (freed by an update / truncated):
+            # real readers ignore it unless drawn — skipping here keeps
+            # the failure local to a Do that actually needs it
+            continue
         if not isinstance(xobj, _Stream) or xobj.dict.get("Subtype") != "Form":
             continue
         has_own_res = "Resources" in xobj.dict
@@ -1274,15 +1302,24 @@ def _form_xobjects(
 
 def _has_image_xobjects(objs: _Objects, resources) -> bool:
     """True iff the page's /Resources name an /Subtype /Image XObject
-    (scanned-page signal; header dict read only, pixels never decoded)."""
-    res = objs.resolve(resources)
-    if not isinstance(res, dict):
+    (scanned-page signal; header dict read only, pixels never decoded).
+    DIAGNOSTIC-ONLY: dangling references (freed/truncated XObjects) are
+    skipped, never raised — a classification helper must not flip an
+    empty document's taxonomy or trigger the rebuild-retry."""
+    try:
+        res = objs.resolve(resources)
+        if not isinstance(res, dict):
+            return False
+        xdict = objs.resolve(res.get("XObject"))
+    except CorruptedFileError:
         return False
-    xdict = objs.resolve(res.get("XObject"))
     if not isinstance(xdict, dict):
         return False
     for ref in xdict.values():
-        xobj = objs.resolve(ref)
+        try:
+            xobj = objs.resolve(ref)
+        except CorruptedFileError:
+            continue
         if isinstance(xobj, _Stream) and xobj.dict.get("Subtype") == "Image":
             return True
     return False
@@ -1631,12 +1668,10 @@ def _page_header(page_no: int, output_format: str) -> tuple[str, bool]:
     return "", True  # html/json/unknown: bare join for the span layer
 
 
-def _esc_html(s: str) -> str:
-    # the shared pinned escape rule (core/render.py) — one definition for
-    # both the PDF and generic renderers so they cannot drift
-    from .render import esc_html
-
-    return esc_html(s)
+# the shared pinned escape rule (core/render.py) — one definition for
+# both the PDF and generic renderers so they cannot drift; bound once,
+# not re-imported inside the per-cell render loop
+from .render import esc_html as _esc_html  # noqa: E402
 
 
 def _render_html_page(lines, table_spans) -> str:

@@ -291,6 +291,11 @@ def test_fast_scanner_differential_handcases():
         "<body><table><caption>tc</caption><tr><th colspan='2'>h</th></tr>"
         "<tr><td>a</td><td rowspan=\"3\">b</td></tr></table></body>",
         "<body><table><tr><td colspan='x'>bad span</td></tr></table></body>",
+        # unquoted attr value swallowing a trailing '/' (html.parser
+        # semantics): colspan becomes '2/', NOT a self-closed cell
+        "<body><table><tr><td colspan=2/>a</td><td>b</td></tr>"
+        "<tr><td>c</td><td>d</td></tr></table></body>",
+        "<body><p>self close<br/>unquoted <img src=/a.png alt=x></p></body>",
     ]
     for text in cases:
         res = _both_paths(text)

@@ -371,3 +371,33 @@ def test_fourth_review_fixes_round4():
     r = extract_document("u", junk)
     assert r.status == "hard_failure"
     assert r.error_type == "UnsupportedFormatError"
+
+
+def test_epub_percent_encoded_chapter_hrefs():
+    """OPF hrefs are IRIs: percent-encoded names must resolve to the
+    decoded zip member (fifth-review finding)."""
+    import io
+    import zipfile
+
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr(
+            "META-INF/container.xml",
+            '<container><rootfiles><rootfile full-path="OEBPS/content.opf"/>'
+            "</rootfiles></container>",
+        )
+        zf.writestr(
+            "OEBPS/content.opf",
+            '<package><manifest><item id="c1" href="my%20chapter.xhtml" '
+            'media-type="application/xhtml+xml"/></manifest>'
+            '<spine><itemref idref="c1"/></spine></package>',
+        )
+        zf.writestr(
+            "OEBPS/my chapter.xhtml",
+            "<html><body><p>decoded fine</p></body></html>",
+        )
+    r = extract_document("u", buf.getvalue())
+    assert r.status == "success"
+    assert r.pages[0].content == "decoded fine"
