@@ -342,7 +342,10 @@ def test_fast_scanner_differential_fuzz():
             t = rng.choice(tags)
             if r < 0.35:
                 attr = rng.choice(
-                    ["", " href='/x'", ' alt="cap"', " alt", " class=c"]
+                    ["", " href='/x'", ' alt="cap"', " alt", " class=c",
+                     # round-4 semantic attrs + unquoted-value edge soup
+                     " colspan=2", " colspan='2'", " rowspan=3", " colspan=2/",
+                     " colspan=x", " src=/a.png", " colspan", ' rowspan=""']
                 )
                 parts.append(f"<{t}{attr}{'/' if rng.random() < 0.2 else ''}>")
             elif r < 0.6:

@@ -194,3 +194,23 @@ def test_renderers_total_on_arbitrary_bytes(data, fmt):
     assert res.status in ALLOWED
     if res.status == STATUS_HARD_FAILURE:
         assert res.error_type
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(min_size=0, max_size=800), st.binary(min_size=0, max_size=200))
+def test_extract_total_on_zip_with_container_parts(xml_junk, name_junk):
+    """Zip containers whose ROUTING parts (container.xml / content.xml)
+    hold arbitrary bytes must stay inside the taxonomy — the round-4
+    odf/epub routers added new parse surfaces behind the PK magic."""
+    import io
+    import zipfile
+
+    for part in ("META-INF/container.xml", "content.xml"):
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as zf:
+            zf.writestr(part, xml_junk)
+            zf.writestr("extra.bin", name_junk)
+        res = extract_document("https://h.example/x", buf.getvalue())
+        assert res.status in ALLOWED
+        if res.status == STATUS_HARD_FAILURE:
+            assert res.error_type
