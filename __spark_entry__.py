@@ -2482,85 +2482,37 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the verification-coverage policy: the driver
     oracles only the first 50 entries each round, so entries are sorted
-    LEAST-RECENTLY-VERIFIED FIRST (round-4 verdict task 1) —
+    LEAST-RECENTLY-VERIFIED FIRST (round-4 verdict task 1; rotated for
+    round 5 per the round-4 verdict) —
 
-    1. queries with stale or absent CORRECTNESS rows from round 3;
-    2. queries added this round;
-    3. queries whose implementation (or substrate) changed this round;
-    4. tail: queries green in round 3 whose code is untouched this round
-       (they rotate forward next round).
+    1. the 11 queries whose implementation changed in round 4 but were
+       not re-oracled (the EXTRACTED_SCHEMA widening consumers) — front
+       half so nothing can push them out;
+    2. the 17 other queries with no green round-4 row (untouched code,
+       two-round cadence);
+    3. queries whose implementation changes THIS round (scanned figures,
+       AES key cache, xref-repair bisect, coalesce_content guard);
+    4. fillers to 50 from the round-4-green set;
+    5. tail: round-4-green queries on untouched code (rotate next).
 
     tests/test_staleness.py enforces this mechanically: any query without
     a green row in the latest CORRECTNESS artifact must sit inside
     queries()[:50], and nothing may go two consecutive rounds unchecked.
     """
     return {
-        # -- 1. stale/absent round-3 rows (13) --------------------------
-        "sample_stratified": q_sample_stratified,
-        "events_rollup_cascade": q_events_rollup_cascade,
-        "mm_media_metadata": q_mm_media_metadata,
-        "pipeline_training_corpus": q_pipeline_training_corpus,
-        "pipeline_clean_corpus": q_pipeline_clean_corpus,
-        "sketch_ngram_counts": q_sketch_ngram_counts,
-        "dedup_lines": q_dedup_lines,
-        "text_redact_pii": q_text_redact_pii,
-        "filter_blocklist": q_filter_blocklist,
-        "url_canonicalize": q_url_canonicalize,
-        "text_chunking": q_text_chunking,
-        "sample_split": q_sample_split,
-        "decontaminate": q_decontaminate,
-        # -- 2. new in round 4 (6) --------------------------------------
-        "extract_pdf_htmlout": q_extract_pdf_htmlout,
-        "extract_pdf_jsonout": q_extract_pdf_jsonout,
-        "extract_docx_jsonout": q_extract_docx_jsonout,
-        "extract_html_htmlout": q_extract_html_htmlout,
-        "extract_pdf_scanned": q_extract_pdf_scanned,
-        "extract_pdf_encrypted": q_extract_pdf_encrypted,
-        "extract_pdf_aes": q_extract_pdf_aes,
-        "extract_pdf_badxref": q_extract_pdf_badxref,
-        "extract_content_fallback": q_extract_content_fallback,
-        "extract_gzip_content": q_extract_gzip_content,
-        "extract_gif_metadata": q_extract_gif_metadata,
-        "extract_odt_content": q_extract_odt_content,
-        "extract_ods_cells": q_extract_ods_cells,
-        "extract_epub_chapters": q_extract_epub_chapters,
-        "sim_ann_recall": q_sim_ann_recall,
-        # -- 3. changed this round: asset-metadata parity (9) -----------
-        "extract_html_tables": q_extract_html_tables,
-        "extract_html_figures": q_extract_html_figures,
-        "extract_pdf_grid_tables": q_extract_pdf_grid_tables,
-        "extract_docx_tables": q_extract_docx_tables,
-        "extract_xlsx_cells": q_extract_xlsx_cells,
-        "extract_xls_cells": q_extract_xls_cells,
-        "extract_pptx_slides": q_extract_pptx_slides,
-        "extract_element_spans": q_extract_element_spans,
-        "extract_image_metadata": q_extract_image_metadata,
-        # -- 3b. changed extract core (lazy forms, inline /L, schema) ---
-        "extract_html_content": q_extract_html_content,
-        "extract_html_charset": q_extract_html_charset,
-        "extract_pdf_content": q_extract_pdf_content,
-        "extract_pdf_xrefstream": q_extract_pdf_xrefstream,
-        "extract_pdf_incremental": q_extract_pdf_incremental,
-        "extract_pdf_hexstrings": q_extract_pdf_hexstrings,
-        "extract_pdf_tounicode": q_extract_pdf_tounicode,
-        "extract_pdf_encdiff": q_extract_pdf_encdiff,
-        "extract_pdf_ascii85": q_extract_pdf_ascii85,
-        "extract_pdf_formxobject": q_extract_pdf_formxobject,
-        "extract_pdf_markdown": q_extract_pdf_markdown,
-        "extract_pdf_multipage": q_extract_pdf_multipage,
-        "extract_pdf_headers": q_extract_pdf_headers,
-        # -- 4. tail: green r03, minimally touched r04 (rotate next) ----
-        "extract_doc_content": q_extract_doc_content,
-        "extract_doc_assembly": q_extract_doc_assembly,
-        "extract_rtf_content": q_extract_rtf_content,
-        "extract_docx_content": q_extract_docx_content,
+        # -- 1. changed in r4, not re-oracled (11) ----------------------
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
-        "extract_resume_antijoin": q_extract_resume_antijoin,
         "extract_heavy_split": q_extract_heavy_split,
+        "extract_resume_antijoin": q_extract_resume_antijoin,
         "extract_lineage_rollup": q_extract_lineage_rollup,
         "extract_salted_invariance": q_extract_salted_invariance,
         "extract_txt_content": q_extract_txt_content,
+        "extract_docx_content": q_extract_docx_content,
+        "extract_doc_content": q_extract_doc_content,
+        "extract_doc_assembly": q_extract_doc_assembly,
+        "extract_rtf_content": q_extract_rtf_content,
+        # -- 2. no green r4 row, untouched code (17) --------------------
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -2578,6 +2530,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition": q_text_repetition,
         "events_asof_join": q_events_asof_join,
         "events_range_join": q_events_range_join,
+        # -- 3. implementation changes in round 5 -----------------------
+        "extract_pdf_scanned": q_extract_pdf_scanned,
+        "extract_pdf_encrypted": q_extract_pdf_encrypted,
+        "extract_pdf_aes": q_extract_pdf_aes,
+        "extract_pdf_badxref": q_extract_pdf_badxref,
+        "extract_content_fallback": q_extract_content_fallback,
+        # -- 4. fillers to 50 (r4-green) --------------------------------
+        "extract_pdf_content": q_extract_pdf_content,
+        "extract_pdf_multipage": q_extract_pdf_multipage,
+        "extract_pdf_markdown": q_extract_pdf_markdown,
+        "extract_pdf_headers": q_extract_pdf_headers,
+        "extract_pdf_tounicode": q_extract_pdf_tounicode,
+        "extract_pdf_xrefstream": q_extract_pdf_xrefstream,
+        "extract_pdf_incremental": q_extract_pdf_incremental,
+        "extract_pdf_hexstrings": q_extract_pdf_hexstrings,
+        "extract_pdf_encdiff": q_extract_pdf_encdiff,
+        "extract_pdf_ascii85": q_extract_pdf_ascii85,
+        "extract_pdf_formxobject": q_extract_pdf_formxobject,
+        "extract_html_content": q_extract_html_content,
+        "extract_html_charset": q_extract_html_charset,
+        "extract_html_tables": q_extract_html_tables,
+        "extract_html_figures": q_extract_html_figures,
+        "extract_pdf_grid_tables": q_extract_pdf_grid_tables,
+        # -- 5. tail: r4-green, untouched code (rotate next round) ------
+        "extract_element_spans": q_extract_element_spans,
+        "extract_docx_tables": q_extract_docx_tables,
+        "extract_xlsx_cells": q_extract_xlsx_cells,
+        "extract_xls_cells": q_extract_xls_cells,
+        "extract_pptx_slides": q_extract_pptx_slides,
+        "extract_image_metadata": q_extract_image_metadata,
+        "extract_pdf_htmlout": q_extract_pdf_htmlout,
+        "extract_pdf_jsonout": q_extract_pdf_jsonout,
+        "extract_docx_jsonout": q_extract_docx_jsonout,
+        "extract_html_htmlout": q_extract_html_htmlout,
+        "extract_gzip_content": q_extract_gzip_content,
+        "extract_gif_metadata": q_extract_gif_metadata,
+        "extract_odt_content": q_extract_odt_content,
+        "extract_ods_cells": q_extract_ods_cells,
+        "extract_epub_chapters": q_extract_epub_chapters,
+        "sim_ann_recall": q_sim_ann_recall,
+        "sample_stratified": q_sample_stratified,
+        "events_rollup_cascade": q_events_rollup_cascade,
+        "mm_media_metadata": q_mm_media_metadata,
+        "pipeline_training_corpus": q_pipeline_training_corpus,
+        "pipeline_clean_corpus": q_pipeline_clean_corpus,
+        "sketch_ngram_counts": q_sketch_ngram_counts,
+        "dedup_lines": q_dedup_lines,
+        "text_redact_pii": q_text_redact_pii,
+        "filter_blocklist": q_filter_blocklist,
+        "url_canonicalize": q_url_canonicalize,
+        "text_chunking": q_text_chunking,
+        "sample_split": q_sample_split,
+        "decontaminate": q_decontaminate,
     }
 
 
