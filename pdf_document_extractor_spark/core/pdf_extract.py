@@ -55,6 +55,7 @@ PINNED SEMANTICS (byte-identical invariant surface):
 
 from __future__ import annotations
 
+import bisect
 import re
 import zlib
 from dataclasses import dataclass
@@ -735,6 +736,15 @@ _REBUILD_CATALOG_RE = re.compile(rb"/Type[\x00\t\n\x0c\r ]*/Catalog\b")
 _REBUILD_XREF_TYPE_RE = re.compile(rb"/Type[\x00\t\n\x0c\r ]*/XRef\b")
 
 
+def _nearest_preceding_header(
+    headers: list[tuple[int, int, int]], pos: int
+) -> tuple[int, int, int] | None:
+    """Last ``N G obj`` header starting before ``pos`` (headers are the
+    in-order match list collected by _rebuild_xref's first scan)."""
+    i = bisect.bisect_left(headers, (pos, -1, -1))
+    return headers[i - 1] if i else None
+
+
 def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
     """Reader-repair fallback when every xref section is unusable: scan
     for ``N G obj`` headers at line starts (LAST occurrence of an object
@@ -744,8 +754,14 @@ def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
     still fail typed downstream (a rebuilt table only says where objects
     START)."""
     offsets: dict[int, object] = {}
+    # every header match, in file order, for nearest-preceding lookups
+    # below via bisect — re-running finditer(buf, 0, pos) per /Type /XRef
+    # occurrence is O(occurrences x filesize) and a crafted file salted
+    # with '/Type /XRef' markers becomes a wall-clock bomb
+    headers: list[tuple[int, int, int]] = []  # (start, end, obj num)
     for m in _REBUILD_OBJ_RE.finditer(buf):
         num = int(m.group(1))
+        headers.append((m.start(1), m.end(), num))
         if num in offsets:
             # conflicting candidate (header-like bytes inside a stream
             # payload can mimic one): the later candidate only wins if an
@@ -776,13 +792,11 @@ def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
         # not compose for PDF 1.5+ encrypted documents
         xref_dicts: list[dict] = []
         for xm in _REBUILD_XREF_TYPE_RE.finditer(buf):
-            hm = None
-            for hm in _REBUILD_OBJ_RE.finditer(buf, 0, xm.start()):
-                pass  # nearest preceding object header
-            if hm is None:
+            hdr = _nearest_preceding_header(headers, xm.start())
+            if hdr is None:
                 continue
             try:
-                d, _pos = _parse_object(buf, _skip_ws(buf, hm.end()))
+                d, _pos = _parse_object(buf, _skip_ws(buf, hdr[1]))
             except CorruptedFileError:
                 continue
             if isinstance(d, dict) and d.get("Type") == "XRef":
@@ -796,11 +810,9 @@ def _rebuild_xref(buf: bytes) -> tuple[dict[int, object], dict]:
         for cm in _REBUILD_CATALOG_RE.finditer(buf):
             pass  # last occurrence
         if cm is not None:
-            hm = None
-            for hm in _REBUILD_OBJ_RE.finditer(buf, 0, cm.start()):
-                pass  # enclosing (nearest preceding) object header
-            if hm is not None:
-                trailer["Root"] = _Ref((int(hm.group(1)), 0))
+            hdr = _nearest_preceding_header(headers, cm.start())
+            if hdr is not None:
+                trailer["Root"] = _Ref((hdr[2], 0))
     if "Root" not in trailer:
         raise CorruptedFileError("rebuilt xref found no document catalog")
     return offsets, trailer

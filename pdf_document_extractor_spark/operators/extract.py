@@ -327,9 +327,13 @@ def coalesce_content(extracted: "DataFrame", pages: "DataFrame") -> "DataFrame":
     """
     from pyspark.sql import functions as F  # noqa: N812
 
+    # url is the join key; a duplicate url in pages would silently fan
+    # out extracted rows through the left join, so the provided-text
+    # projection is deduplicated (one shuffle on url, the same key the
+    # join shuffles on — AQE coalesces them into one exchange reuse)
     provided = pages.select(
         "url", F.col("text").alias("_provided_text")
-    )
+    ).dropDuplicates(["url"])
     joined = extracted.join(provided, "url", "left")
 
     def nonempty(col):

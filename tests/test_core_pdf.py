@@ -1255,3 +1255,36 @@ def test_scanned_check_tolerates_dangling_xobject_refs():
     r = extract_document("u", _serialize_classic(objects))
     assert r.status == "hard_failure"
     assert r.error_type == "EmptyContentError"
+
+
+def test_rebuild_xref_marker_salting_is_linear():
+    """Round-4 advice (medium): a broken-xref file salted with many
+    '/Type /XRef' markers must not turn _rebuild_xref into an
+    O(occurrences x filesize) wall-clock bomb — the nearest-preceding
+    object-header lookup is a bisect over one precomputed scan."""
+    import time
+
+    from pdf_document_extractor_spark.core.pdf_extract import _rebuild_xref
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf,
+    )
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "salted")])]
+    doc = write_pdf(spec)
+    # headerless comment lines carrying the marker: each used to trigger
+    # a full finditer re-scan from offset 0
+    salt = b"% /Type /XRef\n" * 3000
+    filler = b"".join(
+        b"%d 0 obj\n<< /K %d >>\nendobj\n" % (1000 + i, i)
+        for i in range(2000)
+    )
+    bomb = doc + filler + salt + b"\nstartxref\n999999999\n%%EOF\n"
+    t0 = time.monotonic()
+    offsets, trailer = _rebuild_xref(bomb)
+    elapsed = time.monotonic() - t0
+    assert "Root" in trailer and offsets
+    # quadratic path measured in tens of seconds on this input; the
+    # linear path is well under a second even on a loaded host
+    assert elapsed < 5.0, f"_rebuild_xref took {elapsed:.1f}s on salted input"

@@ -575,3 +575,27 @@ def test_content_fallback_chain_m14(spark):
     assert out["u3"]["content_source"] == "metadata_json"
     meta = json.loads(out["u3"]["content_final"])
     assert meta["url"] == "u3" and meta["error_type"]
+
+
+def test_content_fallback_no_fanout_on_duplicate_urls(spark):
+    """coalesce_content's left join against pages must not fan out
+    extracted rows when the pages table carries duplicate urls (round-4
+    advice: the provided-text projection is deduplicated on url)."""
+    from pdf_document_extractor_spark.operators.extract import (
+        coalesce_content,
+        extract_pages,
+    )
+    from pdf_document_extractor_spark.sources.pages import (
+        PAGES_SCHEMA,
+        synth_html_payload,
+    )
+
+    rows = [
+        ("dup", None, synth_html_payload(1, "body text"), "wet one", "en"),
+        ("dup", None, synth_html_payload(1, "body text"), "wet two", "en"),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    extracted = extract_pages(pages.dropDuplicates(["url"]))
+    assert extracted.count() == 1
+    out = coalesce_content(extracted, pages).collect()
+    assert len(out) == 1, "duplicate pages urls fanned out extracted rows"
