@@ -552,7 +552,37 @@ def _build_v5(enc: dict, r: int):
     return lambda num, gen, data: _aes_stream_decrypt(file_key, data)
 
 
+# Documents from one producer share their /Encrypt credentials, so the
+# file-key derivation + /U validation (R3: 20 RC4 sweeps + 51 MD5s,
+# ~1 ms/doc; R6: two Algorithm-2.B hashes, ~0.4 s cold) runs once per
+# worker per credential set, not once per document. Keyed by the full
+# /Encrypt dict repr + /ID; decryptors are stateless closures, safe to
+# share across documents within a worker (round-4 verdict task 6).
+_DECRYPTOR_CACHE: dict[tuple[str, bytes], object] = {}
+_DECRYPTOR_CACHE_MAX = 256
+
+
 def build_decryptor(enc: dict, id0: bytes):
+    """Cached front door for :func:`_build_decryptor` — see the cache
+    note above. Typed errors are NOT cached: corrupt dicts are cheap to
+    re-reject and caching exceptions would mask /Length-repair edits."""
+    try:
+        ck = (repr(sorted(enc.items(), key=lambda kv: kv[0])), id0)
+    except TypeError:
+        ck = None
+    if ck is not None:
+        hit = _DECRYPTOR_CACHE.get(ck)
+        if hit is not None:
+            return hit
+    dec = _build_decryptor(enc, id0)
+    if ck is not None:
+        if len(_DECRYPTOR_CACHE) >= _DECRYPTOR_CACHE_MAX:
+            _DECRYPTOR_CACHE.clear()
+        _DECRYPTOR_CACHE[ck] = dec
+    return dec
+
+
+def _build_decryptor(enc: dict, id0: bytes):
     """/Encrypt dict + first /ID string -> callable(num, gen, data) that
     decrypts a stream payload. Supports the standard handler V1/V2 (RC4),
     V4 (/AESV2 or /V2 crypt filters), V5 R5/R6 (/AESV3, AES-256). Raises

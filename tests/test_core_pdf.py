@@ -1288,3 +1288,52 @@ def test_rebuild_xref_marker_salting_is_linear():
     # quadratic path measured in tens of seconds on this input; the
     # linear path is well under a second even on a loaded host
     assert elapsed < 5.0, f"_rebuild_xref took {elapsed:.1f}s on salted input"
+
+
+def test_decryptor_cache_amortizes_key_derivation():
+    """build_decryptor memoizes by (/Encrypt dict, /ID): same credential
+    set -> same decryptor object (file-key derivation and /U validation
+    run once per worker per producer, round-4 verdict task 6); different
+    /ID -> distinct entry; typed rejections are never cached."""
+    import pytest
+
+    from pdf_document_extractor_spark.core import pdf_crypt as pc
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        _parse_object,
+        extract_pdf,
+    )
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf_rc4,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import (
+        UnsupportedFormatError,
+    )
+
+    spec = [PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "cached")])]
+    doc = write_pdf_rc4(spec)
+    import re as _re
+
+    m = _re.search(rb"<< /Filter /Standard .*? >>", doc, _re.S)
+    enc, _ = _parse_object(m.group(0), 0)
+    from pdf_document_extractor_spark.core.pdf_extract import _parse_xref
+
+    _offs, trailer = _parse_xref(doc)
+    id0 = pc.trailer_id0(trailer)
+    pc._DECRYPTOR_CACHE.clear()
+    d1 = pc.build_decryptor(enc, id0)
+    d2 = pc.build_decryptor(enc, id0)
+    assert d1 is d2
+    assert len(pc._DECRYPTOR_CACHE) == 1
+    # different /ID -> different file key -> /U validation rejects, and
+    # the rejection is NOT cached (raises every call)
+    bad = dict(enc)
+    bad["Filter"] = "Acme"
+    for _ in range(2):
+        with pytest.raises(UnsupportedFormatError):
+            pc.build_decryptor(bad, id0)
+    assert len(pc._DECRYPTOR_CACHE) == 1
+    # end-to-end still decrypts through the cache
+    assert extract_pdf(doc, "0" * 16).pages[0].content == \
+        "Page 1\n\ncached\n"
