@@ -395,17 +395,30 @@ def q_extract_html_htmlout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_extract_pdf_scanned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Typed scanned-PDF taxonomy (the OCR-shaped capability hole made
-    first-class — reference enable_ocr, docling_models.py:48): image-only
-    pages emit error_type='ScannedPdfNoTextError', never a generic
-    EmptyContentError, so an OCR system can consume the failure manifest."""
-    return _extracted(spark, sf_dir, "pdf_scanned").select(
+    """Scanned-PDF figure-side value (round-4 verdict task 5 — reference
+    OCR-off behavior still yields page images, docling_models.py:48):
+    image-only pages are SUCCESS rows with template-only text content and
+    figures populated from the image XObject headers (width/height/
+    format/payload size; pixels never decoded). The typed
+    ScannedPdfNoTextError remains only for image XObjects with no
+    readable metadata."""
+    ext = _extracted(spark, sf_dir, "pdf_scanned")
+    # F.get, not [0]: ANSI mode throws INVALID_ARRAY_INDEX on the
+    # figure-less text docs; get() yields NULL
+    fig0 = F.get("figures", F.lit(0))
+    return ext.select(
         "doc_id",
         "doc_type",
         "status",
         "error_type",
         "content",
         F.col("page_number").cast("long").alias("page_number"),
+        F.size("figures").cast("long").alias("n_figures"),
+        fig0["figure_id"].alias("figure_id"),
+        fig0["image_format"].alias("image_format"),
+        fig0["image_width"].cast("long").alias("image_width"),
+        fig0["image_height"].cast("long").alias("image_height"),
+        fig0["payload_bytes"].cast("long").alias("payload_bytes"),
     )
 
 
@@ -1665,17 +1678,31 @@ _ORACLES: dict[str, str] = {
                || '</table>' AS content
         FROM esc
     """,
+    # scanned docs (doc_id even): write_pdf_scanned draws one shared
+    # 8x8 DeviceGray Flate image per page -> success, template-only
+    # content, ONE figure whose payload is zlib.compress(bytes(64), 6)
+    # = 12 bytes (pinned writer constants)
     "extract_pdf_scanned": """
         SELECT doc_id, 'pdf' AS doc_type,
-               CASE WHEN doc_id % 2 = 0 THEN 'hard_failure'
-                    ELSE 'success' END AS status,
-               CASE WHEN doc_id % 2 = 0 THEN 'ScannedPdfNoTextError'
-                    ELSE NULL END AS error_type,
-               CASE WHEN doc_id % 2 = 0 THEN ''
+               'success' AS status,
+               CAST(NULL AS VARCHAR) AS error_type,
+               CASE WHEN doc_id % 2 = 0 THEN 'Page 1' || chr(10) || chr(10)
                     ELSE 'Page 1' || chr(10) || chr(10) || text || chr(10)
                     END AS content,
-               CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 1 END AS BIGINT)
-                   AS page_number
+               CAST(1 AS BIGINT) AS page_number,
+               CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS n_figures,
+               CASE WHEN doc_id % 2 = 0 THEN
+                    substr(md5('https://synth.example/pdf_scanned/'
+                               || CAST(doc_id AS VARCHAR)), 1, 16)
+                    || '_figure_0' END AS figure_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'raw' END AS image_format,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT) END
+                   AS image_width,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(8 AS BIGINT) END
+                   AS image_height,
+               CASE WHEN doc_id % 2 = 0 THEN CAST(12 AS BIGINT) END
+                   AS payload_bytes
         FROM documents
     """,
     "extract_pdf_encrypted": f"""

@@ -69,6 +69,7 @@ from .model import (
     BBox,
     Element,
     ExtractionResult,
+    FigureRef,
     PageResult,
     TableRef,
     table_csv,
@@ -1337,6 +1338,88 @@ def _has_image_xobjects(objs: _Objects, resources) -> bool:
     return False
 
 
+# embedded-image compression -> FigureRef.image_format (header-only
+# classification; /DCTDecode payloads ARE JPEG files, /JPXDecode JPEG
+# 2000, /CCITTFaxDecode fax-TIFF data; plain or Flate/LZW streams are
+# raw rasters)
+_IMAGE_FILTER_FORMATS = {
+    "DCTDecode": "jpeg",
+    "JPXDecode": "jp2",
+    "CCITTFaxDecode": "tiff",
+    "JBIG2Decode": "jbig2",
+}
+
+
+def _scanned_figure_pages(
+    objs: _Objects, page_nodes, pages: list[PageResult], url_hash: str
+) -> list[PageResult] | None:
+    """Figure-side value of a scanned document (round-4 verdict task 5):
+    rebuild the text-free ``pages`` with ``figures`` populated from each
+    page's /Subtype /Image XObject HEADERS (width/height/format/payload
+    size — dict reads only, pixels never decoded). Returns None when no
+    image carries parsable /Width//Height metadata, in which case the
+    caller keeps the typed ScannedPdfNoTextError."""
+    out: list[PageResult] = []
+    counter = 0
+    for page, (_n, resources) in zip(pages, page_nodes):
+        figures: list[FigureRef] = []
+        try:
+            res = objs.resolve(resources)
+            xdict = (
+                objs.resolve(res.get("XObject"))
+                if isinstance(res, dict)
+                else None
+            )
+        except CorruptedFileError:
+            xdict = None
+        if isinstance(xdict, dict):
+            for _name, ref in xdict.items():
+                try:
+                    xobj = objs.resolve(ref)
+                except CorruptedFileError:
+                    continue
+                if (
+                    not isinstance(xobj, _Stream)
+                    or xobj.dict.get("Subtype") != "Image"
+                ):
+                    continue
+                w = xobj.dict.get("Width")
+                h = xobj.dict.get("Height")
+                if not isinstance(w, int) or not isinstance(h, int):
+                    continue
+                filt = xobj.dict.get("Filter")
+                filters = filt if isinstance(filt, list) else [filt]
+                fmt = "raw"
+                for f in filters:
+                    if f in _IMAGE_FILTER_FORMATS:
+                        fmt = _IMAGE_FILTER_FORMATS[f]
+                        break
+                figures.append(
+                    FigureRef(
+                        figure_id=f"{url_hash}_figure_{counter}",
+                        page_number=page.page_number,
+                        caption=None,
+                        label="picture",
+                        image_format=fmt,
+                        image_width=w,
+                        image_height=h,
+                        payload_bytes=len(xobj.data),
+                    )
+                )
+                counter += 1
+        out.append(
+            PageResult(
+                page_number=page.page_number,
+                content=page.content,
+                word_count=page.word_count,
+                elements=page.elements,
+                tables=page.tables,
+                figures=figures,
+            )
+        )
+    return out if counter else None
+
+
 def _decode_shown(dec: tuple, raw: bytes) -> str:
     """Show-operand bytes -> text through the current font's decoder."""
     kind = dec[0]
@@ -1919,17 +2002,23 @@ def _extract_pdf_with(
     if not any(p.elements for p in pages):
         # distinguish the scanned-document shape (pages draw image
         # XObjects, no text operators) from genuinely-empty documents:
-        # the reference OCRs these (enable_ocr, docling_models.py:48) —
-        # OCR is out of scope, so emit the typed first-class failure
-        # instead of a generic empty-content row (round-4 verdict task 4).
-        # Detection is resources-based; an inline-image-only page (rare
-        # for scanner output) still falls through to EmptyContentError.
+        # the reference's OCR-off behavior still yields page images
+        # (enable_ocr, docling_models.py:48), so a scanned document is a
+        # SUCCESS row with empty text content and the figure metadata
+        # populated from the image XObject headers (round-4 verdict task
+        # 5) — pixels are never decoded. The typed ScannedPdfNoTextError
+        # survives only when even the image headers carry no usable
+        # metadata; inline-image-only pages (rare for scanner output)
+        # still fall through to EmptyContentError.
         if any(
             _has_image_xobjects(objs, res) for _n, res in page_nodes
         ):
+            figured = _scanned_figure_pages(objs, page_nodes, pages, url_hash)
+            if figured is not None:
+                return ExtractionResult(doc_type=DOC_TYPE_PDF, pages=figured)
             raise ScannedPdfNoTextError(
-                "pages contain only image XObjects (no text operators); "
-                "OCR required"
+                "pages contain only image XObjects with no readable "
+                "metadata (no text operators); OCR required"
             )
         raise EmptyContentError("no text content in document")
     return ExtractionResult(doc_type=DOC_TYPE_PDF, pages=pages)

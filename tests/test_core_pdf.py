@@ -955,10 +955,13 @@ def test_inline_image_length_key_beats_embedded_ei():
     assert [s.text for s in shows] == ["before", "after"]
 
 
-def test_scanned_pdf_is_typed_first_class_failure():
-    """Image-only pages (scanner output) -> ScannedPdfNoTextError, never
-    a generic EmptyContentError; a truly empty text PDF stays
-    EmptyContentError (round-4 verdict task 4)."""
+def test_scanned_pdf_succeeds_with_figures():
+    """Image-only pages (scanner output) are SUCCESS rows with
+    template-only content and figures populated from the image XObject
+    headers (round-4 verdict task 5 — the reference's OCR-off behavior
+    yields page images too); a truly empty text PDF stays
+    EmptyContentError; the typed ScannedPdfNoTextError survives only
+    when even the image metadata is unreadable."""
     import pytest as _pytest
 
     from pdf_document_extractor_spark.core.dispatch import extract_document
@@ -974,12 +977,26 @@ def test_scanned_pdf_is_typed_first_class_failure():
         ScannedPdfNoTextError,
     )
 
-    with _pytest.raises(ScannedPdfNoTextError, match="image XObjects"):
-        extract_pdf(write_pdf_scanned(n_pages=2), "0" * 16)
-    # the dispatch layer commits it as a typed hard-failure row
-    r = extract_document("u", write_pdf_scanned())
-    assert r.status == "hard_failure"
-    assert r.error_type == "ScannedPdfNoTextError"
+    r = extract_pdf(write_pdf_scanned(n_pages=2), "h" * 16)
+    assert r.status == "success"
+    assert [p.content for p in r.pages] == ["Page 1\n\n", "Page 2\n\n"]
+    figs = [f for p in r.pages for f in p.figures]
+    assert [f.figure_id for f in figs] == [
+        "h" * 16 + "_figure_0", "h" * 16 + "_figure_1",
+    ]
+    assert all(
+        (f.image_width, f.image_height, f.image_format) == (8, 8, "raw")
+        and f.label == "picture" and f.payload_bytes > 0
+        for f in figs
+    )
+    # dispatch layer: success row, figures flow into the asset columns
+    r2 = extract_document("u", write_pdf_scanned())
+    assert r2.status == "success"
+    assert r2.pages[0].figures
+    # image XObjects with NO readable /Width//Height -> typed failure
+    broken = write_pdf_scanned().replace(b"/Width 8", b"/Width (x)")
+    with _pytest.raises(ScannedPdfNoTextError, match="no readable"):
+        extract_pdf(broken, "0" * 16)
     # no-image empty doc keeps the historical taxonomy
     with _pytest.raises(EmptyContentError):
         extract_pdf(write_pdf([PdfPageSpec(shows=[])]), "0" * 16)
