@@ -467,6 +467,24 @@ def q_extract_pdf_badxref(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_pdf_foreign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-producer differential (round-4 verdict task 3): documents
+    written by OTHER encoders' dialects — Ghostscript-style Type1 PDF
+    with builtin StandardEncoding (no /Encoding; must extract the exact
+    text), Distiller-style /GBK-EUC-H Type0 PDF (typed degrade — silent
+    latin-1 garbage would be a correctness bug), and an Excel 5.0/95
+    BIFF5 workbook (typed BIFF-version gate). The reference accepts the
+    PDFs via pypdfium2 (docling_strategy_processor.py:622-712)."""
+    return _extracted(spark, sf_dir, "pdf_foreign").select(
+        "doc_id",
+        "doc_type",
+        "status",
+        "error_type",
+        "content",
+        F.col("word_count").cast("long").alias("word_count"),
+    )
+
+
 def q_extract_content_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M14 content fallback chain (reference api_extraction_processor.py:
     316-344): corrupt payloads (doc_id%17==0 in mixed_fail) fall back to
@@ -1719,6 +1737,30 @@ _ORACLES: dict[str, str] = {
                CAST(1 AS BIGINT) AS page_count
         FROM documents
     """,
+    # foreign-producer differential: doc_id%3==0 Ghostscript-dialect
+    # Type1/StandardEncoding PDF (two 10pt lines: tokens[:5], tokens[5:]),
+    # ==1 /GBK-EUC-H Type0 PDF (typed), ==2 BIFF5 workbook (typed)
+    "extract_pdf_foreign": """
+        WITH t AS (
+          SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+          FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 2 THEN 'ole2' ELSE 'pdf' END
+                   AS doc_type,
+               CASE WHEN doc_id % 3 = 0 THEN 'success'
+                    ELSE 'hard_failure' END AS status,
+               CASE WHEN doc_id % 3 = 0 THEN NULL
+                    ELSE 'UnsupportedFormatError' END AS error_type,
+               CASE WHEN doc_id % 3 = 0 THEN
+                    'Page 1' || chr(10) || chr(10)
+                    || array_to_string(toks[1:5], ' ') || chr(10)
+                    || array_to_string(toks[6:], ' ') || chr(10)
+                    ELSE '' END AS content,
+               CAST(CASE WHEN doc_id % 3 = 0 THEN len(toks) + 2
+                    ELSE 0 END AS BIGINT) AS word_count
+        FROM t
+    """,
     "extract_pdf_badxref": f"""
         SELECT doc_id, 'pdf' AS doc_type, 'success' AS status,
                'Page 1' || chr(10) || chr(10) || text || chr(10) AS content,
@@ -2563,6 +2605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_aes": q_extract_pdf_aes,
         "extract_pdf_badxref": q_extract_pdf_badxref,
         "extract_content_fallback": q_extract_content_fallback,
+        "extract_pdf_foreign": q_extract_pdf_foreign,
         # -- 4. fillers to 50 (r4-green) --------------------------------
         "extract_pdf_content": q_extract_pdf_content,
         "extract_pdf_multipage": q_extract_pdf_multipage,

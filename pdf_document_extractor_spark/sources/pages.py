@@ -357,6 +357,26 @@ def synth_pdf_scanned_payload(doc_id: int, text: str) -> bytes:
     return synth_pdf_payload(text)
 
 
+def synth_foreign_payload(doc_id: int, text: str) -> bytes:
+    """Foreign-producer differential mode (round-4 verdict task 3):
+    cycle through documents written by OTHER encoders' dialects —
+    Ghostscript-style Type1/StandardEncoding PDF (must extract exact
+    text), Distiller-style /GBK-EUC-H Type0 PDF (typed degrade), and an
+    Excel 5.0/95 BIFF5 workbook (typed BIFF-version gate)."""
+    from ..fixtures.foreign import (
+        foreign_pdf_gbk,
+        foreign_pdf_ghostscript,
+        foreign_xls_biff5,
+    )
+
+    k = doc_id % 3
+    if k == 0:
+        return foreign_pdf_ghostscript(text)
+    if k == 1:
+        return foreign_pdf_gbk(text)
+    return foreign_xls_biff5(text.split()[:2])
+
+
 def synth_pdf_hdr_payload(text: str) -> bytes:
     """18pt header line (first 3 tokens) above a 10pt body line (the rest):
     the font-size header/body labeling signal (HEADER_SIZE_MIN=14)."""
@@ -514,6 +534,8 @@ def synth_payload(
         return synth_pdf_aes_payload(doc_id, text)
     if mode == "pdf_badxref":
         return synth_pdf_badxref_payload(text)
+    if mode == "pdf_foreign":
+        return synth_foreign_payload(doc_id, text)
     if mode == "image":
         return synth_image_payload(doc_id)
     if mode == "gif":

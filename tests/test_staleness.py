@@ -102,3 +102,124 @@ def test_aging_queries_lead_the_registry():
         f"{rounds[-1][0]} must sit inside queries()[:{WINDOW // 2}]: "
         f"{misplaced}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Churn-aware staleness (round-4 verdict task 2): a query whose
+# implementation files changed since its last green round must rotate
+# into the next verification window — rotation age alone let the round-4
+# EXTRACTED_SCHEMA widening ship with six consumers unverified.
+# ---------------------------------------------------------------------------
+
+import subprocess
+
+
+def _git(*args: str) -> str:
+    return subprocess.run(
+        ["git", *args], cwd=REPO, check=True, capture_output=True, text=True
+    ).stdout
+
+
+def _manifest() -> dict[str, list[str]]:
+    import sys
+
+    sys.path.insert(0, str(REPO / "tools"))
+    from query_manifest import MANIFEST
+
+    return MANIFEST
+
+
+def compute_window_violations(
+    names: list[str],
+    window_size: int,
+    needs_verify: set[str],
+) -> list[str]:
+    """Pure policy check. ``needs_verify`` = queries that are stale
+    (no green row in the latest round) or CHURNED (implementation files
+    changed since their last green round). If they all fit in the
+    window, each must be inside it; if they overflow the window, every
+    window slot must hold one of them (no slot wasted on a verified,
+    unchurned query) — the overflow rotates forward next round."""
+    window = set(names[:window_size])
+    if len(needs_verify) <= window_size:
+        return [q for q in names if q in needs_verify and q not in window]
+    return [q for q in names[:window_size] if q not in needs_verify]
+
+
+def test_compute_window_violations_flags_synthetic_churn():
+    names = ["a", "b", "c", "d"]
+    # 'd' churned but parked outside the 2-slot window -> violation
+    assert compute_window_violations(names, 2, {"d"}) == ["d"]
+    assert compute_window_violations(names, 2, {"a"}) == []
+    # overflow: window slots must all be needs-verify members
+    assert compute_window_violations(names, 2, {"b", "c", "d"}) == ["a"]
+    assert compute_window_violations(["b", "c", "a", "d"], 2,
+                                     {"b", "c", "d"}) == []
+
+
+def test_every_registry_query_has_a_manifest_entry():
+    manifest = _manifest()
+    names = _registry()
+    missing = [q for q in names if q not in manifest]
+    assert not missing, (
+        f"queries missing from tools/query_manifest.py: {missing}"
+    )
+    dead = [q for q in manifest if q not in names]
+    assert not dead, f"manifest entries for unknown queries: {dead}"
+    for q, files in manifest.items():
+        for f in files:
+            assert (REPO / f).exists(), f"{q}: manifest file {f} missing"
+
+
+def test_churned_queries_sit_inside_next_window():
+    rounds = _correctness_rounds()
+    assert rounds
+    manifest = _manifest()
+    names = _registry()
+    # latest green round per query
+    last_green: dict[str, int] = {}
+    for n, data in rounds:
+        for q, row in data.items():
+            if _is_green(row):
+                last_green[q] = n
+    # anchor commit per round = the commit that last touched its artifact
+    anchors: dict[int, str] = {}
+    for n, _data in rounds:
+        out = _git(
+            "log", "-n1", "--format=%H", "--", f"CORRECTNESS_r{n:02d}.json"
+        ).strip()
+        if out:
+            anchors[n] = out
+    changed_cache: dict[str, set[str]] = {}
+
+    def changed_since(commit: str) -> set[str]:
+        if commit not in changed_cache:
+            diff = _git("diff", "--name-only", commit, "--",
+                        "pdf_document_extractor_spark")
+            untracked = _git("ls-files", "--others", "--exclude-standard",
+                             "pdf_document_extractor_spark")
+            changed_cache[commit] = set(
+                (diff + untracked).splitlines()
+            )
+        return changed_cache[commit]
+
+    latest_green = {
+        q for q, row in rounds[-1][1].items() if _is_green(row)
+    }
+    needs_verify: set[str] = set()
+    for q in names:
+        n = last_green.get(q)
+        if n is None or q not in latest_green:
+            needs_verify.add(q)  # never green, or stale in latest round
+            continue
+        commit = anchors.get(n)
+        if commit is None:
+            continue  # artifact not committed yet: nothing to diff against
+        if set(manifest[q]) & changed_since(commit):
+            needs_verify.add(q)
+    violations = compute_window_violations(names, WINDOW, needs_verify)
+    assert not violations, (
+        f"{len(violations)} queries are stale-or-churned but the window "
+        f"placement violates the policy (needs_verify={len(needs_verify)}): "
+        f"{violations}"
+    )

@@ -31,7 +31,7 @@ GATE_TEXTS = [
 GATE_MODES = [
     "html", "html_charset", "html_table", "html_fig", "pdf", "pdf_xs",
     "pdf_inc", "pdf_hex", "pdf_tounicode", "pdf_encdiff", "pdf2",
-    "pdf_hdr", "pdf_table", "pdf_a85", "pdf_form", "pdf_scanned", "pdf_rc4", "pdf_aes", "pdf_badxref", "gzip_html", "gif", "odt", "ods", "epub", "txt",
+    "pdf_hdr", "pdf_table", "pdf_a85", "pdf_form", "pdf_scanned", "pdf_rc4", "pdf_aes", "pdf_badxref", "pdf_foreign", "gzip_html", "gif", "odt", "ods", "epub", "txt",
     "docx", "xlsx", "pptx", "rtf", "doc", "xls", "image", "mixed_fail",
 ]
 
