@@ -1558,6 +1558,13 @@ def _tokenize_content(data: bytes):
                 yield ("op", op)
 
 
+def _opnum(v) -> float | None:
+    """Operand-stack value as float, or None when a corrupted stream put
+    a name/byte-string where a number belongs (the op is then skipped,
+    matching viewer tolerance — never an untyped ValueError)."""
+    return float(v) if isinstance(v, (int, float)) else None
+
+
 def _shows_from_content(
     data: bytes,
     fonts: dict[str, tuple] | None = None,
@@ -1606,13 +1613,21 @@ def _shows_from_content(
         if kind in ("num", "str", "name"):
             (in_array if in_array is not None else stack).append(val)
             continue
-        # operator
+        # operator. Positioning operands go through _opnum: a corrupted
+        # stream can leave a NAME or byte-string on the stack where a
+        # number belongs ('/F1 Tf' with the size byte flipped away) —
+        # float() on those raised an UNTYPED ValueError through the
+        # taxonomy (round-5 mutation-fuzz finding). Viewers skip such
+        # malformed ops; so do we, exactly like the missing-operand
+        # guards one line up.
         op = val
         if op == "BT":
             x = y = 0.0
         elif op == "Tf":
             if stack:
-                size = float(stack[-1])
+                n = _opnum(stack[-1])
+                if n is not None:
+                    size = n
                 if len(stack) >= 2 and isinstance(stack[-2], str):
                     # NO 'fonts and' short-circuit: inside a form that
                     # inherited a non-default decoder, Tf on one of the
@@ -1621,20 +1636,28 @@ def _shows_from_content(
                     dec = fonts.get(stack[-2], _DEFAULT_DEC)
         elif op == "Td":
             if len(stack) >= 2:
-                x += float(stack[-2])
-                y += float(stack[-1])
+                dx, dy = _opnum(stack[-2]), _opnum(stack[-1])
+                if dx is not None and dy is not None:
+                    x += dx
+                    y += dy
         elif op == "TD":
             if len(stack) >= 2:
-                leading = -float(stack[-1])
-                x += float(stack[-2])
-                y += float(stack[-1])
+                dx, dy = _opnum(stack[-2]), _opnum(stack[-1])
+                if dx is not None and dy is not None:
+                    leading = -dy
+                    x += dx
+                    y += dy
         elif op == "Tm":
             if len(stack) >= 6:
-                x = float(stack[-2])
-                y = float(stack[-1])
+                nx, ny = _opnum(stack[-2]), _opnum(stack[-1])
+                if nx is not None and ny is not None:
+                    x = nx
+                    y = ny
         elif op == "TL":
             if stack:
-                leading = float(stack[-1])
+                n = _opnum(stack[-1])
+                if n is not None:
+                    leading = n
         elif op == "T*":
             y -= leading
         elif op in ("Tj", "'", '"'):
