@@ -1398,6 +1398,33 @@ def q_pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return line_dedup_c4(red)
 
 
+def q_mm_figure_render(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11 figure image RENDER (round 5 — was PIL-gated 'partial'):
+    scanned PDFs' image XObjects re-encoded as real PNGs via the
+    pure-stdlib codec (core/png_codec.py); byte-exactness witnessed
+    through md5 + length against the pinned 8x8 DeviceGray/Flate
+    writer constants (reference asset_storage_service.py:643-658)."""
+    from pdf_document_extractor_spark.operators.multimodal import (
+        render_figures,
+    )
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    pages = synthesize_pages_from_documents(spark, sf_dir, "pdf_scanned")
+    figs = render_figures(pages)
+    return figs.withColumn("doc_id", _doc_id()).select(
+        "doc_id",
+        "figure_id",
+        F.col("page_number").cast("long").alias("page_number"),
+        "image_format",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.length("image").cast("long").alias("png_len"),
+        F.md5("image").alias("png_md5"),
+    )
+
+
 def q_mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: typed metadata decode of binary media columns.
 
@@ -1736,6 +1763,24 @@ _ORACLES: dict[str, str] = {
                {_WORDS} + 2 AS word_count,
                CAST(1 AS BIGINT) AS page_count
         FROM documents
+    """,
+    # M11 figure render: scanned docs (even doc_id) carry one 8x8
+    # DeviceGray/Flate image per page; the stdlib PNG re-encode of those
+    # 64 zero bytes is byte-pinned (69 bytes, md5 below — independently
+    # re-assembled in tests/test_multimodal.py, not derived from the
+    # codec under test)
+    "mm_figure_render": """
+        SELECT doc_id,
+               substr(md5('https://synth.example/pdf_scanned/'
+                          || CAST(doc_id AS VARCHAR)), 1, 16)
+                   || '_figure_0' AS figure_id,
+               CAST(1 AS BIGINT) AS page_number,
+               'png' AS image_format,
+               CAST(8 AS BIGINT) AS width,
+               CAST(8 AS BIGINT) AS height,
+               CAST(69 AS BIGINT) AS png_len,
+               '38289fc7244edfa7c22af65f3d6ed8fd' AS png_md5
+        FROM documents WHERE doc_id % 2 = 0
     """,
     # foreign-producer differential: doc_id%3==0 Ghostscript-dialect
     # Type1/StandardEncoding PDF (two 10pt lines: tokens[:5], tokens[5:]),
@@ -2606,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_pdf_badxref": q_extract_pdf_badxref,
         "extract_content_fallback": q_extract_content_fallback,
         "extract_pdf_foreign": q_extract_pdf_foreign,
+        "mm_figure_render": q_mm_figure_render,
         # -- 4. fillers to 50 (r4-green) --------------------------------
         "extract_pdf_content": q_extract_pdf_content,
         "extract_pdf_multipage": q_extract_pdf_multipage,

@@ -1432,6 +1432,108 @@ def _scanned_figure_pages(
     return out if counter else None
 
 
+def render_figure_images(data: bytes, url_hash: str) -> list[dict]:
+    """M11 figure image RENDER, stdlib-only (round 5; reference
+    asset_storage_service.py:643-658 exports figure images via PIL).
+
+    Walks the page tree in order and emits one dict per /Subtype /Image
+    XObject with a rendered payload where the encoding allows it:
+
+    - /DCTDecode payloads ARE complete JPEG files — passed through;
+    - plain or Flate-compressed 8-bpc /DeviceGray//DeviceRGB rasters are
+      re-encoded as real PNGs via core/png_codec (decode budget applies
+      through ``_Stream.decoded``);
+    - anything else (CCITT, JBIG2, JPX, palettes, 1-bpc) yields a
+      metadata-only row (``image=None``) — never silent garbage.
+
+    Shares the parse/repair/decrypt plumbing with :func:`extract_pdf`;
+    raises the same typed failures."""
+    from .png_codec import png_encode
+
+    if not data.startswith(b"%PDF-"):
+        raise UnsupportedFormatError("missing %PDF- magic")
+    try:
+        offsets, trailer = _parse_xref(data)
+    except CorruptedFileError:
+        offsets, trailer = _rebuild_xref(data)
+    objs = _Objects(data, offsets)
+    enc = trailer.get("Encrypt")
+    if enc is not None:
+        from .pdf_crypt import build_decryptor, trailer_id0
+
+        enc_dict = objs.resolve(enc)
+        if not isinstance(enc_dict, dict):
+            raise CorruptedFileError("/Encrypt is not a dictionary")
+        objs.decryptor = build_decryptor(enc_dict, trailer_id0(trailer))
+    out: list[dict] = []
+    counter = 0
+    for page_no, (_node, resources) in enumerate(
+        _page_objects(objs, trailer), start=1
+    ):
+        try:
+            res = objs.resolve(resources)
+            xdict = (
+                objs.resolve(res.get("XObject"))
+                if isinstance(res, dict)
+                else None
+            )
+        except CorruptedFileError:
+            continue
+        if not isinstance(xdict, dict):
+            continue
+        for _name, ref in xdict.items():
+            try:
+                xobj = objs.resolve(ref)
+            except CorruptedFileError:
+                continue
+            if (
+                not isinstance(xobj, _Stream)
+                or xobj.dict.get("Subtype") != "Image"
+            ):
+                continue
+            w = xobj.dict.get("Width")
+            h = xobj.dict.get("Height")
+            if not isinstance(w, int) or not isinstance(h, int):
+                continue
+            filt = xobj.dict.get("Filter")
+            filters = [
+                f for f in (filt if isinstance(filt, list) else [filt])
+                if f is not None
+            ]
+            fmt = "raw"
+            for f in filters:
+                if f in _IMAGE_FILTER_FORMATS:
+                    fmt = _IMAGE_FILTER_FORMATS[f]
+                    break
+            image: bytes | None = None
+            if fmt == "jpeg" and filters == ["DCTDecode"]:
+                image = xobj.data
+            elif fmt == "raw" and set(filters) <= {"FlateDecode"}:
+                cs = objs.resolve(xobj.dict.get("ColorSpace"))
+                bpc = xobj.dict.get("BitsPerComponent")
+                channels = {"DeviceGray": 1, "DeviceRGB": 3}.get(cs)
+                if channels is not None and bpc == 8:
+                    try:
+                        raw = xobj.decoded()
+                    except (CorruptedFileError, OversizeDocumentError):
+                        raw = None
+                    if raw is not None and len(raw) == w * h * channels:
+                        image = png_encode(raw, w, h, channels)
+                        fmt = "png"
+            out.append(
+                {
+                    "figure_id": f"{url_hash}_figure_{counter}",
+                    "page_number": page_no,
+                    "image_format": fmt,
+                    "width": w,
+                    "height": h,
+                    "image": image,
+                }
+            )
+            counter += 1
+    return out
+
+
 def _decode_shown(dec: tuple, raw: bytes) -> str:
     """Show-operand bytes -> text through the current font's decoder."""
     kind = dec[0]

@@ -101,6 +101,57 @@ def media_metadata(df: "DataFrame", id_col: str = "doc_id",
     )
 
 
+FIGURE_IMAGE_SCHEMA = (
+    "url string, figure_id string, page_number int, image_format string, "
+    "width long, height long, image binary"
+)
+
+
+def render_figures(pages: "DataFrame") -> "DataFrame":
+    """M11 figure image render as a Spark operator (reference
+    asset_storage_service.py:643-658 exports figure images per asset).
+
+    One output row per /Subtype /Image XObject of each PDF document, in
+    page order, with the payload RENDERED stdlib-only where the encoding
+    allows (JPEG pass-through, Flate/raw gray/rgb rasters re-encoded as
+    real PNGs — core/pdf_extract.render_figure_images); other encodings
+    emit metadata-only rows (image NULL). Non-PDF documents and
+    documents that fail to parse contribute no rows — this is an asset
+    side-channel; the extraction pipeline's failure taxonomy is the
+    record of WHY a document yielded nothing. Arrow-batched mapInPandas,
+    one pass over the corpus, no shuffle."""
+    from ..core.dispatch import url_hash
+    from ..core.pdf_extract import render_figure_images
+    from ..core.taxonomy import ExtractionError
+
+    def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for batch in batches:
+            rows = []
+            for url, blob in zip(
+                batch["url"].to_numpy(), batch["html"].to_numpy()
+            ):
+                data = bytes(blob or b"")
+                if not data.startswith(b"%PDF-"):
+                    continue
+                try:
+                    figs = render_figure_images(data, url_hash(url))
+                except ExtractionError:
+                    continue
+                for f in figs:
+                    rows.append({"url": url, **f})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "url", "figure_id", "page_number", "image_format",
+                    "width", "height", "image",
+                ],
+            )
+
+    return pages.select("url", "html").mapInPandas(
+        batch_fn, schema=FIGURE_IMAGE_SCHEMA
+    )
+
+
 VID_MAGIC = b"FVID1"
 
 
@@ -257,11 +308,26 @@ def probe_image_size(blob: bytes) -> tuple[int, int]:
     if blob[:5] == IMG_MAGIC and len(blob) >= 10:
         w, h, _c = struct.unpack(">HHB", blob[5:10])
         return w, h
+    # real codecs: the repo's own pure-stdlib header probes (PNG IHDR /
+    # JPEG SOFn / GIF LSD — core/image_extract.py) cover the raster trio
+    # without PIL; only exotic formats fall through to the optional gate
+    from ..core.image_extract import (
+        gif_dimensions,
+        jpeg_dimensions,
+        png_dimensions,
+    )
+
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_dimensions(blob)
+    if blob[:2] == b"\xff\xd8":
+        return jpeg_dimensions(blob)
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return gif_dimensions(blob)
     image_mod = _pil()
     if image_mod is None:
         raise NotImplementedError(
-            "size probe for real codecs requires Pillow (absent in this "
-            "container); the fake-container path above is the tested shape"
+            "size probe beyond PNG/JPEG/GIF requires Pillow (absent in "
+            "this container); the stdlib probes above are the tested shape"
         )
     import io
 
@@ -286,11 +352,18 @@ def decode_image_pixels(blob: bytes):
         if payload.size == 0:
             payload = np.zeros(1, dtype=np.uint8)
         return np.resize(payload, (h, w, c))
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        # real PNG pixel decode, pure stdlib (core/png_codec.py — the
+        # round-5 M11 closure); dims validated inside before inflate
+        from ..core.png_codec import png_decode
+
+        raw, w, h, c = png_decode(blob)
+        return np.frombuffer(raw, dtype=np.uint8).reshape(h, w, c)
     image_mod = _pil()
     if image_mod is None:
         raise NotImplementedError(
-            "real image decode requires Pillow (absent in this container); "
-            "the fake-container path above exercises the full plumbing"
+            "JPEG/exotic pixel decode requires Pillow (absent in this "
+            "container); fake containers and real PNGs decode above"
         )
     import io
 

@@ -176,3 +176,33 @@ def test_seeded_mutations_no_crash_no_silent_wrong():
                 break
     assert not failures, f"{len(failures)}+ of {total} mutations: {failures[:6]}"
     assert total >= 10_000, f"only {total} mutations exercised"
+
+
+def test_png_codec_mutations_fail_typed():
+    """The round-5 stdlib PNG codec gets the same discipline: 2,000
+    seeded mutations of a valid RGB PNG must decode or raise a TYPED
+    error (corrupt/unsupported/oversize) — never ValueError/struct.error
+    /zlib.error escapes, and no output larger than the declared dims."""
+    from pdf_document_extractor_spark.core.png_codec import (
+        png_decode,
+        png_encode,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+        OversizeDocumentError,
+        UnsupportedFormatError,
+    )
+
+    rng = random.Random(23)
+    raw = bytes(rng.randrange(256) for _ in range(24 * 16 * 3))
+    base = png_encode(raw, 24, 16, 3)
+    typed = (CorruptedFileError, UnsupportedFormatError, OversizeDocumentError)
+    for seed in range(2000):
+        mutated = _mutate(base, seed * 104729 + 7)
+        try:
+            out, w, h, c = png_decode(mutated)
+        except typed:
+            continue
+        assert len(out) == w * h * c
+        if mutated == base:
+            assert (out, w, h, c) == (raw, 24, 16, 3)

@@ -154,7 +154,11 @@ def test_pixel_bomb_guard():
         decode_image_pixels(encode_fake_image(9000, 10, 1))
 
 
-def test_real_codec_raises_only_without_pil():
+def test_real_codec_gate_narrowed_to_jpeg_pixels():
+    """Since round 5 real PNGs probe AND pixel-decode stdlib-only
+    (core/png_codec.py); the optional-PIL NotImplementedError gate
+    remains only for JPEG PIXEL decode (probes are stdlib for the whole
+    raster trio)."""
     import pytest
 
     from pdf_document_extractor_spark.operators.multimodal import (
@@ -163,19 +167,57 @@ def test_real_codec_raises_only_without_pil():
         probe_image_size,
     )
 
-    png_1x1 = bytes.fromhex(
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    # foreign-assembled RGBA 1x1 (zlib level 9, two IDAT chunks — a
+    # shape our own encoder never writes)
+    idat = zlib.compress(b"\x00\x10\x20\x30\x40", 9)
+    png_1x1 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", idat[:4])
+        + chunk(b"IDAT", idat[4:])
+        + chunk(b"IEND", b"")
+    )
+    assert probe_image_size(png_1x1) == (1, 1)
+    arr = decode_image_pixels(png_1x1)
+    assert arr.shape == (1, 1, 4)
+    assert arr.tobytes() == b"\x10\x20\x30\x40"
+    # the round-3 hex fixture used here previously turned out to be a
+    # MALFORMED png (IDAT declares 13 bytes, carries 16): the codec must
+    # reject it typed, not decode garbage
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+    )
+
+    bad = bytes.fromhex(
         "89504e470d0a1a0a0000000d49484452000000010000000108060000001f15c489"
         "0000000d49444154789c626001000000ffff03000006000557bfabd40000000049"
         "454e44ae426082"
     )
+    with _pytest.raises(CorruptedFileError):
+        decode_image_pixels(bad)
+    # minimal JPEG with SOF0 13x7: header probe works without PIL...
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + b"\x00\x11" + b"\x08" + (7).to_bytes(2, "big")
+        + (13).to_bytes(2, "big") + b"\x03" + b"\x01\x11\x00" * 3
+        + b"\xff\xd9"
+    )
+    assert probe_image_size(jpeg) == (13, 7)
+    # ...pixel decode is the one remaining PIL-gated path
     if _pil() is None:
         with pytest.raises(NotImplementedError):
-            probe_image_size(png_1x1)
-        with pytest.raises(NotImplementedError):
-            decode_image_pixels(png_1x1)
-    else:  # pragma: no cover - container has no PIL
-        assert probe_image_size(png_1x1) == (1, 1)
-        assert decode_image_pixels(png_1x1).shape == (1, 1, 3)
+            decode_image_pixels(jpeg)
 
 
 # ---------------------------------------------------------------------------
@@ -273,3 +315,127 @@ def test_gif_extracts_metadata_since_round4():
     bomb = b"GIF89a" + struct.pack("<HH", 9000, 9000) + b"\x00\x00\x00\x3b"
     res = extract_document("https://x/img/7", bomb)
     assert res.error_type == "OversizeDocumentError"
+
+
+def test_png_codec_roundtrip_and_typed_degrades():
+    """Pure-stdlib PNG codec (round-5 M11 closure): encode->decode is
+    byte-identity for 8-bit gray/gray+A/RGB/RGBA; palette, 16-bit and
+    interlaced files degrade TYPED; bombs are capped before inflate."""
+    import random
+    import struct
+    import zlib
+
+    import pytest
+
+    from pdf_document_extractor_spark.core.png_codec import (
+        png_decode,
+        png_encode,
+    )
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+        OversizeDocumentError,
+        UnsupportedFormatError,
+    )
+
+    rng = random.Random(11)
+    for w, h, c in [(1, 1, 1), (13, 5, 3), (31, 7, 4), (2, 3, 2)]:
+        raw = bytes(rng.randrange(256) for _ in range(w * h * c))
+        assert png_decode(png_encode(raw, w, h, c)) == (raw, w, h, c)
+    base = png_encode(b"\x00" * 64, 8, 8, 1)
+    # palette color type -> typed unsupported
+    pal = bytearray(base)
+    pal[25] = 3  # IHDR color type byte
+    struct.pack_into(
+        ">I", pal, 29, zlib.crc32(bytes(pal[12:29])) & 0xFFFFFFFF
+    )
+    with pytest.raises(UnsupportedFormatError, match="color type"):
+        png_decode(bytes(pal))
+    # dimension bomb rejected before any inflate
+    bomb = bytearray(base)
+    struct.pack_into(">II", bomb, 16, 60000, 60000)
+    with pytest.raises(OversizeDocumentError):
+        png_decode(bytes(bomb))
+    # truncated IDAT -> typed corrupt
+    with pytest.raises(CorruptedFileError):
+        png_decode(base[:40])
+
+
+def test_scanned_figure_png_is_byte_pinned():
+    """The mm_figure_render oracle pins md5/len of the scanned fixture's
+    PNG. Re-assemble that PNG INDEPENDENTLY (raw chunk construction,
+    no png_codec involvement) and check the pinned constants against
+    it — the oracle is not self-referential."""
+    import hashlib
+    import struct
+    import zlib
+
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        render_figure_images,
+    )
+    from pdf_document_extractor_spark.core.pdf_write import write_pdf_scanned
+
+    def chunk(ctype: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 8, 8, 8, 0, 0, 0, 0)
+    rows = (b"\x00" + b"\x00" * 8) * 8  # filter-0 rows of gray zeros
+    expected = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(rows, 6))
+        + chunk(b"IEND", b"")
+    )
+    assert len(expected) == 69
+    assert hashlib.md5(expected).hexdigest() == (
+        "38289fc7244edfa7c22af65f3d6ed8fd"
+    )
+    figs = render_figure_images(write_pdf_scanned(), "p" * 16)
+    assert figs[0]["image"] == expected
+    assert figs[0]["image_format"] == "png"
+
+
+def test_render_figures_operator(spark):
+    """render_figures: PDF docs emit page-ordered figure rows with
+    rendered payloads; non-PDF and unparseable docs contribute none."""
+    from pdf_document_extractor_spark.core.png_codec import png_decode
+    from pdf_document_extractor_spark.operators.multimodal import (
+        render_figures,
+    )
+    from pdf_document_extractor_spark.core.pdf_write import write_pdf_scanned
+    from pdf_document_extractor_spark.sources.pages import PAGES_SCHEMA
+
+    rows = [
+        ("u1", None, write_pdf_scanned(n_pages=2), "", "en"),
+        ("u2", None, b"<html><p>no figures</p></html>", "", "en"),
+        ("u3", None, b"%PDF-1.4 broken", "", "en"),
+    ]
+    pages = spark.createDataFrame(rows, schema=PAGES_SCHEMA)
+    out = render_figures(pages).collect()
+    assert [r["url"] for r in out] == ["u1", "u1"]
+    assert [r["page_number"] for r in out] == [1, 2]
+    raw, w, h, c = png_decode(bytes(out[0]["image"]))
+    assert (w, h, c) == (8, 8, 1) and raw == b"\x00" * 64
+
+
+def test_probe_and_decode_handle_real_png_without_pil():
+    """probe_image_size routes PNG/JPEG/GIF through the repo's stdlib
+    header probes; decode_image_pixels decodes real PNG pixels — no
+    NotImplementedError for the raster trio probes (round-5)."""
+    import struct
+
+    from pdf_document_extractor_spark.core.png_codec import png_encode
+    from pdf_document_extractor_spark.operators.multimodal import (
+        decode_image_pixels,
+        probe_image_size,
+    )
+
+    png = png_encode(bytes(range(12)) * 2, 4, 2, 3)
+    assert probe_image_size(png) == (4, 2)
+    arr = decode_image_pixels(png)
+    assert arr.shape == (2, 4, 3)
+    assert bytes(arr.tobytes()) == bytes(range(12)) * 2
+    gif = b"GIF89a" + struct.pack("<HH", 5, 9) + b"\x00\x00\x00\x3b"
+    assert probe_image_size(gif) == (5, 9)

@@ -146,6 +146,11 @@ MANIFEST: dict[str, list[str]] = {
     "decontaminate": [f"{PKG}/operators/sampling.py"],
     "sketch_ngram_counts": [f"{PKG}/operators/sketch.py"],
     "mm_media_metadata": [f"{PKG}/operators/multimodal.py"],
+    "mm_figure_render": _x(
+        _PDF,
+        f"{PKG}/core/png_codec.py",
+        f"{PKG}/operators/multimodal.py",
+    ),
     "pipeline_training_corpus": _x(
         _PDF, _HTML,
         f"{PKG}/operators/dedup.py", f"{PKG}/operators/textstats.py",
