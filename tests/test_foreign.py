@@ -134,3 +134,73 @@ def test_foreign_mode_rows_match_gate_expectations(k):
         assert row["error_type"] == "UnsupportedFormatError"
         assert row["doc_type"] == ("pdf" if k == 1 else "ole2")
         assert row["content"] == ""
+
+
+def test_word_exported_html_strips_mso_junk():
+    """Word's 'Save as Web Page' dialect (mso conditional comments,
+    o:p tags, MsoNormal styles, windows-1252 meta) must extract the
+    SAME content as the equivalent plain HTML — differential, so the
+    invariant holds whatever the plain-HTML semantics are."""
+    plain = (
+        b"<html><body><p>alpha bravo charlie delta echo</p>"
+        b"<p>foxtrot golf hotel india juliet</p></body></html>"
+    )
+    word = b"""<html xmlns:o="urn:schemas-microsoft-com:office:office"
+ xmlns:w="urn:schemas-microsoft-com:office:word">
+<head>
+<meta http-equiv=Content-Type content="text/html; charset=windows-1252">
+<!--[if gte mso 9]><xml><w:WordDocument><w:View>Print</w:View>
+</w:WordDocument></xml><![endif]-->
+<style><!-- p.MsoNormal {margin:0in; font-family:"Calibri"} --></style>
+</head>
+<body lang=EN-US style='tab-interval:.5in'>
+<div class=WordSection1>
+<p class=MsoNormal>alpha bravo charlie delta echo<o:p></o:p></p>
+<p class=MsoNormal>foxtrot golf hotel india juliet<o:p></o:p></p>
+</div>
+</body>
+</html>"""
+    r_plain = extract_document("u", plain)
+    r_word = extract_document("u", word)
+    assert r_plain.status == r_word.status == "success"
+    assert r_word.pages[0].content == r_plain.pages[0].content
+    assert "mso" not in r_word.pages[0].content
+    assert "Print" not in r_word.pages[0].content  # the xml island
+
+
+def test_libreoffice_flavored_docx_extracts():
+    """LibreOffice-style package: [Content_Types].xml NOT first in the
+    zip, extra parts, single-quoted XML attrs, w14/rsid attributes,
+    empty rPr, xml:space='preserve'. Must extract the paragraph text."""
+    import io
+    import zipfile
+
+    doc_xml = (
+        "<?xml version='1.0' encoding='UTF-8' standalone='yes'?>\n"
+        "<w:document xmlns:w='http://schemas.openxmlformats.org/"
+        "wordprocessingml/2006/main' xmlns:w14='http://schemas.microsoft"
+        ".com/office/word/2010/wordml'>\n"
+        "<w:body><w:p w14:paraId='00000001' w:rsidR='00AB12CD'><w:pPr>"
+        "<w:pStyle w:val='Standard'/></w:pPr><w:r><w:rPr></w:rPr>"
+        "<w:t xml:space='preserve'>alpha bravo charlie</w:t></w:r></w:p>\n"
+        "<w:p><w:r><w:t>delta echo foxtrot</w:t></w:r></w:p>\n"
+        "<w:sectPr><w:pgSz w:w='11906' w:h='16838'/></w:sectPr>"
+        "</w:body></w:document>"
+    )
+    ct = (
+        "<?xml version='1.0' encoding='UTF-8'?>\n"
+        "<Types xmlns='http://schemas.openxmlformats.org/package/2006/"
+        "content-types'><Default Extension='xml' ContentType="
+        "'application/xml'/><Override PartName='/word/document.xml' "
+        "ContentType='application/vnd.openxmlformats-officedocument."
+        "wordprocessingml.document.main+xml'/></Types>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as z:
+        z.writestr("word/document.xml", doc_xml)
+        z.writestr("meta.xml", "<meta/>")
+        z.writestr("word/settings.xml", "<w:settings/>")
+        z.writestr("[Content_Types].xml", ct)
+    r = extract_document("u", buf.getvalue())
+    assert r.status == "success" and r.doc_type == "docx"
+    assert r.pages[0].content == "alpha bravo charlie\ndelta echo foxtrot"
