@@ -269,6 +269,38 @@ def main() -> None:
         )
     )
 
+    # -- figure render: one Arrow pass, no shuffle ---------------------------
+    from pdf_document_extractor_spark.operators.multimodal import (
+        render_figures,
+    )
+    from pdf_document_extractor_spark.sources.pages import (
+        synthesize_pages_from_documents,
+    )
+
+    figs_plan = capture(
+        render_figures(
+            synthesize_pages_from_documents(
+                spark, "/root/testdata/sf0.001", "pdf_scanned"
+            )
+        )
+    )
+    assert "Exchange" not in figs_plan, (
+        "figure render must be a single narrow mapInPandas pass"
+    )
+    assert "MapInPandas" in figs_plan
+    print(f"{'figure render is one narrow Arrow pass':45s} OK")
+    SECTIONS.append(
+        (
+            "figure render is one narrow Arrow pass",
+            figs_plan,
+            ["MapInPandas", "NO Exchange"],
+            "render_figures (M11) reads (url, html) once and emits "
+            "figure rows via one Arrow-batched mapInPandas — an asset "
+            "side-channel with zero shuffles; at 10^12 docs it scales "
+            "with the scan, adding no exchange to the job.",
+        )
+    )
+
     md = ["# EXPLAIN — physical-plan audit (scale-critical properties)\n"]
     md.append(
         "Regenerate with `python tools/explain_audit.py` (asserts each "
