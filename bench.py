@@ -251,20 +251,26 @@ def main() -> None:
         self_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_SELF.json"
         )
+        if os.environ.get("BENCH_SELF_SKIP"):
+            self_path = os.devnull  # probe runs (bench_scaling) opt out
         # BENCH_SELF_SECTION=<key> embeds this run under a named key of
         # the existing sidecar instead of replacing it — used for the
         # at-scale datapoints (e.g. the 1M-doc "sf1" run, round-4
         # verdict task 7) so one file carries the whole round's evidence
         section = os.environ.get("BENCH_SELF_SECTION")
-        if section:
-            try:
-                with open(self_path, encoding="utf-8") as fh:
-                    full = json.load(fh)
-            except (OSError, ValueError):
+        try:
+            with open(self_path, encoding="utf-8") as fh:
+                full = json.load(fh)
+            if not isinstance(full, dict):
                 full = {}
+        except (OSError, ValueError):
+            full = {}
+        if section:
             full[section] = out
         else:
-            full = out
+            # merge at top level so named sections (sf1_1m_docs, ...)
+            # survive the driver's plain per-round run
+            full.update(out)
         with open(self_path, "w", encoding="utf-8") as fh:
             json.dump(full, fh, indent=1, sort_keys=True)
             fh.write("\n")
