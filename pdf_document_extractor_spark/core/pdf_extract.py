@@ -1049,12 +1049,35 @@ def _utf16be_str(h: bytes) -> str:
     return bytes.fromhex(raw.decode("ascii")).decode("utf-16-be", "replace")
 
 
+# CMap-bytes -> parsed mapping, worker-global: documents from one
+# producer embed byte-identical subset-font CMaps, so the pure-Python
+# parse (the costliest font-layer primitive, ~39% of the tounicode
+# corpus' wall) runs once per worker per distinct CMap. Consumers treat
+# the mapping as read-only. Same discipline as the pdf_crypt decryptor
+# cache (round 5).
+_TOUNICODE_CACHE: dict[bytes, dict[int, str]] = {}
+_TOUNICODE_CACHE_MAX = 256
+
+
 def _parse_tounicode(stm) -> dict[int, str]:
     """Parse a /ToUnicode CMap stream (bfchar + bfrange sections) into a
-    code -> text mapping (PDF 32000 9.10.3)."""
+    code -> text mapping (PDF 32000 9.10.3). Cached per distinct CMap
+    byte string (see cache note above)."""
     if not isinstance(stm, _Stream):
         raise CorruptedFileError("/ToUnicode is not a stream")
     data = stm.decoded()
+    hit = _TOUNICODE_CACHE.get(data)
+    if hit is not None:
+        return hit
+    mapping = _parse_tounicode_bytes(data)
+    if len(data) <= 1 << 20:  # don't let crafted MB-scale CMaps pin RAM
+        if len(_TOUNICODE_CACHE) >= _TOUNICODE_CACHE_MAX:
+            _TOUNICODE_CACHE.clear()
+        _TOUNICODE_CACHE[data] = mapping
+    return mapping
+
+
+def _parse_tounicode_bytes(data: bytes) -> dict[int, str]:
     mapping: dict[int, str] = {}
     for sec in _BFCHAR_RE.finditer(data):
         for m in _BFCHAR_PAIR_RE.finditer(sec.group(1)):

@@ -3,8 +3,8 @@ verdict task 4).
 
 Round-4 fuzz covered attr-soup differentials and the dispatch routers;
 this module mutates VALID container fixtures (PDF classic / PDF
-xref-stream / RC4-encrypted PDF / OLE2 doc / OLE2 xls / zip docx / zip
-epub) at the byte level — flips, deletes, inserts, splices, truncations,
+xref-stream / RC4-encrypted PDF / CID-ToUnicode PDF / OLE2 doc /
+OLE2 xls / zip docx / zip epub) at the byte level — flips, deletes, inserts, splices, truncations,
 chunk swaps — with a deterministic seeded generator.
 
 Invariants per mutation (no-crash / no-silent-wrong):
@@ -22,7 +22,7 @@ Invariants per mutation (no-crash / no-silent-wrong):
 4. COHERENT success rows: content is a str, word_count matches the
    pinned str.split() semantics, status/error fields are consistent.
 
-10,752 mutations total (7 fixtures x 1536 seeds), each checked twice
+12,288 mutations total (8 fixtures x 1536 seeds), each checked twice
 (determinism), in a few seconds of pure-Python wall time.
 """
 
@@ -64,6 +64,7 @@ def _fixtures() -> dict[str, bytes]:
         TextShow,
         write_pdf,
         write_pdf_15,
+        write_pdf_cid,
         write_pdf_rc4,
     )
     from pdf_document_extractor_spark.sources.pages import synth_payload
@@ -80,6 +81,11 @@ def _fixtures() -> dict[str, bytes]:
         "pdf_classic": write_pdf(spec),
         "pdf_xrefstream": write_pdf_15(spec),
         "pdf_rc4": write_pdf_rc4(spec),
+        # CID/ToUnicode CMap parser + its round-5 worker-global cache:
+        # near-identical mutated CMaps stress the cache's byte-exact
+        # keying (a sloppy key would surface as the no-op divergence or
+        # nondeterminism failures below)
+        "pdf_cid": write_pdf_cid(spec),
         "ole_doc": write_doc(["first paragraph", "second paragraph"]),
         "ole_xls": write_xls([("Sheet1", [["k", "v"], ["lang", "en"]])]),
         "zip_docx": write_docx(["alpha paragraph", "beta paragraph"]),
