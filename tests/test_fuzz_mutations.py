@@ -22,7 +22,7 @@ Invariants per mutation (no-crash / no-silent-wrong):
 4. COHERENT success rows: content is a str, word_count matches the
    pinned str.split() semantics, status/error fields are consistent.
 
-12,288 mutations total (8 fixtures x 1536 seeds), each checked twice
+13,824 mutations total (9 fixtures x 1536 seeds), each checked twice
 (determinism), in a few seconds of pure-Python wall time.
 """
 
@@ -67,6 +67,9 @@ def _fixtures() -> dict[str, bytes]:
         write_pdf_cid,
         write_pdf_rc4,
     )
+    from pdf_document_extractor_spark.fixtures.foreign import (
+        foreign_pdf_ghostscript,
+    )
     from pdf_document_extractor_spark.sources.pages import synth_payload
 
     spec = [
@@ -86,6 +89,12 @@ def _fixtures() -> dict[str, bytes]:
         # keying (a sloppy key would surface as the no-op divergence or
         # nondeterminism failures below)
         "pdf_cid": write_pdf_cid(spec),
+        # the round-5 foreign Ghostscript dialect: content-first object
+        # order, octal literals, CRLF xref rows — a different byte
+        # surface than our own writer
+        "pdf_foreign_gs": foreign_pdf_ghostscript(
+            "alpha bravo charlie delta echo foxtrot golf hotel india x"
+        ),
         "ole_doc": write_doc(["first paragraph", "second paragraph"]),
         "ole_xls": write_xls([("Sheet1", [["k", "v"], ["lang", "en"]])]),
         "zip_docx": write_docx(["alpha paragraph", "beta paragraph"]),
