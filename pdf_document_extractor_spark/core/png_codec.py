@@ -120,7 +120,10 @@ def png_decode(blob: bytes) -> tuple[bytes, int, int, int]:
     d = zlib.decompressobj()
     try:
         raw = d.decompress(idat, expect)
-        if not d.eof and d.decompress(b"", 1):
+        # unconsumed_tail is the INPUT not yet processed once max_length
+        # was reached; it must be fed back explicitly — decompress(b"")
+        # would NOT process it, leaving an oversized IDAT undetected
+        if d.unconsumed_tail and d.decompress(d.unconsumed_tail, 1):
             raise CorruptedFileError("png IDAT larger than declared dims")
     except zlib.error as exc:
         raise CorruptedFileError(f"png IDAT inflate failed: {exc}") from exc

@@ -358,6 +358,23 @@ def test_png_codec_roundtrip_and_typed_degrades():
     # truncated IDAT -> typed corrupt
     with pytest.raises(CorruptedFileError):
         png_decode(base[:40])
+    # OVERSIZED IDAT (more rows than IHDR declares) -> typed corrupt,
+    # not a silent truncation (found in round-5 self-review: the first
+    # implementation never fed unconsumed_tail back to the inflater)
+    def chunk(ctype, payload):
+        return (
+            struct.pack(">I", len(payload)) + ctype + payload
+            + struct.pack(">I", zlib.crc32(ctype + payload) & 0xFFFFFFFF)
+        )
+
+    over = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress((b"\x00" + b"\x07") * 3, 6))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(CorruptedFileError, match="larger than declared"):
+        png_decode(over)
 
 
 def test_scanned_figure_png_is_byte_pinned():
