@@ -456,3 +456,57 @@ def test_probe_and_decode_handle_real_png_without_pil():
     assert bytes(arr.tobytes()) == bytes(range(12)) * 2
     gif = b"GIF89a" + struct.pack("<HH", 5, 9) + b"\x00\x00\x00\x3b"
     assert probe_image_size(gif) == (5, 9)
+
+
+def test_figure_render_jpeg_passthrough_and_exotic_metadata_only():
+    """A /DCTDecode image XObject's payload IS a JPEG file — it must
+    pass through byte-identical with image_format='jpeg'; an exotic
+    encoding (CCITTFaxDecode) yields a metadata-only row (image NULL),
+    never a garbage render. Also covers the scanned-success figure
+    metadata for non-Flate images."""
+    from pdf_document_extractor_spark.core.pdf_extract import (
+        extract_pdf,
+        render_figure_images,
+    )
+    from pdf_document_extractor_spark.core.pdf_write import _serialize_classic
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xc0" + b"\x00\x11" + b"\x08" + (7).to_bytes(2, "big")
+        + (13).to_bytes(2, "big") + b"\x03" + b"\x01\x11\x00" * 3
+        + b"\xff\xd9"
+    )
+    img_dct = (
+        b"<< /Type /XObject /Subtype /Image /Width 13 /Height 7 "
+        b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode "
+        b"/Length %d >>\nstream\n" % len(jpeg) + jpeg + b"\nendstream"
+    )
+    fax = b"\x00\x01\x02\x03"
+    img_fax = (
+        b"<< /Type /XObject /Subtype /Image /Width 4 /Height 2 "
+        b"/BitsPerComponent 1 /Filter /CCITTFaxDecode "
+        b"/Length %d >>\nstream\n" % len(fax) + fax + b"\nendstream"
+    )
+    content = b"q /ImA Do Q q /ImB Do Q"
+    objects = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Contents 4 0 R /Resources << /XObject "
+        b"<< /ImA 5 0 R /ImB 6 0 R >> >> >>",
+        b"<< /Length %d >>\nstream\n" % len(content)
+        + content + b"\nendstream",
+        img_dct,
+        img_fax,
+    ]
+    doc = _serialize_classic(objects)
+    figs = render_figure_images(doc, "j" * 16)
+    by_fmt = {f["image_format"]: f for f in figs}
+    assert by_fmt["jpeg"]["image"] == jpeg  # byte-identical passthrough
+    assert (by_fmt["jpeg"]["width"], by_fmt["jpeg"]["height"]) == (13, 7)
+    assert by_fmt["tiff"]["image"] is None  # metadata-only, no garbage
+    # the scanned-success path reports the same metadata (no pixels read)
+    r = extract_pdf(doc, "j" * 16)
+    assert r.status == "success"
+    fmts = sorted(f.image_format for f in r.pages[0].figures)
+    assert fmts == ["jpeg", "tiff"]
