@@ -149,6 +149,52 @@ def foreign_pdf_gbk(text: str) -> bytes:
     )
 
 
+def foreign_pdf_xrefstream_w021(text: str) -> bytes:
+    """PDF 1.5 layout in a foreign dialect: the cross-reference STREAM
+    uses ``/W [0 2 1]`` (type field width 0 — every entry defaults to
+    type 1, a shape pdflatex-family writers emit), a multi-subsection
+    ``/Index [1 4 6 1]``, and NO predictor/compression on the stream
+    data. Our own 1.5 writer emits /W [1 4 2] with Flate+predictor, so
+    this exercises the decoder's width/default handling differentially.
+    Same two-line page text as :func:`foreign_pdf_ghostscript`."""
+    toks = text.split()
+    line1, line2 = " ".join(toks[:5]), " ".join(toks[5:])
+    content = (
+        b"BT\n/F1 10 Tf\n72 720 Td\n12 TL\n"
+        + _octal_literal(line1) + b" Tj\n"
+        + _octal_literal(line2) + b" '\nET\n"
+    )
+    bodies = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+           b"/Contents 4 0 R /Resources << /Font << /F1 6 0 R >> >> >>",
+        4: b"<< /Length %d >>\nstream\n" % len(content)
+           + content + b"endstream",
+        6: b"<< /Type /Font /Subtype /Type1 /Name /F1 "
+           b"/BaseFont /Helvetica >>",
+    }
+    buf = bytearray(b"%PDF-1.5\n%\xd0\xd4\xc5\xd8\n")
+    offsets: dict[int, int] = {}
+    for num in (1, 2, 3, 4, 6):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + bodies[num] + b"\nendobj\n"
+    # xref stream = object 5; entries for objects 1-4 then 6 (Index
+    # [1 4 6 1]); object 5's own offset appears nowhere (readers locate
+    # it via startxref) — 2-byte offsets, 1-byte objstm index, no type
+    xref_at = len(buf)
+    entries = b"".join(
+        struct.pack(">HB", offsets[n], 0) for n in (1, 2, 3, 4, 6)
+    )
+    sdict = (
+        b"<< /Type /XRef /W [0 2 1] /Index [1 4 6 1] /Size 7 "
+        b"/Root 1 0 R /Length %d >>" % len(entries)
+    )
+    buf += b"5 0 obj\n" + sdict + b"\nstream\n" + entries + b"\nendstream\nendobj\n"
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(buf)
+
+
 # --------------------------------------------------------------------------
 # BIFF5 (Excel 5.0/95) workbook
 # --------------------------------------------------------------------------

@@ -204,3 +204,20 @@ def test_libreoffice_flavored_docx_extracts():
     r = extract_document("u", buf.getvalue())
     assert r.status == "success" and r.doc_type == "docx"
     assert r.pages[0].content == "alpha bravo charlie\ndelta echo foxtrot"
+
+
+def test_foreign_xrefstream_w021_multi_index():
+    """PDF 1.5 xref stream with /W [0 2 1] (defaulted type field),
+    multi-subsection /Index and uncompressed entries — a pdflatex-family
+    shape our own 1.5 writer (W [1 4 2], Flate+predictor) never emits.
+    Must extract the same two lines as the Ghostscript fixture."""
+    from pdf_document_extractor_spark.fixtures.foreign import (
+        foreign_pdf_xrefstream_w021,
+    )
+
+    r = extract_document("u", foreign_pdf_xrefstream_w021(TEXT))
+    assert r.status == "success" and r.doc_type == "pdf"
+    assert r.pages[0].content == (
+        "Page 1\n\nalpha bravo charlie delta echo\n"
+        "foxtrot golf hotel india juliet\n"
+    )
