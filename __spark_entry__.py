@@ -2612,8 +2612,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tests/test_staleness.py enforces this mechanically: any query without
     a green row in the latest CORRECTNESS artifact must sit inside
     queries()[:50], and nothing may go two consecutive rounds unchecked.
+
+    The hand order below is then passed through
+    :func:`_rotate_least_verified_first`, which re-sorts it against the
+    COMMITTED CORRECTNESS artifacts at call time. The round-4 verdict's
+    one red test happened because the artifact lands AFTER the round's
+    final commit, so a frozen order was always one round behind; the
+    stable re-sort (never-verified first, then stale-in-latest, then
+    verified — hand order preserved within each class) keeps the window
+    invariants true by construction the moment a new artifact appears.
     """
-    return {
+    return _rotate_least_verified_first({
         # -- 1. changed in r4, not re-oracled (11) ----------------------
         "extract_dispatch_mixed": q_extract_dispatch_mixed,
         "extract_failure_taxonomy": q_extract_failure_taxonomy,
@@ -2699,7 +2708,64 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "sample_split": q_sample_split,
         "decontaminate": q_decontaminate,
-    }
+    })
+
+
+def _rotate_least_verified_first(
+    base: dict[str, Callable[[SparkSession, str], DataFrame]],
+) -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Stable re-sort of the hand-ordered registry against the committed
+    CORRECTNESS artifacts: rank 0 = never green in the last two rounds
+    (new or aging queries), rank 1 = green before but not in the latest
+    round, rank 2 = green in the latest round. Hand order is preserved
+    within each rank (it encodes churn priorities), so the driver's
+    50-query window always starts with exactly the queries that most
+    need re-oracling — even for an artifact committed after this file's
+    last edit. Any read/parse problem falls back to the hand order: the
+    rotation must never break the driver contract."""
+    try:
+        import json
+        import pathlib
+        import re
+
+        here = pathlib.Path(__file__).resolve().parent
+        rounds = []
+        for p in here.glob("CORRECTNESS_r*.json"):
+            m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+            if not m:
+                continue
+            data = json.loads(p.read_text())
+            if isinstance(data, dict) and data:
+                rounds.append((int(m.group(1)), data))
+        if not rounds:
+            return base
+        rounds.sort()
+
+        def green(row) -> bool:
+            return isinstance(row, dict) and (
+                row.get("hash_match") is True
+                or (
+                    row.get("err") == "no_oracle"
+                    and (row.get("spark_rows") or 0) > 0
+                )
+            )
+
+        latest = {q for q, r in rounds[-1][1].items() if green(r)}
+        prev = (
+            {q for q, r in rounds[-2][1].items() if green(r)}
+            if len(rounds) > 1
+            else set()
+        )
+
+        def rank(q: str) -> int:
+            if q in latest:
+                return 2
+            return 1 if q in prev else 0
+
+        names = sorted(base, key=rank)  # stable within ranks
+        return {q: base[q] for q in names}
+    except Exception:  # noqa: BLE001 — driver contract over rotation
+        return base
 
 
 def oracle_sql() -> dict[str, str]:
