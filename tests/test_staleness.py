@@ -223,3 +223,49 @@ def test_churned_queries_sit_inside_next_window():
         f"placement violates the policy (needs_verify={len(needs_verify)}): "
         f"{violations}"
     )
+
+
+def test_registry_self_rotates_when_new_artifact_lands(tmp_path):
+    """__spark_entry__.queries() re-sorts itself against the committed
+    CORRECTNESS artifacts, so the window invariants hold the MOMENT a
+    new artifact lands (round-4 verdict finding 1: a frozen order was
+    structurally one round behind). Simulated here: write a synthetic
+    next-round artifact marking the current window green, reload, and
+    require (a) previously-tail queries rotate into the front, (b) every
+    staleness invariant in this module still passes."""
+    import importlib
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    importlib.reload(entry)
+    before = list(entry.queries())
+    rounds = _correctness_rounds()
+    next_n = rounds[-1][0] + 1 if rounds else 99
+    synth = REPO / f"CORRECTNESS_r{next_n:02d}.json"
+    assert not synth.exists(), "refusing to clobber a real artifact"
+    try:
+        synth.write_text(
+            json.dumps(
+                {q: {"hash_match": True, "spark_rows": 1} for q in before[:50]}
+            )
+        )
+        importlib.reload(entry)
+        after = list(entry.queries())
+        assert set(after) == set(before)
+        green = set(before[:50])
+        # every non-green query must now occupy the front of the order
+        n_stale = len(after) - len(green)
+        assert all(q not in green for q in after[:n_stale]), (
+            "stale queries did not rotate to the front"
+        )
+        # and the module's own window invariants hold against the new
+        # artifact without any registry edit
+        latest = json.loads(synth.read_text())
+        g = {q for q, row in latest.items() if _is_green(row)}
+        out = [q for q in after if q not in g and q not in set(after[:WINDOW])]
+        assert not out
+    finally:
+        synth.unlink(missing_ok=True)
+        importlib.reload(entry)
