@@ -39,9 +39,12 @@ from pdf_document_extractor_spark.core.model import (
 from pdf_document_extractor_spark.operators.extract import extract_rows_py
 
 ALLOWED = {STATUS_SUCCESS, STATUS_HARD_FAILURE}
-# the closed failure taxonomy: any other error_type is an exception
-# CLASS leaking through classify_error (this check caught a live
-# ValueError from float('F1') on corrupted content-stream operands)
+# the closed failure taxonomy MINUS InternalError: classify_error maps
+# unknown exception classes to InternalError (closed-set discipline for
+# the at-scale failure manifest), so an InternalError row in this fuzz
+# IS an unclassified-exception escape and fails the test (this check
+# caught a live ValueError from float('F1') on corrupted content-stream
+# operands the day it landed)
 TYPED = {
     "CorruptedFileError",
     "UnsupportedFormatError",

@@ -26,10 +26,13 @@ def test_soft_markers(msg):
 
 
 def test_hard_default():
+    """Unknown exception classes map to the CLOSED-set catch-all
+    InternalError (the failure manifest keys on the closed error_type
+    set at scale); the class name survives in the message."""
     status, etype, msg = classify_error(ValueError("bad value"))
     assert status == "hard_failure"
-    assert etype == "ValueError"
-    assert msg == "bad value"
+    assert etype == "InternalError"
+    assert msg == "ValueError: bad value"
 
 
 def test_typed_extraction_errors_keep_error_type():
