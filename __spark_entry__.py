@@ -1782,27 +1782,28 @@ _ORACLES: dict[str, str] = {
                '38289fc7244edfa7c22af65f3d6ed8fd' AS png_md5
         FROM documents WHERE doc_id % 2 = 0
     """,
-    # foreign-producer differential: doc_id%3==0 Ghostscript-dialect
+    # foreign-producer differential: doc_id%4==0 Ghostscript-dialect
     # Type1/StandardEncoding PDF (two 10pt lines: tokens[:5], tokens[5:]),
-    # ==1 /GBK-EUC-H Type0 PDF (typed), ==2 BIFF5 workbook (typed)
+    # ==1 /GBK-EUC-H Type0 PDF (typed), ==2 BIFF5 workbook (typed),
+    # ==3 pdflatex-style /W [0 2 1] xref-stream PDF (same two lines)
     "extract_pdf_foreign": """
         WITH t AS (
           SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
           FROM documents
         )
         SELECT doc_id,
-               CASE WHEN doc_id % 3 = 2 THEN 'ole2' ELSE 'pdf' END
+               CASE WHEN doc_id % 4 = 2 THEN 'ole2' ELSE 'pdf' END
                    AS doc_type,
-               CASE WHEN doc_id % 3 = 0 THEN 'success'
+               CASE WHEN doc_id % 4 IN (0, 3) THEN 'success'
                     ELSE 'hard_failure' END AS status,
-               CASE WHEN doc_id % 3 = 0 THEN NULL
+               CASE WHEN doc_id % 4 IN (0, 3) THEN NULL
                     ELSE 'UnsupportedFormatError' END AS error_type,
-               CASE WHEN doc_id % 3 = 0 THEN
+               CASE WHEN doc_id % 4 IN (0, 3) THEN
                     'Page 1' || chr(10) || chr(10)
                     || array_to_string(toks[1:5], ' ') || chr(10)
                     || array_to_string(toks[6:], ' ') || chr(10)
                     ELSE '' END AS content,
-               CAST(CASE WHEN doc_id % 3 = 0 THEN len(toks) + 2
+               CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN len(toks) + 2
                     ELSE 0 END AS BIGINT) AS word_count
         FROM t
     """,

@@ -361,20 +361,25 @@ def synth_foreign_payload(doc_id: int, text: str) -> bytes:
     """Foreign-producer differential mode (round-4 verdict task 3):
     cycle through documents written by OTHER encoders' dialects —
     Ghostscript-style Type1/StandardEncoding PDF (must extract exact
-    text), Distiller-style /GBK-EUC-H Type0 PDF (typed degrade), and an
-    Excel 5.0/95 BIFF5 workbook (typed BIFF-version gate)."""
+    text), Distiller-style /GBK-EUC-H Type0 PDF (typed degrade), an
+    Excel 5.0/95 BIFF5 workbook (typed BIFF-version gate), and a
+    pdflatex-style /W [0 2 1] xref-stream PDF (must extract exact
+    text)."""
     from ..fixtures.foreign import (
         foreign_pdf_gbk,
         foreign_pdf_ghostscript,
+        foreign_pdf_xrefstream_w021,
         foreign_xls_biff5,
     )
 
-    k = doc_id % 3
+    k = doc_id % 4
     if k == 0:
         return foreign_pdf_ghostscript(text)
     if k == 1:
         return foreign_pdf_gbk(text)
-    return foreign_xls_biff5(text.split()[:2])
+    if k == 2:
+        return foreign_xls_biff5(text.split()[:2])
+    return foreign_pdf_xrefstream_w021(text)
 
 
 def synth_pdf_hdr_payload(text: str) -> bytes:

@@ -112,20 +112,22 @@ def test_biff2_bof_rid_is_typed_too():
     assert r.error_type == "UnsupportedFormatError"
 
 
-@pytest.mark.parametrize("k", [0, 1, 2])
+@pytest.mark.parametrize("k", [0, 1, 2, 3])
 def test_foreign_mode_rows_match_gate_expectations(k):
     """The pdf_foreign synthesis mode emits exactly the rows the
     extract_pdf_foreign oracle predicts (per-file unit version of the
-    gate query)."""
+    gate query): k=0 Ghostscript dialect and k=3 W[0 2 1] xref-stream
+    dialect both extract exact text; k=1 GBK CMap and k=2 BIFF5 degrade
+    typed."""
     from pdf_document_extractor_spark.operators.extract import extract_rows_py
     from pdf_document_extractor_spark.sources.pages import synth_payload
 
-    doc_id = 30 + k
+    doc_id = 40 + k
     url = f"https://synth.example/pdf_foreign/{doc_id}"
     rows = extract_rows_py(url, synth_payload(doc_id, TEXT, "pdf_foreign"))
     assert len(rows) == 1
     row = rows[0]
-    if k == 0:
+    if k in (0, 3):
         assert row["status"] == "success" and row["doc_type"] == "pdf"
         assert row["content"].startswith("Page 1\n\nalpha bravo")
         assert row["word_count"] == 12
