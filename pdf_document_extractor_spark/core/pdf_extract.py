@@ -898,6 +898,10 @@ def _page_objects(objs: _Objects, trailer: dict) -> list[tuple[dict, object]]:
             out.append((node, res))
             return
         kids = objs.resolve(node.get("Kids")) or []
+        if not isinstance(kids, list):
+            # a corrupted /Kids resolving to a stream/number/name must
+            # fail typed, not leak TypeError (round-5 deep-fuzz finding)
+            raise CorruptedFileError("/Kids is not an array")
         for kid in kids:
             kid_node = objs.resolve(kid)
             if isinstance(kid_node, dict):
@@ -2035,8 +2039,16 @@ def _extract_pdf_with(
     for page_no, (node, resources) in enumerate(page_nodes, start=1):
         fonts = _fonts_for_page(objs, resources, font_cache)
         xobjs = _form_xobjects(objs, resources, font_cache, form_state)
-        media = objs.resolve(node.get("MediaBox")) or [0, 0, 612, PAGE_HEIGHT_DEFAULT]
-        page_height = float(objs.resolve(media[3])) if len(media) >= 4 else PAGE_HEIGHT_DEFAULT
+        # /MediaBox only feeds bbox y-flips: a corrupted box (non-array,
+        # short, or non-numeric height — round-5 deep-fuzz finding
+        # 'len(int)') degrades to the US-Letter default like viewers do,
+        # never an untyped TypeError through the taxonomy
+        media = objs.resolve(node.get("MediaBox"))
+        page_height = PAGE_HEIGHT_DEFAULT
+        if isinstance(media, list) and len(media) >= 4:
+            mh = objs.resolve(media[3])
+            if isinstance(mh, (int, float)):
+                page_height = float(mh)
         contents = objs.resolve(node.get("Contents"))
         streams = contents if isinstance(contents, list) else [contents]
         blob = bytearray()

@@ -1362,3 +1362,31 @@ def test_decryptor_cache_amortizes_key_derivation():
     # end-to-end still decrypts through the cache
     assert extract_pdf(doc, "0" * 16).pages[0].content == \
         "Page 1\n\ncached\n"
+
+
+def test_corrupt_mediabox_and_kids_fail_typed_or_degrade():
+    """Round-5 deep-fuzz findings: /MediaBox resolving to a non-array
+    (or carrying a non-numeric height) degrades to the default page
+    height like viewers do; /Kids resolving to a non-array fails typed
+    CorruptedFileError — neither may leak TypeError."""
+    from pdf_document_extractor_spark.core.dispatch import extract_document
+    from pdf_document_extractor_spark.core.pdf_write import (
+        PdfPageSpec,
+        TextShow,
+        write_pdf,
+    )
+
+    doc = write_pdf([PdfPageSpec(shows=[TextShow(72.0, 720.0, 10.0, "t")])])
+    # MediaBox -> bare int (still truthy: the old `or` default missed it)
+    broken_mb = doc.replace(b"/MediaBox [0 0 612 792]", b"/MediaBox 612000")
+    r = extract_document("u", broken_mb)
+    assert r.status == "success"  # content unaffected by bbox flips
+    assert r.pages[0].content == "Page 1\n\nt\n"
+    # MediaBox with a name where the height belongs
+    broken_h = doc.replace(b"/MediaBox [0 0 612 792]", b"/MediaBox [0 0 612 /H]")
+    assert extract_document("u", broken_h).status == "success"
+    # Kids -> a number: typed corrupt, not '_Stream/int not iterable'
+    broken_kids = doc.replace(b"/Kids [", b"/Kids 7 %")
+    r = extract_document("u", broken_kids)
+    assert r.status == "hard_failure"
+    assert r.error_type == "CorruptedFileError"
