@@ -224,3 +224,34 @@ def test_png_codec_mutations_fail_typed():
         assert len(out) == w * h * c
         if mutated == base:
             assert (out, w, h, c) == (raw, 24, 16, 3)
+
+
+def test_stacked_mutations_no_crash():
+    """Compound damage: three sequential mutations per document reach
+    states single mutations cannot (a 207k-doc round-5 soak of both
+    shapes ran clean after four fixes). CI keeps a 9k-doc stacked leg."""
+    fixtures = _fixtures()
+    failures: list[str] = []
+    for name, base in fixtures.items():
+        name_salt = zlib.crc32(name.encode())
+        for seed in range(1000):
+            m = base
+            for j in range(3):
+                m = _mutate(m, (seed * 3 + j) * 6101 + name_salt)
+            try:
+                rows = _canon(extract_rows_py("u", m))
+            except Exception as exc:  # noqa: BLE001 — the invariant
+                failures.append(f"{name}/seed{seed}: raised {exc!r}")
+                break
+            for r in rows:
+                if r["status"] == STATUS_HARD_FAILURE and (
+                    r["error_type"] not in TYPED
+                ):
+                    failures.append(
+                        f"{name}/seed{seed}: untyped {r['error_type']!r}"
+                    )
+            if failures:
+                break
+        if failures:
+            break
+    assert not failures, failures[:3]
