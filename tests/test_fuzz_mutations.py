@@ -22,7 +22,7 @@ Invariants per mutation (no-crash / no-silent-wrong):
 4. COHERENT success rows: content is a str, word_count matches the
    pinned str.split() semantics, status/error fields are consistent.
 
-13,824 mutations total (9 fixtures x 1536 seeds), each checked twice
+16,896 mutations total (11 fixtures x 1536 seeds), each checked twice
 (determinism), in a few seconds of pure-Python wall time.
 """
 
@@ -104,6 +104,14 @@ def _fixtures() -> dict[str, bytes]:
         "zip_epub": synth_payload(
             7, "alpha bravo charlie delta echo foxtrot golf hotel india x",
             "epub",
+        ),
+        "rtf": synth_payload(
+            7, "alpha bravo charlie delta echo foxtrot golf hotel india x",
+            "rtf",
+        ),
+        "zip_odt": synth_payload(
+            7, "alpha bravo charlie delta echo foxtrot golf hotel india x",
+            "odt",
         ),
     }
 
