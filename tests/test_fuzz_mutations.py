@@ -22,7 +22,7 @@ Invariants per mutation (no-crash / no-silent-wrong):
 4. COHERENT success rows: content is a str, word_count matches the
    pinned str.split() semantics, status/error fields are consistent.
 
-16,896 mutations total (11 fixtures x 1536 seeds), each checked twice
+19,968 mutations total (13 fixtures x 1536 seeds), each checked twice
 (determinism), in a few seconds of pure-Python wall time.
 """
 
@@ -112,6 +112,16 @@ def _fixtures() -> dict[str, bytes]:
         "zip_odt": synth_payload(
             7, "alpha bravo charlie delta echo foxtrot golf hotel india x",
             "odt",
+        ),
+        # the two highest-volume crawl paths: full-feature HTML (tables
+        # + figures + charset meta) and the gzip transport unwrap
+        "html_rich": synth_payload(
+            3, "alpha bravo charlie delta echo foxtrot golf hotel india x",
+            "html_table",
+        ),
+        "gzip_html": synth_payload(
+            7, "alpha bravo charlie delta echo foxtrot golf hotel india x",
+            "gzip_html",
         ),
     }
 
