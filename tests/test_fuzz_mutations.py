@@ -247,7 +247,7 @@ def test_png_codec_mutations_fail_typed():
 def test_stacked_mutations_no_crash():
     """Compound damage: three sequential mutations per document reach
     states single mutations cannot (a 207k-doc round-5 soak of both
-    shapes ran clean after four fixes). CI keeps a 9k-doc stacked leg."""
+    shapes ran clean after four fixes). CI keeps a 13k-doc stacked leg."""
     fixtures = _fixtures()
     failures: list[str] = []
     for name, base in fixtures.items():
