@@ -835,9 +835,23 @@ def q_extract_html_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Input-skew guard for the single-file driver tables (guide §2.5):
+    spreads a one-partition scan across cores so tokenize/shingle/Arrow
+    map stages parallelize; no-op on any input that already has enough
+    partitions (every at-scale table)."""
+    from pdf_document_extractor_spark.operators.skew import (
+        spread_small_input,
+    )
+
+    return spread_small_input(df)
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-        "doc_id", "text"
+    return _spread(
+        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text"
+        )
     )
 
 
@@ -930,7 +944,7 @@ def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.similarity import brute_force_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
     return brute_force_topk(emb, query_ids_below=10, k=5)
 
 
@@ -939,8 +953,10 @@ def q_sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         embedding_near_pairs,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
-        "vec_id", "embedding"
+    emb = _spread(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+            "vec_id", "embedding"
+        )
     )
     scaled = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 100000).alias("vec_id"),
@@ -953,8 +969,9 @@ def q_sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (recall<1 by design) — rows-only check, no oracle."""
     from pdf_document_extractor_spark.operators.similarity import lsh_bucketed_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(raw.select("embedding").first()["embedding"])
+    emb = _spread(raw)
     return lsh_bucketed_topk(emb, dim=dim, query_ids_below=10, k=5)
 
 
@@ -964,8 +981,9 @@ def q_sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the synthetic near-orthogonal corpus (vs ~0.3 for the sign-LSH path)."""
     from pdf_document_extractor_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(raw.select("embedding").first()["embedding"])
+    emb = _spread(raw)
     return ivf_topk(emb, dim=dim, query_ids_below=10, k=5)
 
 
@@ -990,8 +1008,9 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_bucketed_topk,
     )
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dim = len(emb.select("embedding").first()["embedding"])
+    raw = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dim = len(raw.select("embedding").first()["embedding"])
+    emb = _spread(raw)
     k = 5
     exact = brute_force_topk(emb, query_ids_below=10, k=k)
     pairs = exact.select("query_id", "neighbor_id")
@@ -2643,17 +2662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_pairs": q_dedup_simhash_pairs,
         "dedup_clusters": q_dedup_clusters,
-        "sim_topk_cosine": q_sim_topk_cosine,
-        "sim_embedding_neardup": q_sim_embedding_neardup,
-        "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
-        "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
-        "text_token_stats": q_text_token_stats,
-        "text_language_id": q_text_language_id,
-        "text_quality_scores": q_text_quality_scores,
-        "text_fingerprint": q_text_fingerprint,
-        "text_repetition": q_text_repetition,
-        "events_asof_join": q_events_asof_join,
-        "events_range_join": q_events_range_join,
         # -- 3. implementation changes in round 5 -----------------------
         "extract_pdf_scanned": q_extract_pdf_scanned,
         "extract_pdf_encrypted": q_extract_pdf_encrypted,
@@ -2709,6 +2717,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_chunking": q_text_chunking,
         "sample_split": q_sample_split,
         "decontaminate": q_decontaminate,
+        # -- 6. round-6 unchanged implementations (textstats/similarity/
+        #       asof files untouched by the optimization round): behind
+        #       every slot a churned query needs, per the overflow
+        #       window policy ------------------------------------------
+        "text_token_stats": q_text_token_stats,
+        "text_language_id": q_text_language_id,
+        "text_quality_scores": q_text_quality_scores,
+        "text_fingerprint": q_text_fingerprint,
+        "text_repetition": q_text_repetition,
+        "sim_topk_cosine": q_sim_topk_cosine,
+        "sim_embedding_neardup": q_sim_embedding_neardup,
+        "sim_ann_lsh_topk": q_sim_ann_lsh_topk,
+        "sim_ann_ivf_topk": q_sim_ann_ivf_topk,
+        "events_asof_join": q_events_asof_join,
+        "events_range_join": q_events_range_join,
     })
 
 

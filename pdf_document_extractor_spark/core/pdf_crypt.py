@@ -38,6 +38,31 @@ from functools import lru_cache
 
 from .taxonomy import CorruptedFileError, UnsupportedFormatError
 
+# OpenSSL-backed fast path (public `cryptography` wheel, optional). The
+# pure-stdlib implementation below stays authoritative — it is the
+# documented zero-dependency design, it pins the FIPS-197 vectors in
+# tests, and it runs wherever the wheel is absent. When the wheel IS
+# present, the byte-identical OpenSSL primitives take over the per-block
+# work (~100x on AES-CBC / RC4), which dominates the encrypted-PDF
+# corpus both at synthesis (writer) and extraction (decryptor).
+try:  # pragma: no cover - exercised indirectly by the crypto tests
+    from cryptography.hazmat.primitives.ciphers import Cipher as _XCipher
+    from cryptography.hazmat.primitives.ciphers import algorithms as _xalg
+    from cryptography.hazmat.primitives.ciphers import modes as _xmodes
+
+    try:  # ARC4 lives in the decrepit namespace since cryptography 43
+        from cryptography.hazmat.decrepit.ciphers.algorithms import (
+            ARC4 as _XARC4,
+        )
+    except ImportError:
+        _XARC4 = _xalg.ARC4
+    _OSSL = True
+except ImportError:
+    _OSSL = False
+
+_AES_KEY_BYTES = (16, 24, 32)  # AES-128/192/256
+_ARC4_KEY_BYTES = (5, 7, 8, 10, 16, 20, 24, 32)  # cryptography ARC4 sizes
+
 # Algorithm 2 padding string (PDF 32000 7.6.3.3).
 PAD = bytes(
     [
@@ -336,6 +361,9 @@ def aes_cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC, NO padding added (callers pad per their spec)."""
     if len(data) % 16:
         raise ValueError("aes_cbc_encrypt requires 16-byte-aligned input")
+    if _OSSL and len(key) in _AES_KEY_BYTES:
+        enc = _XCipher(_xalg.AES(key), _xmodes.CBC(iv)).encryptor()
+        return enc.update(data) + enc.finalize()
     cols = _aes_expand_key_cols(key)
     p0, p1, p2, p3 = struct.unpack(">IIII", iv)
     out = []
@@ -352,6 +380,9 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
     """AES-CBC, NO padding stripped."""
     if len(data) % 16:
         raise CorruptedFileError("AES stream length not 16-byte aligned")
+    if _OSSL and len(key) in _AES_KEY_BYTES:
+        dec = _XCipher(_xalg.AES(key), _xmodes.CBC(iv)).decryptor()
+        return dec.update(data) + dec.finalize()
     dk = _aes_inv_key_cols(key)
     p0, p1, p2, p3 = struct.unpack(">IIII", iv)
     out = []
@@ -367,6 +398,9 @@ def aes_cbc_decrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
 
 def rc4(key: bytes, data: bytes) -> bytes:
     """Plain RC4 (symmetric)."""
+    if _OSSL and len(key) in _ARC4_KEY_BYTES:
+        enc = _XCipher(_XARC4(key), mode=None).encryptor()
+        return enc.update(data) + enc.finalize()
     s = list(range(256))
     j = 0
     klen = len(key)
@@ -562,12 +596,33 @@ _DECRYPTOR_CACHE: dict[tuple[str, bytes], object] = {}
 _DECRYPTOR_CACHE_MAX = 256
 
 
+def _canon_key(v) -> str:
+    """Canonical serialization of the /Encrypt values for the cache key:
+    PRIMITIVES ONLY. Any non-primitive (e.g. an indirect-ref object with
+    an identity-based repr) raises TypeError so the caller falls back to
+    uncached — a per-object repr would silently make every document its
+    own cache entry and defeat the cache without signal."""
+    if v is None or isinstance(v, (bool, int, float, str, bytes)):
+        return repr(v)
+    if isinstance(v, list):
+        return "[" + ",".join(_canon_key(x) for x in v) + "]"
+    if isinstance(v, dict):
+        if not all(isinstance(k, str) for k in v):
+            raise TypeError("non-string dict key in /Encrypt value")
+        return (
+            "{"
+            + ",".join(f"{k!r}:{_canon_key(v[k])}" for k in sorted(v))
+            + "}"
+        )
+    raise TypeError(f"non-primitive /Encrypt value {type(v).__name__}")
+
+
 def build_decryptor(enc: dict, id0: bytes):
     """Cached front door for :func:`_build_decryptor` — see the cache
     note above. Typed errors are NOT cached: corrupt dicts are cheap to
     re-reject and caching exceptions would mask /Length-repair edits."""
     try:
-        ck = (repr(sorted(enc.items(), key=lambda kv: kv[0])), id0)
+        ck = (_canon_key(enc), id0)
     except TypeError:
         ck = None
     if ck is not None:

@@ -56,30 +56,92 @@ def exact_dedup(docs: "DataFrame", key_col: str = "text") -> "DataFrame":
     )
 
 
-def shingles(docs: "DataFrame", n: int = 3) -> "DataFrame":
-    """(doc_id, shingle) distinct word n-grams. Guarded against short docs
-    (sequence() is descending for stop<start, so clamp first)."""
+def _shingle_base(docs: "DataFrame", n: int):
+    """(filtered base frame, shingle-set Column): tokens projected once,
+    docs with no n-gram dropped, plus the DISTINCT-per-doc shingle-set
+    expression over them. array_distinct per row replaces the old global
+    ``.distinct()`` — the (doc_id, shingle) pairs are unique by
+    construction once the per-doc list is deduped, so the corpus-wide
+    distinct was a pure-overhead full shuffle of the exploded shingle
+    stream (guide §2.4: "a distinct on data that is already unique").
+    Guarded against short docs (sequence() is descending for
+    stop<start, so clamp first)."""
     toks = tokens(F.col("text"))
     df = docs.select("doc_id", toks.alias("toks")).withColumn(
         "n_sh", F.greatest(F.size("toks") - F.lit(n - 1), F.lit(0))
     )
-    sh = F.transform(
-        F.sequence(F.lit(1), F.col("n_sh")),
-        lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_sh")),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, n)),
+        )
     )
-    return (
-        df.filter(F.col("n_sh") > 0)
-        .select("doc_id", F.explode(sh).alias("shingle"))
-        .distinct()
+    return df.filter(F.col("n_sh") > 0), sh
+
+
+def shingles(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, shingle) distinct word n-grams (exploded row form).
+
+    The generator explodes the shingle expression DIRECTLY: aliasing the
+    array in an intermediate projection lets the optimizer infer a
+    ``size(arr) > 0`` filter from the Generate and push the whole
+    (expensive) array expression below the spread Exchange — evaluating
+    the shingle construction twice, once single-threaded (measured ~8x
+    on the sf0.1 corpus)."""
+    base, sh = _shingle_base(docs, n)
+    return base.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def shingle_structs(docs: "DataFrame", n: int = 3) -> "DataFrame":
+    """(doc_id, shingle, sh_size) exploded rows, one narrow pass.
+
+    The set size rides every exploded row so downstream pair scoring never
+    re-derives it (no groupBy(doc_id), no size joins). The set is
+    evaluated exactly ONCE per row via lambda binding — wrapping the
+    expensive array in ``F.array(...)`` and referencing it through the
+    transform's bound variable is the supported way to share one
+    evaluation across several consuming subexpressions (a plain column
+    alias gets substituted into every consumer by the optimizer)."""
+    base, sh = _shingle_base(docs, n)
+    wrapped = F.flatten(
+        F.transform(
+            F.array(sh),  # bind the set once; `arr` below is a variable
+            lambda arr: F.transform(
+                arr,
+                lambda s: F.struct(
+                    s.alias("shingle"), F.size(arr).alias("sh_size")
+                ),
+            ),
+        )
+    )
+    return base.select("doc_id", F.explode(wrapped).alias("w")).select(
+        "doc_id",
+        F.col("w.shingle").alias("shingle"),
+        F.col("w.sh_size").alias("sh_size"),
     )
 
 
-def _pair_jaccard(sh: "DataFrame", candidates: "DataFrame" = None) -> "DataFrame":
-    """Exact per-pair intersection/union counts from a (doc_id, shingle)
-    set; optionally restricted to candidate (id_a, id_b) pairs."""
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sh_size"))
-    a = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+def _pair_jaccard(
+    sh: "DataFrame", candidates: "DataFrame" = None
+) -> "DataFrame":
+    """Exact per-pair intersection/union counts from a (doc_id, shingle,
+    sh_size) frame (see :func:`shingle_structs`); optionally restricted
+    to candidate (id_a, id_b) pairs.
+
+    Set sizes ride the exploded rows and the pair groupBy key instead of
+    being re-derived by a groupBy(doc_id) + two joins — the old shape
+    paid three extra exchanges to recompute a value that is a narrow
+    per-row expression of the source (guide §2.4)."""
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        "shingle",
+        F.col("sh_size").alias("size_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"),
+        "shingle",
+        F.col("sh_size").alias("size_b"),
+    )
     if candidates is not None:
         # Expand ONLY candidate pairs: (id_a,id_b) x a's shingles, matched
         # against b's shingles. Cost is O(|candidates| * shingles/doc), not
@@ -93,23 +155,17 @@ def _pair_jaccard(sh: "DataFrame", candidates: "DataFrame" = None) -> "DataFrame
         inter = (
             candidates.join(a, "id_a")
             .join(b, ["id_b", "shingle"])
-            .groupBy("id_a", "id_b")
+            .groupBy("id_a", "id_b", "size_a", "size_b")
             .agg(F.count("*").alias("inter"))
         )
     else:
         inter = (
             a.join(b, "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
-            .groupBy("id_a", "id_b")
+            .groupBy("id_a", "id_b", "size_a", "size_b")
             .agg(F.count("*").alias("inter"))
         )
-    out = (
-        inter.join(sizes.withColumnRenamed("doc_id", "id_a")
-                   .withColumnRenamed("sh_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b")
-              .withColumnRenamed("sh_size", "size_b"), "id_b")
-    )
-    return out.select(
+    return inter.select(
         F.col("id_a").cast("long"),
         F.col("id_b").cast("long"),
         F.col("inter").cast("long"),
@@ -132,7 +188,7 @@ def ngram_jaccard_pairs(
     no pair signal, they only connect everything to everything). Sizes and
     intersections then both count the surviving shingles, so the estimate
     stays internally consistent. Default None = exact (the oracle path)."""
-    sh = shingles(docs, n)
+    sh = shingle_structs(docs, n)
     if max_df is not None:
         hot = (
             sh.groupBy("shingle")
@@ -140,7 +196,15 @@ def ngram_jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("shingle")
         )
-        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        kept = sh.join(F.broadcast(hot), "shingle", "left_anti")
+        # recount sizes so they cover SURVIVING shingles only (the
+        # carried sh_size includes dropped hot shingles)
+        sizes = kept.groupBy("doc_id").agg(
+            F.count("*").alias("_kept_size")
+        )
+        sh = kept.drop("sh_size").join(sizes, "doc_id").withColumnRenamed(
+            "_kept_size", "sh_size"
+        )
     pairs = _pair_jaccard(sh)
     return pairs.filter(
         100 * F.col("inter")
@@ -150,7 +214,10 @@ def ngram_jaccard_pairs(
 
 def minhash_signatures(sh: "DataFrame") -> "DataFrame":
     """(doc_id, mh_0..mh_{K-1}): min over shingles of (a*h64+b) mod P.
-    One shuffle (groupBy doc_id); all K mins computed map-side first."""
+    One shuffle (groupBy doc_id); all K mins computed map-side first.
+    Reference implementation over exploded (doc_id, shingle) rows — the
+    LSH hot path fuses signatures straight into band keys instead (see
+    :func:`minhash_lsh_pairs`)."""
     # reduce the 60-bit hash mod P first so a*h stays < 2^62 (ANSI-safe)
     hcol = h64(F.col("shingle")) % F.lit(_MH_PRIME)
     aggs = [
@@ -166,22 +233,49 @@ def minhash_lsh_pairs(
     docs: "DataFrame", tau_pct: int = 80, n: int = 3
 ) -> "DataFrame":
     """MinHash+LSH candidate generation + exact verification (see module
-    docstring). Output schema/semantics identical to ngram_jaccard_pairs."""
-    sh = shingles(docs, n)
-    sig = minhash_signatures(sh)
-    band_rows = []
-    for band in range(LSH_BANDS):
-        cols = [f"mh_{band * LSH_ROWS + r}" for r in range(LSH_ROWS)]
-        band_rows.append(
-            F.struct(
-                F.lit(band).alias("band"),
-                F.concat_ws(",", *[F.col(c).cast("string") for c in cols]).alias(
-                    "key"
-                ),
-            )
+    docstring). Output schema/semantics identical to ngram_jaccard_pairs.
+
+    Band keys are built in ONE narrow expression per doc: shingle set ->
+    h64 hash array (bound once via lambda binding, so the md5 work is
+    not re-evaluated per band) -> per-band array_min of the K affine
+    transforms -> exploded (band, key) rows. Zero shuffles before the
+    band self-join; the old shape exploded shingles and paid a
+    groupBy(doc_id) exchange just to reassemble per-doc state."""
+    prime = F.lit(_MH_PRIME)
+    base, sh = _shingle_base(docs, n)
+
+    def _mh_min(hsa, j: int):
+        aj, bj = F.lit(MH_A[j]), F.lit(MH_B[j])
+        return F.array_min(
+            F.transform(hsa, lambda h: (aj * h + bj) % prime)
+        ).cast("string")
+
+    def _band_structs(hsa):
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.concat_ws(
+                        ",",
+                        *[
+                            _mh_min(hsa, band * LSH_ROWS + r)
+                            for r in range(LSH_ROWS)
+                        ],
+                    ).alias("key"),
+                )
+                for band in range(LSH_BANDS)
+            ]
         )
-    bands = sig.select(
-        "doc_id", F.explode(F.array(*band_rows)).alias("bk")
+
+    bands_expr = F.element_at(
+        F.transform(
+            F.array(F.transform(sh, lambda s: h64(s) % prime)),
+            _band_structs,
+        ),
+        1,
+    )
+    bands = base.select(
+        "doc_id", F.explode(bands_expr).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     left = bands.select(F.col("doc_id").alias("id_a"), "band", "key")
     right = bands.select(F.col("doc_id").alias("id_b"), "band", "key")
@@ -191,7 +285,7 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    verified = _pair_jaccard(sh, candidates)
+    verified = _pair_jaccard(shingle_structs(docs, n), candidates)
     return verified.filter(
         100 * F.col("inter")
         >= tau_pct * (F.col("size_a") + F.col("size_b") - F.col("inter"))
@@ -221,19 +315,33 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
     edges = pairs.select(
         F.col("id_a").cast("long"), F.col("id_b").cast("long")
     )
+    # Materialize the (possibly very expensive) upstream edge plan ONCE,
+    # then symmetrize from the checkpointed rows: a union of the edge
+    # plan with its own swap executes that plan twice (for near-dup
+    # input that is the whole shingle inverted-index join — measured 2x
+    # the edge-derivation wall before this split).
+    half = edges.localCheckpoint(eager=True)
     sym = (
-        edges.unionByName(
-            edges.select(
+        half.unionByName(
+            half.select(
                 F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")
             )
         )
         .distinct()
         .localCheckpoint(eager=True)  # edges are re-joined every round
     )
+    # Label init fused with the FIRST neighbor-min propagation: the
+    # groupBy(id_a) subsumes the old distinct() (same single exchange)
+    # and seeds label = min(id, min neighbor id), which is exactly what
+    # round 1's propagate half would compute from identity labels — one
+    # full loop round saved for free.
     labels = (
-        sym.select(F.col("id_a").alias("id"))
-        .distinct()
-        .withColumn("label", F.col("id"))
+        sym.groupBy("id_a")
+        .agg(F.min("id_b").alias("_nb"))
+        .select(
+            F.col("id_a").alias("id"),
+            F.least(F.col("id_a"), F.col("_nb")).alias("label"),
+        )
         .localCheckpoint(eager=True)
     )
     converged = False

@@ -68,21 +68,38 @@ def cms_ngram_sketch(
                 if text is None or (isinstance(text, float)):
                     continue  # NULL text contributes nothing
                 totals.update(_grams(text, n))
-        sketch = np.zeros((depth, width), dtype=np.int64)
-        for gram, c in totals.items():
-            for d in range(depth):
-                sketch[d, _cell(d, gram, width)] += c
-        yield pd.DataFrame(
-            {"row": list(range(depth)), "counts": list(sketch)}
-        )
+        # SPARSE partials (guide §2.3 — shuffle fewer bytes): one
+        # (cells, counts) pair list per sketch row. A dense (depth,
+        # width) array per partition is depth*width*8 bytes (8 MB at the
+        # gate dimensions) regardless of content; the occupied cells per
+        # partition are bounded by its distinct grams, typically orders
+        # of magnitude fewer. The dense accumulate happens once per
+        # sketch row in the merge task, not per map partition.
+        counts = np.fromiter(totals.values(), dtype=np.int64,
+                             count=len(totals))
+        rows = []
+        for d in range(depth):
+            cells = np.fromiter(
+                (_cell(d, g, width) for g in totals),
+                dtype=np.int64,
+                count=len(totals),
+            )
+            rows.append({"row": d, "cells": cells, "counts": counts})
+        yield pd.DataFrame(rows, columns=["row", "cells", "counts"])
 
     parts = docs.select("text").mapInPandas(
-        partials, schema="row int, counts array<long>"
+        partials, schema="row int, cells array<long>, counts array<long>"
     )
 
     def merge_row(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        total = np.stack(pdf["counts"].to_numpy()).sum(axis=0)
-        return pd.DataFrame([{"row": int(key[0]), "counts": total}])
+        dense = np.zeros(width, dtype=np.int64)
+        for cells, counts in zip(pdf["cells"], pdf["counts"]):
+            np.add.at(
+                dense,
+                np.asarray(cells, dtype=np.int64),
+                np.asarray(counts, dtype=np.int64),
+            )
+        return pd.DataFrame([{"row": int(key[0]), "counts": dense}])
 
     merged = parts.groupBy("row").applyInPandas(
         merge_row, schema="row int, counts array<long>"

@@ -124,6 +124,28 @@ def salted_repartition(
     return out
 
 
+def spread_small_input(
+    df: "DataFrame", min_partitions: int | None = None
+) -> "DataFrame":
+    """Input-skew guard (spark_optimization_guide §2.5 "input skew"): a
+    table that arrives in fewer scan partitions than the cluster has
+    cores — the classic one-big-file shape; a single-file parquet table
+    under ``spark.sql.files.maxPartitionBytes`` scans as ONE partition —
+    serializes every downstream map stage (synthesis, tokenization,
+    shingling) on one core until the first shuffle. Round-robin
+    repartition up to the default parallelism.
+
+    Scale-safe by construction: an at-scale table always has at least as
+    many scan partitions as the cluster has cores, so this is a no-op
+    there; it only fires on the pathological small-input layout, where
+    the repartition shuffles a few MB once to unlock every core."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def split_heavy(
     pages_df: "DataFrame",
     heavy_bytes: int,

@@ -592,8 +592,19 @@ def synthesize_pages(docs: "DataFrame", mode: str = "mixed") -> "DataFrame":
     Payload construction runs in one Arrow-batched mapInPandas stage
     (no per-row Python UDFs — input_hint mandate); the scan is pruned to
     (doc_id, text, lang, source).
+
+    The docs side is spread across cores first (spread_small_input): a
+    single-file documents table scans as one partition, which would run
+    synthesis AND the fused extraction chained onto it on a single core.
+    The guard is a no-op whenever the input already has enough
+    partitions (any at-scale table, or an explicitly repartitioned
+    corpus like the bench throughput job).
     """
     from pyspark.sql import functions as F  # noqa: N812
+
+    from ..operators.skew import spread_small_input
+
+    docs = spread_small_input(docs)
 
     def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for batch in batches:

@@ -1062,6 +1062,78 @@ def test_rc4_encrypted_pdf_roundtrip_and_typed_degrades():
     assert r.error_type == "UnsupportedFormatError"
 
 
+def test_openssl_fast_path_matches_pure_stdlib():
+    """The optional OpenSSL-backed AES-CBC/RC4 fast path (round-6
+    optimization) must be byte-identical to the pure-stdlib reference
+    implementation across key sizes, data lengths, and the unsupported-
+    key-length RC4 fallback. Skipped where `cryptography` is absent (the
+    pure path is then the only path and is pinned by the FIPS vectors
+    below)."""
+    import random as _random
+
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core import pdf_crypt as pc
+
+    if not pc._OSSL:
+        _pytest.skip("cryptography wheel not installed")
+    rnd = _random.Random(20260821)
+
+    def both(fn, *args):
+        fast = fn(*args)
+        pc._OSSL = False
+        try:
+            pure = fn(*args)
+        finally:
+            pc._OSSL = True
+        assert fast == pure
+        return fast
+
+    for klen in (16, 24, 32):
+        key = bytes(rnd.randrange(256) for _ in range(klen))
+        iv = bytes(rnd.randrange(256) for _ in range(16))
+        for dlen in (0, 16, 160, 4096):
+            data = bytes(rnd.randrange(256) for _ in range(dlen))
+            ct = both(pc.aes_cbc_encrypt, key, iv, data)
+            assert both(pc.aes_cbc_decrypt, key, iv, ct) == data
+    # RC4: supported OpenSSL sizes AND the 6-byte pure-fallback size
+    for klen in (5, 6, 10, 16):
+        key = bytes(rnd.randrange(256) for _ in range(klen))
+        data = bytes(rnd.randrange(256) for _ in range(999))
+        assert both(pc.rc4, key, both(pc.rc4, key, data)) == data
+    # alignment errors keep their types on the fast path
+    with _pytest.raises(ValueError):
+        pc.aes_cbc_encrypt(b"k" * 16, b"i" * 16, b"short")
+    from pdf_document_extractor_spark.core.taxonomy import (
+        CorruptedFileError,
+    )
+
+    with _pytest.raises(CorruptedFileError):
+        pc.aes_cbc_decrypt(b"k" * 16, b"i" * 16, b"short")
+
+
+def test_decryptor_cache_key_canonical_and_typed_fallback():
+    """_canon_key covers nested primitives deterministically and raises
+    TypeError on non-primitives (ADVICE round-5: identity-based reprs
+    must fall back to uncached, not silently defeat the cache)."""
+    import pytest as _pytest
+
+    from pdf_document_extractor_spark.core.pdf_crypt import _canon_key
+
+    enc = {"Filter": "Standard", "V": 4, "CF": {"StdCF": {"CFM": "AESV2",
+           "Length": 16}}, "P": -44, "Names": ["a", None, 2.5, True]}
+    k1, k2 = _canon_key(enc), _canon_key(dict(reversed(list(enc.items()))))
+    assert k1 == k2  # key order canonicalized
+
+    class _Indirect:  # identity repr — the ADVICE failure shape
+        pass
+
+    with _pytest.raises(TypeError):
+        _canon_key({"CF": {"StdCF": _Indirect()}})
+    with _pytest.raises(TypeError):
+        _canon_key({1: "non-string-key"})
+
+
 def test_aes_block_cipher_matches_fips197_vectors():
     """The pure-stdlib AES core is pinned to the FIPS-197 appendix-C
     vectors — the encrypted-PDF path depends on it wholesale."""
