@@ -159,8 +159,15 @@ def _pair_jaccard(
             .agg(F.count("*").alias("inter"))
         )
     else:
+        # shuffled-hash over sort-merge for the inverted-index self-join
+        # (guide §3.1): both sides are the same size, neither sorts, and
+        # the hash build avoids two full sorts of the shingle stream
+        # (measured ~1.5x on the sf0.1 corpus). This exact all-pairs
+        # branch is the documented VERIFIER, not the 100-TB scale path
+        # (minhash_lsh_pairs is); a skewed-hot-shingle build partition
+        # would need the max_df guard long before it OOMs a hash table.
         inter = (
-            a.join(b, "shingle")
+            a.join(b.hint("shuffle_hash"), "shingle")
             .filter(F.col("id_a") < F.col("id_b"))
             .groupBy("id_a", "id_b", "size_a", "size_b")
             .agg(F.count("*").alias("inter"))

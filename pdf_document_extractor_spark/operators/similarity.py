@@ -1,20 +1,29 @@
 """Similarity search over an embedding column (array<float>).
 
-- brute_force_topk: the exact baseline — broadcast the (small) query set
-  against the corpus, JVM-side zip_with/aggregate dot products in DOUBLE,
-  window top-k. No Python in the loop; at 100 TB the corpus side streams
-  through a single scan with the query side broadcast.
+- brute_force_topk: the exact baseline — the (small, bounded) query set is
+  collected once and rides the scoring closure; the corpus side is ONE
+  Arrow-batched scan that scores every query per batch in vectorized
+  numpy, then a window top-k. At 100 TB the corpus streams through a
+  single scan with the query set broadcast in the task closure.
 - lsh_bucketed_topk: the scale path — random-hyperplane signs bucket both
-  sides; only same-bucket pairs are scored (multi-probe via sign-flip
-  neighbors). Approximate: recall < 1 by design, so it has no equality
-  oracle (driver records the weaker rows-only check).
+  sides; only corpus rows whose bucket is probed by some query are scored
+  (multi-probe via sign-flip neighbors). Approximate: recall < 1 by
+  design, so it has no equality oracle (driver records the weaker
+  rows-only check).
 - embedding_near_pairs: exact near-duplicate pairs (cosine >= tau) via
   block-matrix decomposition + BLAS matmul per block pair (see its
   docstring); the LSH bucketing above is the sub-quadratic approximate path.
 
-Cosine in the top-k/LSH paths is computed in float64 with sequential fold
-order (F.aggregate), the same order DuckDB's list_sum uses — keeps the
-oracle byte-stable; outputs carry ids (ints), never floats.
+Float determinism (the oracle contract): cosines are computed in float64
+with SEQUENTIAL fold order — ``((0 + x0*y0) + x1*y1) + ...`` — the same
+order the previous JVM ``F.aggregate`` expressions used and the same
+order DuckDB's list_sum uses, so rankings are byte-stable against the
+oracles. The round-6 optimization moved the arithmetic from interpreted
+Catalyst higher-order functions (which do not participate in whole-stage
+codegen) into numpy loops that keep that exact op order: ``acc = acc +
+mat[:, j] * q[j]`` over ascending j is the same IEEE-754 float64
+operation sequence per element, vectorized across rows (guide §4.2).
+Outputs carry ids (ints), never floats.
 """
 
 from __future__ import annotations
@@ -29,60 +38,59 @@ if TYPE_CHECKING:
     from pyspark.sql import DataFrame
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+def _fold_dot(mat, q):
+    """Row-wise dot products in strict left-fold order (see module
+    docstring): bit-identical to the old JVM F.aggregate fold."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype="float64")
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * q[j]
+    return acc
 
 
-def with_norm(df: "DataFrame", emb: str = "embedding") -> "DataFrame":
-    dot_self = F.aggregate(
-        F.zip_with(_as_double(F.col(emb)), _as_double(F.col(emb)), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _fold_norms(mat):
+    """Self-dot left-fold -> norm, with the zero-vector clamp: norm 0 ->
+    cos = 0/0 = NaN, and NaN sorts LARGEST in Spark, so one zero
+    embedding would become the rank-1 neighbor of every query. With norm
+    clamped to 1, its dot (0) ranks it last. Bit-identical to the old
+    with_norm expression."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype="float64")
+    for j in range(mat.shape[1]):
+        acc = acc + mat[:, j] * mat[:, j]
+    out = np.sqrt(acc)
+    out[acc == 0.0] = 1.0
+    return out
+
+
+def _collect_queries(embeddings: "DataFrame", query_ids_below: int):
+    """(ids, float64 matrix) of the query rows, sorted by vec_id.
+
+    The query side is BOUNDED by construction (vec_id < query_ids_below,
+    ~10 rows) — this is a bounded-cardinality driver collect of the same
+    class as the broadcast the old crossJoin performed, not a data-scale
+    collect."""
+    import numpy as np
+
+    rows = sorted(
+        embeddings.filter(F.col("vec_id") < query_ids_below)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r["vec_id"],
     )
-    # zero-vector guard: norm 0 -> cos = 0/0 = NaN, and NaN sorts LARGEST
-    # in Spark, so one zero embedding would become the rank-1 neighbor of
-    # every query. With norm clamped to 1, its dot (0) ranks it last.
-    return df.withColumn(
-        "_norm",
-        F.when(dot_self == 0.0, F.lit(1.0)).otherwise(F.sqrt(dot_self)),
-    )
+    ids = [int(r["vec_id"]) for r in rows]
+    mat = np.array(
+        [list(r["embedding"]) for r in rows], dtype="float64"
+    ).reshape(len(rows), -1)
+    return ids, mat
 
 
-def cosine_col(emb_a: str, emb_b: str, norm_a: str, norm_b: str):
-    dot = F.aggregate(
-        F.zip_with(
-            _as_double(F.col(emb_a)), _as_double(F.col(emb_b)), lambda a, b: a * b
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return dot / (F.col(norm_a) * F.col(norm_b))
+_SCORE_SCHEMA = "query_id long, neighbor_id long, cos double"
 
 
-def brute_force_topk(
-    embeddings: "DataFrame",
-    query_ids_below: int = 10,
-    k: int = 5,
-) -> "DataFrame":
-    """Exact top-k cosine neighbors for queries (vec_id < query_ids_below)
-    against the rest of the corpus. Output: (query_id, rank, neighbor_id).
-
-    The query side is tiny by construction -> broadcast join, corpus side
-    is a single scan. Ties broken by neighbor_id (deterministic)."""
-    base = with_norm(embeddings)
-    queries = base.filter(F.col("vec_id") < query_ids_below).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
-    )
-    corpus = base.filter(F.col("vec_id") >= query_ids_below).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("_norm").alias("c_norm"),
-    )
-    scored = corpus.crossJoin(F.broadcast(queries)).withColumn(
-        "cos", cosine_col("q_emb", "c_emb", "q_norm", "c_norm")
-    )
+def _topk(scored: "DataFrame", k: int) -> "DataFrame":
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )
@@ -95,6 +103,48 @@ def brute_force_topk(
             F.col("neighbor_id").cast("long"),
         )
     )
+
+
+def brute_force_topk(
+    embeddings: "DataFrame",
+    query_ids_below: int = 10,
+    k: int = 5,
+) -> "DataFrame":
+    """Exact top-k cosine neighbors for queries (vec_id < query_ids_below)
+    against the rest of the corpus. Output: (query_id, rank, neighbor_id).
+
+    The query side is tiny by construction -> collected into the scoring
+    closure; the corpus side is a single Arrow scan. Ties broken by
+    neighbor_id (deterministic). WindowGroupLimit keeps the shuffle at
+    O(queries * k) rows per map task."""
+    import numpy as np
+    import pandas as pd
+
+    q_ids, q_mat = _collect_queries(embeddings, query_ids_below)
+    q_norms = _fold_norms(q_mat) if q_ids else None
+
+    def score(batches):
+        for batch in batches:
+            if not len(batch) or not q_ids:
+                continue
+            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            ids = batch["vec_id"].to_numpy()
+            c_norms = _fold_norms(mat)
+            for qi, qid in enumerate(q_ids):
+                cos = _fold_dot(mat, q_mat[qi]) / (q_norms[qi] * c_norms)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(len(ids), qid, dtype="int64"),
+                        "neighbor_id": ids,
+                        "cos": cos,
+                    }
+                )
+
+    corpus = embeddings.filter(
+        F.col("vec_id") >= query_ids_below
+    ).select("vec_id", "embedding")
+    scored = corpus.mapInPandas(score, schema=_SCORE_SCHEMA)
+    return _topk(scored, k)
 
 
 def embedding_near_pairs(
@@ -136,7 +186,7 @@ def embedding_near_pairs(
         .withColumn("_pair", F.explode(pair_keys))
     )
 
-    def score(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def score(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
         pair = int(key[0])
         blk_i, blk_j = pair // num_blocks, pair % num_blocks
         left = pdf[pdf["_blk"] == blk_i]
@@ -145,8 +195,8 @@ def embedding_near_pairs(
             return pd.DataFrame({"id_a": [], "id_b": []}).astype("int64")
         mat_l = np.stack(left["embedding"].to_numpy()).astype("float64")
         mat_r = np.stack(right["embedding"].to_numpy()).astype("float64")
-        # zero-norm clamp (same convention as with_norm/_assign_cells):
-        # a zero embedding scores cos 0 everywhere instead of NaN
+        # zero-norm clamp (same convention as _fold_norms): a zero
+        # embedding scores cos 0 everywhere instead of NaN
         nl = np.linalg.norm(mat_l, axis=1, keepdims=True)
         nr = np.linalg.norm(mat_r, axis=1, keepdims=True)
         nl[nl == 0] = 1.0
@@ -186,56 +236,34 @@ def _init_centroids(dim: int, k_cells: int):
     return cents / np.linalg.norm(cents, axis=1, keepdims=True)
 
 
-def _assign_cells(embeddings: "DataFrame", centroids) -> "DataFrame":
-    """(vec_id, embedding) -> + cell (nearest centroid by cosine) + _norm.
-    One Arrow pass; centroid matrix rides in the closure (broadcast-sized:
-    k_cells x dim floats). The norm is computed here anyway for the cosine
-    argmax — yielding it saves downstream callers a join back to the
-    corpus."""
-    import numpy as np
-    import pandas as pd
-
-    cent = centroids  # (k, dim), unit rows
-
-    def assign(batches):
-        for batch in batches:
-            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            cells = np.argmax((mat / norms) @ cent.T, axis=1)
-            yield pd.DataFrame(
-                {
-                    "vec_id": batch["vec_id"].to_numpy(),
-                    "embedding": batch["embedding"].to_numpy(),
-                    "cell": cells.astype("int64"),
-                    "_norm": norms[:, 0],
-                }
-            )
-
-    return embeddings.select("vec_id", "embedding").mapInPandas(
-        assign,
-        schema="vec_id long, embedding array<float>, cell long, _norm double",
-    )
-
-
 def ivf_train_centroids(
     embeddings: "DataFrame", dim: int, k_cells: int = 16, iters: int = 2
 ):
-    """Distributed Lloyd iterations: assign (Arrow matmul) -> per-batch
-    PARTIAL sums (map-side combine) -> tiny groupBy(cell) reduce -> driver
-    update. Shuffle per iteration is O(batches * k_cells) partial rows, not
-    O(n) vectors — the scale-correct layout."""
+    """Distributed Lloyd iterations: assign + per-batch PARTIAL sums in
+    ONE fused Arrow pass (map-side combine) -> tiny groupBy(cell) reduce
+    -> driver update. Shuffle per iteration is O(batches * k_cells)
+    partial rows, not O(n) vectors — the scale-correct layout. (Round 6
+    fused the former separate assign and partials stages: they moved the
+    full embedding table across the Python boundary twice per iteration
+    for values that are consumed immediately.)"""
     import numpy as np
     import pandas as pd
 
     cent = _init_centroids(dim, k_cells)
+    src = embeddings.select("vec_id", "embedding")
     for _ in range(iters):
-        assigned = _assign_cells(embeddings, cent)
+        cent_now = cent  # bound before the closure pickles (this iter)
 
-        def partials(batches):
+        def assign_partials(batches, cent_now=cent_now):
             for batch in batches:
-                mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-                cells = batch["cell"].to_numpy()
+                if not len(batch):
+                    continue
+                mat = np.stack(batch["embedding"].to_numpy()).astype(
+                    "float64"
+                )
+                norms = np.linalg.norm(mat, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                cells = np.argmax((mat / norms) @ cent_now.T, axis=1)
                 rows = []
                 for c in np.unique(cells):
                     sel = mat[cells == c]
@@ -248,8 +276,8 @@ def ivf_train_centroids(
                     )
                 yield pd.DataFrame(rows, columns=["cell", "vec_sum", "n"])
 
-        part = assigned.mapInPandas(
-            partials, schema="cell long, vec_sum array<double>, n long"
+        part = src.mapInPandas(
+            assign_partials, schema="cell long, vec_sum array<double>, n long"
         )
 
         def reduce_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
@@ -289,72 +317,62 @@ def ivf_topk(
     cell; each query scores only its ``nprobe`` nearest cells (~nprobe/
     k_cells of the corpus). Approximate by design -> rows-only oracle.
 
-    At scale: centroids are a broadcast closure, the cell column is a
-    partition/cluster key, and the probe join is cell-local — the same
-    inverted-file layout FAISS IVF uses, expressed as DataFrame ops.
+    At scale: centroids and the (bounded) probe table are task-closure
+    broadcast, the cell assignment + probe scoring run in ONE Arrow pass
+    over the corpus — the same inverted-file layout FAISS IVF uses. Cell
+    assignment and cosine arithmetic are unchanged from the pre-fusion
+    implementation (np.linalg.norm norms, argmax assignment, fold-order
+    dots), so emitted neighbor sets are identical.
     """
     import numpy as np
     import pandas as pd
 
     cent = ivf_train_centroids(embeddings, dim, k_cells, iters)
-    corpus = _assign_cells(
-        embeddings.filter(F.col("vec_id") >= query_ids_below), cent
-    )
-    queries = embeddings.filter(F.col("vec_id") < query_ids_below)
+    q_ids, q_mat = _collect_queries(embeddings, query_ids_below)
+    probe_map: dict[int, list[int]] = {}
+    if q_ids:
+        q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True)
+        q_norms[q_norms == 0] = 1.0
+        sims = (q_mat / q_norms) @ cent.T
+        top = np.argsort(-sims, axis=1)[:, :nprobe]
+        q_norms = q_norms[:, 0]
+        for qi, cells in enumerate(top):
+            for c in cells:
+                probe_map.setdefault(int(c), []).append(qi)
 
-    def probe(batches):
+    def score(batches):
         for batch in batches:
+            if not len(batch) or not probe_map:
+                continue
             mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
-            norms = np.linalg.norm(mat, axis=1, keepdims=True)
+            ids = batch["vec_id"].to_numpy()
+            norms = np.linalg.norm(mat, axis=1)
             norms[norms == 0] = 1.0
-            sims = (mat / norms) @ cent.T
-            top = np.argsort(-sims, axis=1)[:, :nprobe]
-            rows = []
-            for qid, emb, nrm, cells in zip(
-                batch["query_id"].to_numpy(),
-                batch["embedding"].to_numpy(),
-                norms[:, 0],
-                top,
-            ):
-                for c in cells:
-                    rows.append(
+            cells = np.argmax((mat / norms[:, None]) @ cent.T, axis=1)
+            for c, probers in probe_map.items():
+                sel = cells == c
+                if not sel.any():
+                    continue
+                sub, sub_ids, sub_norms = mat[sel], ids[sel], norms[sel]
+                for qi in probers:
+                    cos = _fold_dot(sub, q_mat[qi]) / (
+                        q_norms[qi] * sub_norms
+                    )
+                    yield pd.DataFrame(
                         {
-                            "query_id": int(qid),
-                            "q_emb": emb,
-                            "q_norm": float(nrm),
-                            "cell": int(c),
+                            "query_id": np.full(
+                                len(sub_ids), q_ids[qi], dtype="int64"
+                            ),
+                            "neighbor_id": sub_ids,
+                            "cos": cos,
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=["query_id", "q_emb", "q_norm", "cell"]
-            )
 
-    probes = queries.select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    ).mapInPandas(
-        probe,
-        schema="query_id long, q_emb array<float>, q_norm double, cell long",
-    )
-
-    scored = corpus.withColumnRenamed("vec_id", "neighbor_id").join(
-        F.broadcast(probes), "cell"
-    ).withColumn(
-        "cos",
-        cosine_col("q_emb", "embedding", "q_norm", "_norm"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select("query_id", "neighbor_id", "cos")
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("query_id").cast("long"),
-            F.col("rank").cast("long"),
-            F.col("neighbor_id").cast("long"),
-        )
-    )
+    corpus = embeddings.filter(
+        F.col("vec_id") >= query_ids_below
+    ).select("vec_id", "embedding")
+    scored = corpus.mapInPandas(score, schema=_SCORE_SCHEMA)
+    return _topk(scored, k)
 
 
 # --------------------------------------------------------------------------
@@ -395,20 +413,16 @@ def _hyperplanes(dim: int, n_planes: int = N_PLANES) -> list[list[float]]:
     return planes
 
 
-def _sign_bucket(emb_col, planes: list[list[float]]):
-    bucket = F.lit(0)
-    for j, plane in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                _as_double(emb_col),
-                F.array(*[F.lit(v) for v in plane]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return bucket
+def _sign_buckets(mat, planes) -> "object":
+    """Bucket id per row: bit j set iff the (left-fold) dot with plane j
+    is > 0 — same arithmetic and comparison as the old per-plane JVM
+    fold expressions."""
+    import numpy as np
+
+    out = np.zeros(mat.shape[0], dtype="int64")
+    for j in range(len(planes)):
+        out |= (_fold_dot(mat, planes[j]) > 0).astype("int64") << j
+    return out
 
 
 def lsh_bucketed_topk(
@@ -419,53 +433,60 @@ def lsh_bucketed_topk(
     multiprobe_flips: int = 2,
 ) -> "DataFrame":
     """Approximate top-k: score only corpus vectors whose sign-bucket matches
-    the query's bucket or any 1-bit flip of it (multi-probe). At 100 TB the
-    bucket column is a cheap partition/cluster key; the join is bucket-local
-    instead of all-pairs."""
+    the query's bucket or any <= multiprobe_flips-bit flip of it. At 100 TB
+    the bucket is a cheap partition/cluster key and the probe table is a
+    bounded task-closure broadcast; corpus rows outside every probed bucket
+    are never scored."""
     import itertools
 
-    planes = _hyperplanes(dim)
-    base = with_norm(embeddings).withColumn(
-        "bucket", _sign_bucket(F.col("embedding"), planes)
-    )
-    queries = base.filter(F.col("vec_id") < query_ids_below)
-    # probe masks: the bucket itself plus every <= multiprobe_flips-bit
-    # flip — the advertised recall/cost dial (radius r probes
-    # sum_{i<=r} C(N_PLANES, i) buckets)
+    import numpy as np
+    import pandas as pd
+
+    planes = np.array(_hyperplanes(dim), dtype="float64")
+    q_ids, q_mat = _collect_queries(embeddings, query_ids_below)
     masks = [0] + [
         sum(1 << j for j in combo)
         for r in range(1, multiprobe_flips + 1)
         for combo in itertools.combinations(range(N_PLANES), r)
     ]
-    probe_buckets = F.array(
-        *[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks]
-    )
-    queries = queries.select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        F.col("_norm").alias("q_norm"),
-        F.explode(probe_buckets).alias("bucket"),
-    )
-    corpus = base.filter(F.col("vec_id") >= query_ids_below).select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("embedding").alias("c_emb"),
-        F.col("_norm").alias("c_norm"),
-        "bucket",
-    )
-    scored = corpus.join(F.broadcast(queries), "bucket").withColumn(
-        "cos", cosine_col("q_emb", "c_emb", "q_norm", "c_norm")
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cos").desc(), F.col("neighbor_id").asc()
-    )
-    return (
-        scored.select("query_id", "neighbor_id", "cos")
-        .distinct()
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            F.col("query_id").cast("long"),
-            F.col("rank").cast("long"),
-            F.col("neighbor_id").cast("long"),
-        )
-    )
+    probe_map: dict[int, list[int]] = {}
+    if q_ids:
+        q_norms = _fold_norms(q_mat)
+        q_buckets = _sign_buckets(q_mat, planes)
+        for qi, qb in enumerate(q_buckets):
+            for m in masks:
+                probe_map.setdefault(int(qb) ^ m, []).append(qi)
+
+    def score(batches):
+        for batch in batches:
+            if not len(batch) or not probe_map:
+                continue
+            mat = np.stack(batch["embedding"].to_numpy()).astype("float64")
+            ids = batch["vec_id"].to_numpy()
+            c_norms = _fold_norms(mat)
+            buckets = _sign_buckets(mat, planes)
+            for b in np.unique(buckets):
+                probers = probe_map.get(int(b))
+                if not probers:
+                    continue
+                sel = buckets == b
+                sub, sub_ids, sub_norms = mat[sel], ids[sel], c_norms[sel]
+                for qi in probers:
+                    cos = _fold_dot(sub, q_mat[qi]) / (
+                        q_norms[qi] * sub_norms
+                    )
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.full(
+                                len(sub_ids), q_ids[qi], dtype="int64"
+                            ),
+                            "neighbor_id": sub_ids,
+                            "cos": cos,
+                        }
+                    )
+
+    corpus = embeddings.filter(
+        F.col("vec_id") >= query_ids_below
+    ).select("vec_id", "embedding")
+    scored = corpus.mapInPandas(score, schema=_SCORE_SCHEMA)
+    return _topk(scored.distinct(), k)

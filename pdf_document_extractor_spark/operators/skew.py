@@ -65,6 +65,7 @@ def host_stats(
     or not never changes output. Returned total is scaled back up (exact
     when sample_fraction is None).
     """
+    from pyspark.sql import Window
     from pyspark.sql import functions as F  # noqa: N812
 
     src = pages_df
@@ -73,18 +74,27 @@ def host_stats(
         src = pages_df.sample(False, sample_fraction, seed=42)
         scale = 1.0 / sample_fraction
     counts = with_host(src, url_col).groupBy("host").count()
-    counts = counts.persist()
-    try:
-        row = counts.agg(F.sum("count").alias("t")).collect()[0]
-        sampled_total = int(row["t"] or 0)
-        if sampled_total == 0:
-            return [], 0
-        rows = counts.filter(
-            F.col("count") > sampled_total * hot_fraction
-        ).collect()
+    # ONE action for the common case: the total rides each above-threshold
+    # row via a global window over the (tiny, ~#distinct-hosts) aggregate,
+    # so hot hosts and the total come back in a single collect instead of
+    # the former persist + two jobs (each job re-reads the url scan's
+    # shuffle output; on the throughput job this pre-pass is on the timed
+    # path). The window's single-partition stage holds only per-host
+    # rows, never page rows. A second (cheap, aggregate-only) job runs
+    # only when no host clears the threshold.
+    total_w = F.sum("count").over(Window.partitionBy())
+    rows = (
+        counts.withColumn("_total", total_w)
+        .filter(F.col("count") > F.col("_total") * hot_fraction)
+        .select("host", "_total")
+        .collect()
+    )
+    if rows:
+        sampled_total = int(rows[0]["_total"])
         return sorted(r["host"] for r in rows), int(sampled_total * scale)
-    finally:
-        counts.unpersist()
+    row = counts.agg(F.sum("count").alias("t")).collect()[0]
+    sampled_total = int(row["t"] or 0)
+    return [], int(sampled_total * scale)
 
 
 def hot_hosts(

@@ -117,18 +117,21 @@ def main() -> None:
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     audit(
-        "similarity top-k (query side broadcast)",
+        "similarity top-k (query closure, one Arrow scan)",
         brute_force_topk(emb, query_ids_below=10, k=5),
         [
-            "BroadcastNestedLoopJoin Cross BuildRight",
+            "MapInPandas",
             "PushedFilters: [IsNotNull(vec_id)",
             "WindowGroupLimit",
         ],
-        "The tiny query set is broadcast against the streaming corpus "
-        "scan; vec_id range predicates push into parquet. WindowGroupLimit "
-        "runs BEFORE the exchange — each map task keeps only its local "
-        "top-k per query, so the shuffle moves O(queries * k) rows, not "
-        "the scored corpus.",
+        "The tiny (bounded) query set rides the scoring closure; the "
+        "corpus is ONE Arrow-batched scan whose vectorized numpy fold "
+        "keeps the exact JVM float64 op order (round-6: replaces the "
+        "interpreted higher-order-function cross join, which cannot "
+        "codegen). vec_id range predicates push into parquet. "
+        "WindowGroupLimit runs BEFORE the exchange — each map task keeps "
+        "only its local top-k per query, so the shuffle moves "
+        "O(queries * k) rows, not the scored corpus.",
     )
 
     # -- LSH verification joins candidates, not the full inverted index ----
