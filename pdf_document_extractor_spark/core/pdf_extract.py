@@ -1755,14 +1755,19 @@ def _shows_from_content(
         elif op == "Tf":
             if stack:
                 n = _opnum(stack[-1])
+                # malformed size operand -> skip the WHOLE op (font and
+                # size), matching the Td/TD/Tm skip semantics: a
+                # half-applied Tf (font switched, size kept) mixed the
+                # skip and apply behaviors (round-5 advice)
                 if n is not None:
                     size = n
-                if len(stack) >= 2 and isinstance(stack[-2], str):
-                    # NO 'fonts and' short-circuit: inside a form that
-                    # inherited a non-default decoder, Tf on one of the
-                    # form's own (default) fonts must RESET dec — the
-                    # default-filtered fonts dict may be empty here
-                    dec = fonts.get(stack[-2], _DEFAULT_DEC)
+                    if len(stack) >= 2 and isinstance(stack[-2], str):
+                        # NO 'fonts and' short-circuit: inside a form
+                        # that inherited a non-default decoder, Tf on
+                        # one of the form's own (default) fonts must
+                        # RESET dec — the default-filtered fonts dict
+                        # may be empty here
+                        dec = fonts.get(stack[-2], _DEFAULT_DEC)
         elif op == "Td":
             if len(stack) >= 2:
                 dx, dy = _opnum(stack[-2]), _opnum(stack[-1])

@@ -441,6 +441,19 @@ def simhash64(docs: "DataFrame") -> "DataFrame":
 
     def batch_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+        # token -> 60-bit hash memo, task-lifetime: corpus vocabulary
+        # repeats heavily across documents, so each distinct token is
+        # md5-hashed once per task instead of once per occurrence
+        # (guide §4.5 heavyweight-state amortization; values unchanged)
+        memo: dict[str, int] = {}
+
+        def h(t: str) -> int:
+            v = memo.get(t)
+            if v is None:
+                v = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+                memo[t] = v
+            return v
+
         for batch in batches:
             out_ids = []
             out_hashes = []
@@ -453,12 +466,7 @@ def simhash64(docs: "DataFrame") -> "DataFrame":
                     out_hashes.append(0)
                     continue
                 hs = np.fromiter(
-                    (
-                        int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
-                        for t in toks
-                    ),
-                    dtype=np.uint64,
-                    count=len(toks),
+                    (h(t) for t in toks), dtype=np.uint64, count=len(toks)
                 )
                 bits = (hs[:, None] >> shifts[None, :]) & np.uint64(1)
                 votes = (bits.astype(np.int64) * 2 - 1).sum(axis=0)

@@ -330,10 +330,13 @@ def coalesce_content(extracted: "DataFrame", pages: "DataFrame") -> "DataFrame":
     # url is the join key; a duplicate url in pages would silently fan
     # out extracted rows through the left join, so the provided-text
     # projection is deduplicated (one shuffle on url, the same key the
-    # join shuffles on — AQE coalesces them into one exchange reuse)
-    provided = pages.select(
-        "url", F.col("text").alias("_provided_text")
-    ).dropDuplicates(["url"])
+    # join shuffles on — AQE coalesces them into one exchange reuse).
+    # max(text), not dropDuplicates: an arbitrary surviving row would
+    # make the output nondeterministic when duplicate urls carry
+    # different provided text (round-5 advice).
+    provided = pages.groupBy("url").agg(
+        F.max("text").alias("_provided_text")
+    )
     joined = extracted.join(provided, "url", "left")
 
     def nonempty(col):
