@@ -401,9 +401,14 @@ def dedup_clusters(pairs: "DataFrame", max_iter: int = 20) -> "DataFrame":
                 ).alias("_changed"),
             )
         )
-        new_labels = jumped.localCheckpoint(eager=True)
-        prop.unpersist()
+        # LAZY checkpoint + count: the convergence count IS the action
+        # that materializes (and lineage-truncates) this round's labels,
+        # so each round runs ONE job instead of an eager-checkpoint job
+        # followed by a count job. prop must stay cached until the count
+        # has executed the self-join through it.
+        new_labels = jumped.localCheckpoint(eager=False)
         changed = new_labels.filter(F.col("_changed")).count()
+        prop.unpersist()
         labels = new_labels.drop("_changed")
         if changed == 0:
             converged = True
