@@ -847,17 +847,26 @@ def _spread(df: DataFrame) -> DataFrame:
     return spread_small_input(df)
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _spread(
-        spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
-        )
+def _docs(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
+    """documents reader. ``spread`` (default) parallelizes the one-file
+    scan for consumers with heavy map-side work (Python stages, shingle
+    construction, hash streams); pass False for trivial-map consumers —
+    measured on sf0.1, the probe + extra exchange costs such queries
+    0.2–0.6 s for no distribution benefit (their first shuffle or narrow
+    codegen pipeline already does the work cheaply)."""
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
     )
+    return _spread(df) if spread else df
 
 
-def _docs_with_exact_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_with_exact_copies(
+    spark: SparkSession, sf_dir: str, spread: bool = True
+) -> DataFrame:
     """documents + exact copies (doc_id%4==0 -> id+100000) — dedup corpus."""
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=spread)
     copies = docs.filter(F.col("doc_id") % 4 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
@@ -878,7 +887,9 @@ def _docs_with_near_copies(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.dedup import exact_dedup
 
-    return exact_dedup(_docs_with_exact_copies(spark, sf_dir))
+    # spread=False: the map side is one codegen md5 per row; the groupBy
+    # shuffle already distributes (spread measured 0.77s vs 0.18s raw)
+    return exact_dedup(_docs_with_exact_copies(spark, sf_dir, spread=False))
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1083,7 +1094,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.textstats import fingerprints
 
-    return fingerprints(_docs(spark, sf_dir))
+    return fingerprints(_docs(spark, sf_dir, spread=False))
 
 
 def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1094,7 +1105,7 @@ def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         train_val_split,
     )
 
-    docs = _docs(spark, sf_dir).select("doc_id")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id")
     split = train_val_split(docs, "doc_id", val_pct=10)
     in20 = (
         h64(F.concat(F.lit("s20"), F.col("doc_id").cast("string"))) % 100
@@ -1143,7 +1154,9 @@ def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
         chunk_documents,
     )
 
-    return chunk_documents(_docs(spark, sf_dir), chunk_size=20, overlap=5)
+    return chunk_documents(
+        _docs(spark, sf_dir, spread=False), chunk_size=20, overlap=5
+    )
 
 
 def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1311,7 +1324,7 @@ def q_dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         line_dedup_c4,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     toks = F.split(F.trim("text"), r"\s+")
     two_line = docs.select(
         "doc_id",
@@ -1338,7 +1351,7 @@ def q_text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst regexp_replace chain, no shuffle."""
     from pdf_document_extractor_spark.operators.cleaning import redact_pii
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     dirty = docs.select(
         "doc_id",
         F.concat(
@@ -1361,7 +1374,7 @@ def q_filter_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         blocklist_filter,
     )
 
-    docs = _docs(spark, sf_dir)
+    docs = _docs(spark, sf_dir, spread=False)
     with_url = docs.withColumn(
         "url",
         F.concat(
@@ -1480,7 +1493,9 @@ def q_mm_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows.append({"doc_id": i, "media": blob})
             yield pd.DataFrame(rows)
 
-    docs = _docs(spark, sf_dir)
+    # project to doc_id BEFORE the Python stage: synth reads only ids, and
+    # mapInPandas otherwise ships every input column to the worker
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id")
     media = docs.mapInPandas(synth, schema="doc_id long, media binary")
     meta = media_metadata(media)
     return meta.select(
