@@ -1066,19 +1066,19 @@ def q_sim_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.textstats import token_stats
 
-    return token_stats(_docs(spark, sf_dir))
+    return token_stats(_docs(spark, sf_dir, spread=False))
 
 
 def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.textstats import language_id
 
-    return language_id(_docs(spark, sf_dir))
+    return language_id(_docs(spark, sf_dir, spread=False))
 
 
 def q_text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pdf_document_extractor_spark.operators.textstats import quality_scores
 
-    return quality_scores(_docs(spark, sf_dir))
+    return quality_scores(_docs(spark, sf_dir, spread=False))
 
 
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1088,7 +1088,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         repetition_scores,
     )
 
-    return repetition_scores(_docs(spark, sf_dir))
+    return repetition_scores(_docs(spark, sf_dir, spread=False))
 
 
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
