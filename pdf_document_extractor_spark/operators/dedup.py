@@ -132,12 +132,20 @@ def _pair_jaccard(
     being re-derived by a groupBy(doc_id) + two joins — the old shape
     paid three extra exchanges to recompute a value that is a narrow
     per-row expression of the source (guide §2.4)."""
-    a = sh.select(
+    src = sh
+    if candidates is None:
+        # pre-shuffle the shingle stream by the join key ONCE and rename
+        # per side AFTER the exchange: both self-join branches then hang
+        # off the same exchange (runtime stage reuse), so the shingle
+        # construction + shuffle write happen once instead of per side.
+        # This is the exchange the join required anyway — not an extra.
+        src = sh.repartition(F.col("shingle"))
+    a = src.select(
         F.col("doc_id").alias("id_a"),
         "shingle",
         F.col("sh_size").alias("size_a"),
     )
-    b = sh.select(
+    b = src.select(
         F.col("doc_id").alias("id_b"),
         "shingle",
         F.col("sh_size").alias("size_b"),
